@@ -1,0 +1,62 @@
+"""Table registry over the driver's deterministic parquet testdata.
+
+The reference triple-declares every schema by hand (POJO + Kudu DDL + Solr
+schema.xml -- SURVEY 1.3) and loads tables imperatively through a Kudu
+facade (reference KuduContext.scala:165-178).  Here a table is just a
+parquet directory read declaratively; Catalyst owns projection pruning and
+predicate pushdown, so there is no hand-built column-projection string
+(reference ConnectedCarStreaming.scala:217).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet.  With
+# spark.sql.legacy.parquet.nanosAsLong they arrive as int64 nanos; convert
+# with integer division (ns DIV 1000 — exact; float division would lose
+# precision above 2^53) back to TimestampType.
+_TS_NANOS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Callers (the test driver included) may hand us a session built
+    # without our defaults; the nanos knob is runtime-settable, so make
+    # every load self-sufficient.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _TS_NANOS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
