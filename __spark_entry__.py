@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ingestprocessstoreinnrt_spark.operators import bi
+from ingestprocessstoreinnrt_spark.operators import bi, entity, profile
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -29,6 +29,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(bi.QUERIES)
+    out.update(entity.QUERIES)
+    out.update(profile.QUERIES)
     return out
 
 
@@ -37,4 +39,6 @@ def oracle_sql() -> dict[str, str]:
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
     out.update(bi.ORACLE)
+    out.update(entity.ORACLE)
+    out.update(profile.ORACLE)
     return out

@@ -58,18 +58,23 @@ def lsum(col: Column | str, alias: str) -> Column:
     return F.sum(c).cast("long").alias(alias)
 
 
-def sql_dsum(expr: str, alias: str) -> str:
+def sql_dsum_expr(expr: str) -> str:
     return (
         f"CAST(SUM(CAST(FLOOR(({expr}) * {_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {_SCALE} AS {alias}"
+        f" / {_SCALE}"
     )
+
+
+def sql_davg_expr(expr: str) -> str:
+    return f"{sql_dsum_expr(expr)} / COUNT({expr})"
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"{sql_dsum_expr(expr)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * {_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {_SCALE} / COUNT({expr}) AS {alias}"
-    )
+    return f"{sql_davg_expr(expr)} AS {alias}"
 
 
 def sql_lsum(expr: str, alias: str) -> str:
