@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 _SCALE = "10000.0"
 
 
-def _quant(c: Column) -> Column:
+def quantize(c: Column) -> Column:
     return F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("long")
 
 
@@ -40,14 +40,14 @@ def dsum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a double column (quantized to 4 decimals),
     returned as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(_quant(c)).cast("double") / F.lit(10000.0)).alias(alias)
+    return (F.sum(quantize(c)).cast("double") / F.lit(10000.0)).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
     """Order-independent AVG (quantized sum / count), returned as double."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(_quant(c)).cast("double") / F.lit(10000.0) / F.count(c)
+        F.sum(quantize(c)).cast("double") / F.lit(10000.0) / F.count(c)
     ).alias(alias)
 
 

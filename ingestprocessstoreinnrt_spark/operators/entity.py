@@ -99,42 +99,26 @@ def entity_from_orders(orders: DataFrame) -> DataFrame:
 def merge_entities(*parts: DataFrame) -> DataFrame:
     """Merge per-split entity tables into the full-table entity — the
     merge half of the reference's hand-rolled UDAF pair
-    (NyTaxiYellowEntity.scala `+`, :31-58), expressed as re-aggregation.
+    (NyTaxiYellowEntity.scala `+`, :31-58).  Bit-identical to the
+    single-pass aggregate however the input was split (see
+    operators.merge for the exactness argument) — the invariant the
+    streaming upsert path (M4) relies on."""
+    from .merge import merge_keyed
 
-    Exactness: spend columns are doubles S/10000.0 produced by dsum();
-    floor(x*10000.0+0.5) recovers the integer numerator S exactly
-    (|S| < 2^52), so merging sums integers and divides once — the merged
-    result is bit-identical to the single-pass aggregate regardless of
-    how the input was split.  This is the invariant that makes the
-    streaming upsert path (M4) provably equal to the batch rollup.
-    """
-    assert parts, "need at least one part"
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionByName(p)
-
-    spend_cols = [c for c in unioned.columns if c.endswith("_spend")]
-    count_cols = [c for c in unioned.columns if c.endswith("_orders")]
-
-    requant = unioned
-    for c in spend_cols:
-        requant = requant.withColumn(
-            c, F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5)).cast("long")
-        )
-
-    aggs = (
-        [F.sum(F.col(c)).cast("long").alias(c) for c in count_cols]
-        + [
-            (F.sum(F.col(c)).cast("double") / F.lit(10000.0)).alias(c)
-            for c in spend_cols
-        ]
-        + [F.max("max_order_price").alias("max_order_price")]
+    cols = parts[0].columns
+    return merge_keyed(
+        parts,
+        key_cols=["o_custkey"],
+        count_cols=[c for c in cols if c.endswith("_orders")],
+        qsum_cols=[c for c in cols if c.endswith("_spend")],
+        max_cols=["max_order_price"],
+        drop_before_merge=["avg_order_price"],
+        # avg = quantized-sum double / count: same expression tree as
+        # davg() in the single-pass aggregate -> bit-identical
+        derive=lambda df: df.withColumn(
+            "avg_order_price", F.col("total_spend") / F.col("total_orders")
+        ),
     )
-    merged = requant.groupBy("o_custkey").agg(*aggs)
-    merged = merged.withColumn(
-        "avg_order_price", F.col("total_spend") / F.col("total_orders")
-    )
-    return merged.select(*unioned.columns)
 
 
 QUERIES = {"entity_customer_rollup": customer_entity}

@@ -70,6 +70,31 @@ def entity_from_trips(trips: DataFrame) -> DataFrame:
     return ent
 
 
+def merge_taxi_entities(*parts: DataFrame) -> DataFrame:
+    """Exact merge of per-split vendor entities (streaming upsert path)."""
+    from .merge import merge_keyed
+
+    cols = parts[0].columns
+    qsums = [
+        c
+        for c in cols
+        if c == "total_distance_of_trips"
+        or (c.startswith(("total_credit_card_", "total_cash_")) and not c.endswith("_trips"))
+    ]
+    return merge_keyed(
+        parts,
+        key_cols=["vender_id"],
+        count_cols=[
+            c
+            for c in cols
+            if c.endswith(("_trips", "_passengers"))
+            and c != "total_distance_of_trips"  # a qsum despite the suffix
+        ],
+        qsum_cols=qsums,
+        max_cols=["max_distance_of_trip"],
+    )
+
+
 # --- Impala BI queries over the trip table ---------------------------------
 
 

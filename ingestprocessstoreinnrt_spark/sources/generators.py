@@ -89,6 +89,67 @@ def write_taxi_csv(
     return path
 
 
+def write_bsm_csv(path: str, rows: int = 10_000, seed: int = 42) -> str:
+    """FHWA basic-safety-message CSV (FIXTURES.md §7): >=20 cells, cell 0
+    ignored by the parser."""
+    rng = random.Random(seed)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    t0 = 1_430_000_000_000
+    days = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday")
+    with open(path, "w") as f:
+        for i in range(rows):
+            gen_time = t0 + rng.randint(0, 30 * 86400) * 1000
+            f.write(
+                ",".join(
+                    [
+                        str(i),  # ignored cell 0
+                        str(rng.randint(1, 9999)),
+                        str(rng.randint(1, 500)),
+                        str(rng.randint(1, 9999)),
+                        str(gen_time),
+                        rng.choice(days),
+                        str(rng.randint(0, 23)),
+                        str(rng.randint(0, 2**31)),
+                        str(rng.randint(0, 127)),
+                        str(rng.randint(0, 59)),
+                        f"{rng.uniform(42.2, 42.5):.6f}",
+                        f"{rng.uniform(-83.8, -83.5):.6f}",
+                        f"{rng.uniform(150, 300):.1f}",
+                        f"{rng.uniform(0, 360):.1f}",
+                        f"{rng.gauss(0, 1.5):.3f}",
+                        f"{rng.gauss(0, 1.5):.3f}",
+                        f"{rng.gauss(9.8, 0.2):.3f}",
+                        str(rng.randint(0, 30)),
+                        f"{rng.uniform(-5000, 5000):.1f}",
+                        str(rng.randint(0, 100)),
+                    ]
+                )
+                + "\n"
+            )
+    return path
+
+
+def write_trip_summary_csv(path: str, rows: int = 5_000, seed: int = 42) -> str:
+    """FHWA trip-summary CSV (FIXTURES.md §8): 15 cells."""
+    rng = random.Random(seed)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    t0 = 1_430_000_000_000
+    with open(path, "w") as f:
+        for i in range(rows):
+            start = t0 + rng.randint(0, 30 * 86400) * 1000
+            dur_s = rng.randint(120, 7200)
+            end = start + dur_s * 1000
+            dist = round(rng.uniform(0.5, 80.0), 2)
+            avg_speed = round(dist / (dur_s / 3600.0), 2)
+            f.write(
+                f"{rng.randint(1, 500)},trip{i:06d},{start},d,t,{end},d,t,"
+                f"{dist},{round(dist * rng.uniform(0, 1), 2)},{dur_s / 60.0:.2f},"
+                f"{avg_speed},{round(avg_speed * rng.uniform(1.1, 1.6), 2)},"
+                f"{rng.randint(0, 40)},{rng.choice(('NONE', 'LOW', 'HIGH'))}\n"
+            )
+    return path
+
+
 def write_car_props(path: str, cars: int = 100, seed: int = 42) -> str:
     """Fleet definition CSV (FIXTURES.md §4): vin, starting_miles,
     avg_speed, avg_accel, avg_decel, avg_handling,

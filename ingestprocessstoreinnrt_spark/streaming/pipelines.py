@@ -1,0 +1,112 @@
+"""Structured-Streaming pipelines — the reference's DStream graph
+(NyTaxiYellowTripStreaming.scala:113-180, ConnectedCarStreaming.scala:
+196-267) rebuilt on readStream/writeStream:
+
+  S1  source            file stream in tests; `kafka_lines_stream` for a
+                        real Kafka topic (same downstream plan)
+  K1  fact append       writeStream parquet append (exactly-once via
+                        checkpoint + idempotent file sink)
+  K2  entity upsert     foreachBatch: aggregate the micro-batch, exact-
+                        merge into the UpsertTable (A2's New/Modified/
+                        Untouched flags collapse into MERGE semantics)
+  J1  initial state     UpsertTable.init(snapshot) before starting —
+                        unlike the reference's dead taxi bootstrap
+                        (SURVEY 8.2), the seed actually participates
+  K5  console sink      debug_console()
+
+Exactly-once: the upsert ledger skips re-delivered batch ids, so
+crash/restart replay does not double-count (the reference instead
+swallowed duplicate-key write errors, NyTaxiYellowTripStreaming.scala:
+298-313).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .upsert import UpsertTable
+
+
+def kafka_lines_stream(
+    spark: SparkSession, brokers: str, topics: str
+) -> DataFrame:
+    """Kafka CSV-lines source (S1): same (key, value) contract as the
+    reference's direct stream.  Requires the spark-sql-kafka package at
+    runtime; tests use file streams with the identical downstream plan."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .load()
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    )
+
+
+def append_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """K1 — append typed fact rows to a table (the Kudu insert path)."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def upsert_aggregate_stream(
+    source: DataFrame,
+    table: UpsertTable,
+    aggregate_fn: Callable[[DataFrame], DataFrame],
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    checkpoint: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """K2/A1/A2 — per micro-batch: aggregate the batch's rows, then
+    exact-merge the partial aggregate into the keyed table.  Because the
+    merge is associative and bit-exact (operators.merge), the table after
+    any number of micro-batches equals the batch aggregate over all rows
+    ever seen — the incremental == batch invariant, now end-to-end."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = aggregate_fn(batch_df)
+        table.apply_batch(
+            batch_id,
+            partial,
+            lambda current, new: new
+            if current is None or current.isEmpty()
+            else merge_fn(current, new),
+        )
+
+    w = (
+        source.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def debug_console(df: DataFrame, n: int = 10) -> StreamingQuery:
+    """K5 — tripDStream.print(10) analog."""
+    return (
+        df.writeStream.format("console")
+        .option("numRows", n)
+        .outputMode("append")
+        .start()
+    )

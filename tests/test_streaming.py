@@ -1,0 +1,190 @@
+"""Structured-Streaming path: file-source micro-batches -> foreachBatch
+exact-merge upsert; invariants: streaming result == batch aggregate over
+all data (bit-exact), replay idempotency, initial-state bootstrap."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingestprocessstoreinnrt_spark.catalog import load_table
+from ingestprocessstoreinnrt_spark.operators import car, entity, taxi
+from ingestprocessstoreinnrt_spark.sources import csv_clean, generators
+from ingestprocessstoreinnrt_spark.streaming import pipelines
+from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+from tests.conftest import SF_ORACLE
+
+
+def _rows(df, key):
+    return {r[key]: tuple(r[c] for c in sorted(df.columns)) for r in df.collect()}
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _write_chunked_csv(path, rows, n_chunks, seed):
+    """One fixture CSV split into n chunk files (distinct micro-batches)."""
+    full = generators.write_taxi_csv(path + "/all.csv", rows=rows, seed=seed)
+    with open(full) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    header, data = lines[0], lines[1:]
+    os.makedirs(path + "/stream", exist_ok=True)
+    k = len(data) // n_chunks + 1
+    for i in range(n_chunks):
+        with open(f"{path}/stream/chunk{i:03d}.csv", "w") as f:
+            f.write("\n".join([header] + data[i * k : (i + 1) * k]) + "\n")
+    return path + "/stream", full
+
+
+def test_streaming_entity_equals_batch(spark, workdir):
+    stream_dir, full_csv = _write_chunked_csv(workdir, 2000, 4, seed=13)
+    table = UpsertTable(
+        spark, workdir + "/entity_table", ["vender_id"], num_buckets=4
+    )
+    src = csv_clean.read_taxi_trips_stream(spark, stream_dir)
+    q = pipelines.upsert_aggregate_stream(
+        src,
+        table,
+        taxi.entity_from_trips,
+        lambda cur, new: taxi.merge_taxi_entities(cur, new),
+        checkpoint=workdir + "/ckpt",
+    )
+    q.awaitTermination(120)
+
+    batch = taxi.entity_from_trips(csv_clean.read_taxi_trips(spark, full_csv))
+    assert _rows(table.read(), "vender_id") == _rows(batch, "vender_id")
+
+
+def test_streaming_restart_is_exactly_once(spark, workdir):
+    stream_dir, full_csv = _write_chunked_csv(workdir, 1500, 3, seed=17)
+    table = UpsertTable(
+        spark, workdir + "/entity_table", ["vender_id"], num_buckets=4
+    )
+    ckpt = workdir + "/ckpt"
+
+    # first run consumes everything
+    src = csv_clean.read_taxi_trips_stream(spark, stream_dir)
+    pipelines.upsert_aggregate_stream(
+        src, table, taxi.entity_from_trips,
+        lambda c, n: taxi.merge_taxi_entities(c, n), ckpt,
+    ).awaitTermination(120)
+    first = _rows(table.read(), "vender_id")
+
+    # restart with the same checkpoint: nothing new -> no change
+    src2 = csv_clean.read_taxi_trips_stream(spark, stream_dir)
+    pipelines.upsert_aggregate_stream(
+        src2, table, taxi.entity_from_trips,
+        lambda c, n: taxi.merge_taxi_entities(c, n), ckpt,
+    ).awaitTermination(120)
+    assert _rows(table.read(), "vender_id") == first
+
+    # add one more file; only it is processed
+    extra_dir, extra_csv = _write_chunked_csv(workdir + "/x", 500, 1, seed=23)
+    shutil.copy(extra_dir + "/chunk000.csv", stream_dir + "/chunk900.csv")
+    src3 = csv_clean.read_taxi_trips_stream(spark, stream_dir)
+    pipelines.upsert_aggregate_stream(
+        src3, table, taxi.entity_from_trips,
+        lambda c, n: taxi.merge_taxi_entities(c, n), ckpt,
+    ).awaitTermination(120)
+
+    both = csv_clean.read_taxi_trips(spark, full_csv).unionByName(
+        csv_clean.read_taxi_trips(spark, extra_csv)
+    )
+    assert _rows(table.read(), "vender_id") == _rows(
+        taxi.entity_from_trips(both), "vender_id"
+    )
+
+
+def test_initial_state_bootstrap(spark, workdir):
+    """J1 — seed the entity table from a 'prior' snapshot, stream only the
+    remainder, end equal to batch over everything (the wiring the
+    reference's taxi job loads but never uses, SURVEY 8.2)."""
+    stream_dir, full_csv = _write_chunked_csv(workdir, 1200, 2, seed=29)
+    trips = csv_clean.read_taxi_trips(spark, full_csv).cache()
+    seed_trips = trips.filter(F.pmod(F.xxhash64("tpep_pickup_datetime"), F.lit(2)) == 0)
+    rest_trips = trips.filter(F.pmod(F.xxhash64("tpep_pickup_datetime"), F.lit(2)) == 1)
+
+    table = UpsertTable(spark, workdir + "/entity", ["vender_id"], num_buckets=4)
+    table.init(taxi.entity_from_trips(seed_trips))
+
+    rest_dir = workdir + "/rest"
+    os.makedirs(rest_dir, exist_ok=True)
+    rest_trips.coalesce(1).write.mode("overwrite").parquet(workdir + "/rest_pq")
+    rest_lines = spark.read.parquet(workdir + "/rest_pq")
+    # stream the remainder as parquet file-source micro-batches
+    src = spark.readStream.schema(rest_lines.schema).parquet(workdir + "/rest_pq")
+    pipelines.upsert_aggregate_stream(
+        src, table, taxi.entity_from_trips,
+        lambda c, n: taxi.merge_taxi_entities(c, n), workdir + "/ckpt",
+    ).awaitTermination(120)
+
+    assert _rows(table.read(), "vender_id") == _rows(
+        taxi.entity_from_trips(trips), "vender_id"
+    )
+    trips.unpersist()
+
+
+def test_upsert_last_write_wins_and_pruning(spark, workdir):
+    t = UpsertTable(spark, workdir + "/t", ["k"], num_buckets=8)
+    df1 = spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"])
+    t.init(df1)
+    t.upsert(spark.createDataFrame([(5, "NEW"), (7, "NEW")], ["k", "v"]))
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[5] == "NEW" and got[7] == "NEW" and got[3] == "v3"
+    assert len(got) == 100
+    # replay same logical batch via ledger -> no-op
+    t.apply_batch(1, spark.createDataFrame([(5, "X")], ["k", "v"]))
+    t.apply_batch(1, spark.createDataFrame([(5, "Y")], ["k", "v"]))
+    assert {r.v for r in t.read().filter("k=5").collect()} == {"X"}
+
+
+def test_streaming_car_profile_stats(spark, workdir):
+    """Car profile via sufficient statistics: streamed stats == batch
+    stats bit-for-bit, and the derived profile matches."""
+    p = generators.write_car_readings_csv(
+        workdir + "/car.csv", cars=10, sweeps=60, seed=5, error_mode=True
+    )
+    # split to 3 chunk files
+    with open(p) as f:
+        lines = f.read().splitlines()
+    os.makedirs(workdir + "/carstream", exist_ok=True)
+    k = len(lines) // 3 + 1
+    for i in range(3):
+        with open(f"{workdir}/carstream/c{i}.csv", "w") as f:
+            f.write("\n".join(lines[i * k : (i + 1) * k]) + "\n")
+
+    table = UpsertTable(spark, workdir + "/stats", ["vin"], num_buckets=4)
+    src = csv_clean.read_car_readings_stream(spark, workdir + "/carstream")
+    pipelines.upsert_aggregate_stream(
+        src, table, car.stats_from_readings,
+        lambda c, n: car.merge_stats(c, n), workdir + "/ckpt2",
+    ).awaitTermination(120)
+
+    batch_stats = car.stats_from_readings(csv_clean.read_car_readings(spark, p))
+    assert _rows(table.read(), "vin") == _rows(batch_stats, "vin")
+    prof = car.profile_from_stats(table.read())
+    assert prof.count() == batch_stats.count()
+    assert "oil_replacement_period" in prof.columns
+
+
+def test_streaming_orders_entity(spark, workdir):
+    """Same machinery on the testdata orders table (customer entity)."""
+    orders = load_table(spark, SF_ORACLE, "orders")
+    orders.write.mode("overwrite").parquet(workdir + "/orders_pq")
+    static = spark.read.parquet(workdir + "/orders_pq")
+    src = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(workdir + "/orders_pq")
+    table = UpsertTable(spark, workdir + "/ent", ["o_custkey"], num_buckets=8)
+    pipelines.upsert_aggregate_stream(
+        src, table, entity.entity_from_orders,
+        lambda c, n: entity.merge_entities(c, n), workdir + "/ckpt3",
+    ).awaitTermination(180)
+    assert _rows(table.read(), "o_custkey") == _rows(
+        entity.entity_from_orders(static), "o_custkey"
+    )
