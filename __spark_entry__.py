@@ -15,7 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ingestprocessstoreinnrt_spark.operators import bi, entity, profile
+from ingestprocessstoreinnrt_spark.operators import (
+    bi,
+    dedup,
+    entity,
+    multimodal,
+    profile,
+    similarity,
+    textops,
+)
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -28,9 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(bi.QUERIES)
-    out.update(entity.QUERIES)
-    out.update(profile.QUERIES)
+    for mod in (bi, entity, profile, dedup, similarity, textops, multimodal):
+        out.update(mod.QUERIES)
     return out
 
 
@@ -38,7 +45,6 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (bit-exact by construction; see
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
-    out.update(bi.ORACLE)
-    out.update(entity.ORACLE)
-    out.update(profile.ORACLE)
+    for mod in (bi, entity, profile, dedup, similarity, textops, multimodal):
+        out.update(mod.ORACLE)
     return out

@@ -1,0 +1,136 @@
+"""Similarity search over the embedding column (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline: |Q| x |N| dot
+    products via zip_with/aggregate (JVM-side, codegen), ranked with a
+    window per query.  Scales as a broadcast of Q against a scan of N —
+    fine when |Q| is small, which is the serving shape.
+  * random-hyperplane LSH bucketing — the scale path: 8-bit signature
+    from deterministic hyperplanes, candidates share the query's
+    bucket, exact re-rank inside.  Approximate: recall measured in
+    tests against the brute-force baseline (rows-only driver check).
+
+Cosines that feed the correctness gate are rounded to 6 dp and ranked
+AFTER rounding with a vec_id tie-break, so rank boundaries cannot flip
+on last-ulp engine differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import cosine
+
+TOP_K = 10
+N_QUERIES = 8  # vec_id < 8 are the demo query vectors
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(
+      list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) r
+WHERE rank <= {TOP_K}
+"""
+
+# --- LSH-bucketed approximate variant (scale path) -------------------------
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane(j: int):
+    """Deterministic pseudo-random hyperplane j as an array<double> column:
+    w[d] = (((17j+3)(d+1) + 7919j + 101) mod 2001 - 1000) / 1000."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_DIM - 1)),
+        lambda d: (
+            ((F.lit(17 * j + 3) * (d + 1) + F.lit(7919 * j + 101)) % 2001)
+            - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+
+
+def _signature(vec_col):
+    sig = F.lit(0)
+    for j in range(_N_PLANES):
+        dot_j = F.aggregate(
+            F.zip_with(vec_col, _plane(j), lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates = same 8-bit hyperplane bucket as
+    the query, exact cosine re-rank inside the bucket.  At 100 TB the
+    bucket column is precomputed and the table bucketed/partitioned by
+    it, so a query touches ~1/256 of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _signature(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+QUERIES = {
+    "sim_topk_cosine": ann_topk_cosine,
+    "sim_ann_lsh": ann_lsh_topk,  # approximate: rows-only driver check
+}
+
+ORACLE = {
+    "sim_topk_cosine": _TOPK_SQL,
+}

@@ -1,0 +1,82 @@
+"""LLM-data-pipeline operators: oracle parity (delegated to the shared
+compare), ANN recall vs the exact baseline, multimodal stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from ingestprocessstoreinnrt_spark.operators import dedup, multimodal, similarity
+from tests.conftest import SF_ORACLE
+from tests.test_bi import _compare
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_neardup",
+        "sim_topk_cosine",
+        "text_stats",
+        "text_langid",
+        "text_fingerprint",
+        "multimodal_decode",
+    ],
+)
+def test_llm_query_matches_oracle(spark, duck, name):
+    _compare(spark, duck, name)
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover the large majority of true >=t pairs
+    (theory: ~0.96 at j=0.95 with B=3,R=8) — and never emit a pair below
+    threshold (verification step makes precision exact)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(spark, SF_ORACLE).collect()
+    }
+    # restrict lsh result to the same sampled universe for comparison
+    lsh_all = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        p for p in lsh_all if p[0] % dedup._SAMPLE_MOD == 0 and p[1] % dedup._SAMPLE_MOD == 0
+    }
+    assert all(j >= dedup.JACCARD_THRESHOLD for j in lsh_all.values())
+    assert lsh <= exact  # no false positives after verification
+    recall = len(lsh & exact) / max(1, len(exact))
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark):
+    """Approximate top-k returns ranked, deduplicated neighbors from the
+    query's bucket, and its hits agree with brute-force cosines."""
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in similarity.ann_topk_cosine(spark, SF_ORACLE).collect()
+    }
+    approx = similarity.ann_lsh_topk(spark, SF_ORACLE).collect()
+    assert len(approx) > 0
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact:
+            assert exact[(r.query_id, r.vec_id)] == r.cos_sim
+
+
+def test_multimodal_stub_contract(spark):
+    media = multimodal.media_from_documents(spark, SF_ORACLE)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "payload",
+        "media_type",
+        "source",
+    ]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media)  # real decode is stubbed
+    decoded = multimodal.decode_media(media, use_deterministic_fake=True)
+    assert decoded.schema == multimodal.DECODED_SCHEMA
+    row = decoded.first()
+    assert row.byte_len > 0 and len(row.content_md5_8) == 8
+    assert 1 <= row.fake_width <= 1920 and 1 <= row.fake_height <= 1080
