@@ -19,10 +19,12 @@ from ingestprocessstoreinnrt_spark.operators import (
     bi,
     dedup,
     entity,
+    ml,
     multimodal,
     profile,
     similarity,
     textops,
+    windows,
 )
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -36,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (bi, entity, profile, dedup, similarity, textops, multimodal):
+    for mod in (bi, entity, profile, dedup, similarity, textops,
+                multimodal, ml, windows):
         out.update(mod.QUERIES)
     return out
 
@@ -45,6 +48,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (bit-exact by construction; see
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
-    for mod in (bi, entity, profile, dedup, similarity, textops, multimodal):
+    for mod in (bi, entity, profile, dedup, similarity, textops,
+                multimodal, ml, windows):
         out.update(mod.ORACLE)
     return out

@@ -1,0 +1,156 @@
+"""Event-time windowing — the capability layer the reference lacks
+entirely (SURVEY 2.6/2.9: processing-time micro-batches only, "windows:
+none"), built the Spark-native way: ranking/lag analytics, gap-based
+sessionization, tumbling-window rollups, and (streaming) watermarked
+windowed aggregation in streaming/windows.py.
+
+Sessionization gaps are computed on integer epoch-micros so the DuckDB
+oracle matches exactly (timestamp casts/diffs round differently across
+engines; unix-micros arithmetic doesn't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import davg, dsum, sql_davg, sql_dsum
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream: a new session
+    starts after >30 min of inactivity; one output row per session."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_flag.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        dsum("value", "session_value"),
+    )
+
+
+_SESSIONS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END
+      AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  COUNT(*) AS n_events,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us,
+  MAX(ts_us) - MIN(ts_us) AS duration_us,
+  {sql_dsum('value', 'session_value')}
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window rollup (F.window) — the batch twin of
+    the watermarked streaming aggregate in streaming/windows.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+            davg("value", "avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT
+  epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value', 'total_value')},
+  {sql_davg('value', 'avg_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def user_event_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/lag analytics: per user, each event's rank by value and
+    the gap (us) since the previous event — row_number/lag/lead family."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    wt = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wv).alias("value_rank"),
+        (F.col("ts_us") - F.lag("ts_us").over(wt)).alias("gap_us"),
+    ).filter(F.col("value_rank") <= 3)
+
+
+_RANKS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+)
+SELECT user_id, event_id, value_rank, gap_us FROM (
+  SELECT user_id, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+      AS value_rank,
+    ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      AS gap_us
+  FROM e
+) r
+WHERE value_rank <= 3
+"""
+
+
+QUERIES = {
+    "win_user_sessions": user_sessions,
+    "win_tumbling_hourly": tumbling_hourly,
+    "win_user_event_ranks": user_event_ranks,
+}
+
+ORACLE = {
+    "win_user_sessions": _SESSIONS_SQL,
+    "win_tumbling_hourly": _TUMBLING_SQL,
+    "win_user_event_ranks": _RANKS_SQL,
+}
