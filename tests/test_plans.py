@@ -1,0 +1,39 @@
+"""Plan-regression tests: correctness gates don't catch a lost filter
+pushdown or a broadcast that degraded to sort-merge — these do."""
+
+from __future__ import annotations
+
+from ingestprocessstoreinnrt_spark.operators import bi, entity
+from ingestprocessstoreinnrt_spark.plans import explain as E
+from tests.conftest import SF_ORACLE
+
+
+def test_point_lookup_pushes_key_filter(spark):
+    df = bi.point_lookup(spark, SF_ORACLE)
+    assert E.has_pushed_filter(df, "EqualTo(o_custkey,42)")
+
+
+def test_pricing_rollup_pushes_date_filter_and_prunes(spark):
+    df = bi.pricing_rollup(spark, SF_ORACLE)
+    # shipdate is int64 nanos at scan time; the <= must still push down
+    assert E.has_pushed_filter(df, "l_shipdate")
+    # projection pruning: untouched lineitem columns never leave the scan
+    assert not E.scan_reads_column(df, "l_orderkey")
+    assert not E.scan_reads_column(df, "l_partkey")
+    # partial + final aggregation (map-side combine)
+    assert E.partial_aggregation_count(df) >= 2
+
+
+def test_enrich_join_broadcasts_dims(spark):
+    df = bi.enrich_join(spark, SF_ORACLE)
+    assert E.uses_broadcast_join(df)
+    assert not E.uses_sort_merge_join(df)
+
+
+def test_topk_plans_as_take_ordered(spark):
+    assert E.uses_top_k(bi.topk_customers(spark, SF_ORACLE))
+
+
+def test_entity_rollup_prunes_unused_columns(spark):
+    df = entity.customer_entity(spark, SF_ORACLE)
+    assert not E.scan_reads_column(df, "o_orderdate")
