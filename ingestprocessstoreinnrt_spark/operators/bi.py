@@ -257,8 +257,30 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# S5 — first-N sampler (extra/ReadFirstNFromCsvFile.scala:10-30 analog):
+# deterministic "head" of the stream by event time + id tie-break
+# ---------------------------------------------------------------------------
+
+FIRST_N = 100
+
+
+def first_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # TakeOrderedAndProject: per-partition top-N, no global sort
+    return ev.orderBy(F.col("ts").asc(), F.col("event_id").asc()).limit(
+        FIRST_N
+    )
+
+
+_FIRST_N_SQL = f"""
+SELECT * FROM events ORDER BY ts ASC, event_id ASC LIMIT {FIRST_N}
+"""
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
+    "bi_first_n": first_n_events,
     "bi_topk_customers": topk_customers,
     "bi_time_of_day": time_of_day,
     "bi_point_lookup": point_lookup,
@@ -268,6 +290,7 @@ QUERIES = {
 
 ORACLE = {
     "bi_pricing_rollup": _PRICING_ROLLUP_SQL,
+    "bi_first_n": _FIRST_N_SQL,
     "bi_topk_customers": _TOPK_CUSTOMERS_SQL,
     "bi_time_of_day": _TIME_OF_DAY_SQL,
     "bi_point_lookup": _POINT_LOOKUP_SQL,
