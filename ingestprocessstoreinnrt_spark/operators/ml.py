@@ -200,10 +200,14 @@ def decision_tree_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = VectorAssembler(inputCols=FEATURES, outputCol="features")
     data = va.transform(li).select("label", "features")
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
+    # tree training is iterative (one pass per depth level); caching the
+    # training split avoids re-reading + re-assembling parquet each pass
+    train = train.cache()
     dt = DecisionTreeClassifier(
         impurity="gini", maxDepth=5, maxBins=32, seed=SEED
     )
     model = dt.fit(train)
+    train.unpersist()
     return (
         model.transform(test)
         .groupBy("label", "prediction")

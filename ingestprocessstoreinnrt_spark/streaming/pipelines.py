@@ -70,7 +70,7 @@ def upsert_aggregate_stream(
     source: DataFrame,
     table: UpsertTable,
     aggregate_fn: Callable[[DataFrame], DataFrame],
-    merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None,
     checkpoint: str,
     trigger_once: bool = True,
 ) -> StreamingQuery:
@@ -84,12 +84,18 @@ def upsert_aggregate_stream(
         if batch_df.isEmpty():
             return
         partial = aggregate_fn(batch_df)
+        # merge_fn None -> last-write-wins row upsert (document sinks);
+        # otherwise exact aggregate merge with the table's current rows
         table.apply_batch(
             batch_id,
             partial,
-            lambda current, new: new
-            if current is None or current.isEmpty()
-            else merge_fn(current, new),
+            None
+            if merge_fn is None
+            else (
+                lambda current, new: new
+                if current is None or current.isEmpty()
+                else merge_fn(current, new)
+            ),
         )
 
     w = (
