@@ -278,9 +278,78 @@ SELECT * FROM events ORDER BY ts ASC, event_id ASC LIMIT {FIRST_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# exact percentiles — beyond-reference analytics (reference has no
+# quantiles); Spark percentile() and DuckDB quantile_cont both use
+# linear interpolation on the sorted values, so results are bit-exact
+# ---------------------------------------------------------------------------
+
+
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS p50_price,
+  quantile_cont(o_totalprice, 0.9) AS p90_price,
+  quantile_cont(o_totalprice, 0.99) AS p99_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
+# search-index term query — the Solr serving role (K3) as SQL: term
+# frequency scoring over the documents table
+# ---------------------------------------------------------------------------
+
+SEARCH_TERM = "spark"
+
+
+def index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tf = F.size(F.filter(toks, lambda t: F.lower(t) == SEARCH_TERM))
+    n = F.size(toks)
+    return (
+        docs.select(
+            "doc_id",
+            tf.cast("long").alias("term_freq"),
+            n.cast("long").alias("n_tokens"),
+            (tf.cast("double") / n.cast("double")).alias("score"),
+        )
+        .filter(F.col("term_freq") > 0)
+    )
+
+
+_INDEX_SEARCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  len(list_filter(toks, t -> lower(t) = '{SEARCH_TERM}'))::BIGINT AS term_freq,
+  len(toks)::BIGINT AS n_tokens,
+  len(list_filter(toks, t -> lower(t) = '{SEARCH_TERM}'))::DOUBLE
+    / len(toks)::DOUBLE AS score
+FROM d
+WHERE len(list_filter(toks, t -> lower(t) = '{SEARCH_TERM}')) > 0
+"""
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
     "bi_first_n": first_n_events,
+    "bi_percentiles": order_percentiles,
+    "bi_index_search": index_search,
     "bi_topk_customers": topk_customers,
     "bi_time_of_day": time_of_day,
     "bi_point_lookup": point_lookup,
@@ -291,6 +360,8 @@ QUERIES = {
 ORACLE = {
     "bi_pricing_rollup": _PRICING_ROLLUP_SQL,
     "bi_first_n": _FIRST_N_SQL,
+    "bi_percentiles": _PERCENTILES_SQL,
+    "bi_index_search": _INDEX_SEARCH_SQL,
     "bi_topk_customers": _TOPK_CUSTOMERS_SQL,
     "bi_time_of_day": _TIME_OF_DAY_SQL,
     "bi_point_lookup": _POINT_LOOKUP_SQL,

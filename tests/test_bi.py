@@ -27,6 +27,9 @@ def _compare(spark, duck, name):
     "name",
     [
         "bi_pricing_rollup",
+        "bi_first_n",
+        "bi_percentiles",
+        "bi_index_search",
         "bi_topk_customers",
         "bi_time_of_day",
         "bi_point_lookup",
