@@ -127,8 +127,8 @@ def time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.dayofweek("ts").alias("day_of_week"),
-            F.hour("ts").alias("hour_of_day"),
+            F.dayofweek("ts").cast("long").alias("day_of_week"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
         )
         .agg(
             F.count(F.lit(1)).alias("event_count"),

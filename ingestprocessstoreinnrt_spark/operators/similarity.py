@@ -39,7 +39,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
 
@@ -121,7 +121,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
 

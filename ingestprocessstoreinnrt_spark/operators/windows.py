@@ -60,9 +60,9 @@ flagged AS (
 ),
 sessions AS (
   SELECT *,
-    SUM(new_session) OVER (
+    CAST(SUM(new_session) OVER (
       PARTITION BY user_id ORDER BY ts_us, event_id
-      ROWS UNBOUNDED PRECEDING) AS session_seq
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -122,8 +122,10 @@ def user_event_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.row_number().over(wv).alias("value_rank"),
-        (F.col("ts_us") - F.lag("ts_us").over(wt)).alias("gap_us"),
+        F.row_number().over(wv).cast("long").alias("value_rank"),
+        F.coalesce(
+            F.col("ts_us") - F.lag("ts_us").over(wt), F.lit(0)
+        ).cast("long").alias("gap_us"),
     ).filter(F.col("value_rank") <= 3)
 
 
@@ -135,8 +137,9 @@ SELECT user_id, event_id, value_rank, gap_us FROM (
   SELECT user_id, event_id,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
       AS value_rank,
-    ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-      AS gap_us
+    COALESCE(
+      ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+      0) AS gap_us
   FROM e
 ) r
 WHERE value_rank <= 3
