@@ -345,11 +345,37 @@ WHERE len(list_filter(toks, t -> lower(t) = '{SEARCH_TERM}')) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# distinct aggregates — beyond-reference (SURVEY 2.5: "no distinct
+# aggregates exist in the reference"); exact COUNT(DISTINCT) both engines
+# ---------------------------------------------------------------------------
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("event_count"),
+        dsum("value", "total_value"),
+    )
+
+
+_DISTINCT_SQL = f"""
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+  COUNT(*) AS event_count,
+  {sql_dsum('value', 'total_value')}
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
     "bi_first_n": first_n_events,
     "bi_percentiles": order_percentiles,
     "bi_index_search": index_search,
+    "bi_distinct_counts": distinct_counts,
     "bi_topk_customers": topk_customers,
     "bi_time_of_day": time_of_day,
     "bi_point_lookup": point_lookup,
@@ -362,6 +388,7 @@ ORACLE = {
     "bi_first_n": _FIRST_N_SQL,
     "bi_percentiles": _PERCENTILES_SQL,
     "bi_index_search": _INDEX_SEARCH_SQL,
+    "bi_distinct_counts": _DISTINCT_SQL,
     "bi_topk_customers": _TOPK_CUSTOMERS_SQL,
     "bi_time_of_day": _TIME_OF_DAY_SQL,
     "bi_point_lookup": _POINT_LOOKUP_SQL,

@@ -40,6 +40,31 @@ def windowed_counts_stream(
     )
 
 
+def session_windowed_counts_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows (F.session_window): dynamic gap-based
+    windows maintained in the state store — the streaming twin of the
+    batch sessionization in operators/windows.py:user_sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def run_windowed_to_memory(
     agg: DataFrame, name: str, trigger_once: bool = True
 ) -> StreamingQuery:

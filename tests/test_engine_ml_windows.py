@@ -126,6 +126,27 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert not any(n > 2 for _, n in rows)
 
 
+def test_streaming_session_windows_match_batch_sessions(spark, tmp_path):
+    """Streaming session_window sessions agree with the batch
+    lag/cumsum sessionization on event counts per (user, start)."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "ev2"))
+    static = spark.read.parquet(str(tmp_path / "ev2"))
+    src = spark.readStream.schema(static.schema).parquet(str(tmp_path / "ev2"))
+    agg = swin.session_windowed_counts_stream(src)
+    q = swin.run_windowed_to_memory(agg, "sess_test")
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in windows.user_sessions(spark, SF_ORACLE).collect()
+    }
+    assert streamed == batch
+
+
 def test_kmeans_deterministic_and_partitioned(spark):
     a = {
         (r.prediction, r.cluster_size)
