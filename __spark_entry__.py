@@ -23,6 +23,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     multimodal,
     profile,
     similarity,
+    skew,
     textops,
     windows,
 )
@@ -39,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows):
+                multimodal, ml, windows, skew):
         out.update(mod.QUERIES)
     return out
 
@@ -49,6 +50,6 @@ def oracle_sql() -> dict[str, str]:
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows):
+                multimodal, ml, windows, skew):
         out.update(mod.ORACLE)
     return out

@@ -57,6 +57,21 @@ def uses_top_k(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def has_shuffle_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange node.
+    CAVEAT: under AQE the pre-execution formatted plan hides exchange
+    nodes (`AdaptiveSparkPlan ... isFinalPlan=false`) — disable
+    spark.sql.adaptive.enabled around the plan capture or this check is
+    vacuously False."""
+    plan = formatted_plan(df)
+    return any(
+        line.strip().startswith(("Exchange", "+- Exchange", ":- Exchange"))
+        or "+- Exchange" in line
+        or ":- Exchange" in line
+        for line in plan.splitlines()
+    )
+
+
 def partial_aggregation_count(df: DataFrame) -> int:
     """HashAggregate appears in partial+final pairs when map-side
     combine is active."""
