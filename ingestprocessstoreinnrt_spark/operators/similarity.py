@@ -6,9 +6,14 @@ Two paths:
     window per query.  Scales as a broadcast of Q against a scan of N —
     fine when |Q| is small, which is the serving shape.
   * random-hyperplane LSH bucketing — the scale path: 8-bit signature
-    from deterministic hyperplanes, candidates share the query's
-    bucket, exact re-rank inside.  Approximate: recall measured in
-    tests against the brute-force baseline (rows-only driver check).
+    from deterministic hyperplanes, candidates within hamming<=1 of the
+    query's bucket (multi-probe), exact re-rank inside.  Approximate:
+    recall measured in tests against the brute-force baseline
+    (rows-only driver check).  NOTE on this corpus: the synthetic
+    embeddings are near-orthogonal (max pairwise cosine ~0.5, angle
+    ~60-70 deg), so per-bit agreement is ~0.62 and 8-bit recall is
+    inherently low (~0.14 measured) — hyperplane LSH's value appears
+    when true near-neighbors (cos > 0.9) exist, as in the dedup path.
 
 Cosines that feed the correctness gate are rounded to 6 dp and ranked
 AFTER rounding with a vec_id tie-break, so rank boundaries cannot flip
@@ -98,10 +103,12 @@ def _signature(vec_col):
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates = same 8-bit hyperplane bucket as
-    the query, exact cosine re-rank inside the bucket.  At 100 TB the
-    bucket column is precomputed and the table bucketed/partitioned by
-    it, so a query touches ~1/256 of the corpus."""
+    """Approximate top-k with multi-probe: candidates share the query's
+    8-bit hyperplane bucket OR any bucket at hamming distance 1 (the 8
+    adjacent probes) — the standard recall lever for hyperplane LSH.
+    Candidate fraction ~9/256 of the corpus; exact cosine re-rank
+    inside.  At 100 TB the bucket column is precomputed and the table
+    partitioned by it, so a query touches 9 partitions."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _signature(F.col("embedding"))
     )
@@ -114,11 +121,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
+    hamming = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
+    )
     return (
         emb.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+            (hamming <= 1) & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
