@@ -98,7 +98,11 @@ def _signature(vec_col):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        sig = sig + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # sign decided on the quantized dot (1e-6 units): engines may
+        # disagree on the last ulp of the accumulation, never by 1e-6,
+        # so the signature is bit-identical cross-engine
+        q = F.floor(dot_j * F.lit(1_000_000.0) + F.lit(0.5))
+        sig = sig + F.when(q >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
 
 
@@ -135,11 +139,55 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of the LSH path: same integer plane formula, same
+    quantized-sign signature, same hamming<=1 probe and ranked re-rank."""
+    sig_terms = []
+    for j in range(_N_PLANES):
+        plane = (
+            f"list_transform(range(0, {_DIM}), d -> "
+            f"(((({17 * j + 3}) * (d + 1) + {7919 * j + 101}) % 2001) - 1000)"
+            f"::DOUBLE / 1000.0)"
+        )
+        sig_terms.append(
+            f"(CASE WHEN FLOOR(list_dot_product(embedding::DOUBLE[], {plane})"
+            f" * 1000000.0 + 0.5) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({sig}) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM sigs WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q.query_id, s.vec_id,
+    round(
+      list_dot_product(qv::DOUBLE[], s.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+       sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM sigs s JOIN q
+    ON bit_count(xor(s.bucket::BIGINT, q.qbucket::BIGINT)) <= 1
+   AND s.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cand
+) r
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": ann_topk_cosine,
-    "sim_ann_lsh": ann_lsh_topk,  # approximate: rows-only driver check
+    "sim_ann_lsh": ann_lsh_topk,
 }
 
 ORACLE = {
     "sim_topk_cosine": _TOPK_SQL,
+    "sim_ann_lsh": _ann_lsh_sql(),
 }
