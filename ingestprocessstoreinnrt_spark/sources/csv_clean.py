@@ -155,3 +155,34 @@ def read_car_readings(spark, path: str) -> DataFrame:
 
 def read_car_readings_stream(spark, path: str) -> DataFrame:
     return car_readings_from_lines(spark.readStream.format("text").load(path))
+
+
+# --- reject routing (dead-letter queue) -------------------------------------
+#
+# The reference silently swallows bad rows and sink errors
+# (NyTaxiYellowTripStreaming.scala:298-313 — SURVEY 8.10).  A pipeline at
+# scale needs the rejects observable: split the raw lines into (clean,
+# rejects-with-reason) so the DLQ can be appended to its own table.
+
+
+def split_taxi_rejects(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(typed trips, rejected raw lines with a `reject_reason` column).
+    Blank/whitespace lines are noise, not rejects; the header is dropped
+    silently too (it's structural, not data)."""
+    classified = (
+        lines.filter(F.trim("value") != "")
+        .filter(~F.col("value").startswith("vendor_name"))
+        .withColumn(
+            "reject_reason",
+            F.when(F.length("value") < 10, "line_too_short")
+            .when(F.size(F.split("value", ",")) <= 3, "too_few_cells")
+            .otherwise(F.lit(None)),
+        )
+    )
+    good = taxi_trips_from_lines(
+        classified.filter(F.col("reject_reason").isNull()).select("value")
+    )
+    rejects = classified.filter(F.col("reject_reason").isNotNull()).select(
+        "value", "reject_reason"
+    )
+    return good, rejects

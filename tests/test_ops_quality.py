@@ -1,0 +1,59 @@
+"""Operational quality: reject routing (DLQ) and small-file compaction."""
+
+from __future__ import annotations
+
+from ingestprocessstoreinnrt_spark.sources import csv_clean, generators
+from ingestprocessstoreinnrt_spark.streaming import compact
+
+
+def test_reject_routing(spark, tmp_path):
+    p = generators.write_taxi_csv(str(tmp_path / "t.csv"), rows=200, seed=3)
+    # append some rejects
+    with open(p, "a") as f:
+        f.write("x,y\n")                       # short -> line_too_short
+        f.write("shortline\n")                 # short, 0 commas
+        f.write("long enough line,but only,three cells\n")  # too_few_cells
+        f.write("\n")                          # blank: noise, not reject
+    lines = spark.read.text(p)
+    good, rejects = csv_clean.split_taxi_rejects(lines)
+    assert good.count() == 200
+    rej = {(r.value, r.reject_reason) for r in rejects.collect()}
+    assert ("x,y", "line_too_short") in rej
+    assert ("shortline", "line_too_short") in rej
+    assert ("long enough line,but only,three cells", "too_few_cells") in rej
+    assert len(rej) == 3  # blank + header not counted as rejects
+    # conservation: every non-noise line is either parsed or explained
+    data_lines = lines.filter(
+        "trim(value) != '' AND value NOT LIKE 'vendor_name%'"
+    ).count()
+    assert data_lines == good.count() + rejects.count()
+
+
+def test_compaction_preserves_content(spark, tmp_path):
+    src = str(tmp_path / "facts")
+    csv = generators.write_taxi_csv(str(tmp_path / "g.csv"), rows=2000, seed=9)
+    trips = csv_clean.read_taxi_trips(spark, csv)
+    # simulate many micro-batch files
+    trips.repartition(64).write.mode("overwrite").parquet(src)
+    n_before, _ = compact.parquet_file_stats(src)
+    assert n_before >= 64
+    rows_before = spark.read.parquet(src).count()
+    sample_before = {
+        tuple(r)
+        for r in spark.read.parquet(src)
+        .orderBy("tpep_pickup_datetime", "vender_id")
+        .limit(50)
+        .collect()
+    }
+    n_files = compact.compact_parquet_dir(spark, src, target_bytes=10**9)
+    n_after, _ = compact.parquet_file_stats(src)
+    assert n_after == n_files == 1
+    assert spark.read.parquet(src).count() == rows_before
+    sample_after = {
+        tuple(r)
+        for r in spark.read.parquet(src)
+        .orderBy("tpep_pickup_datetime", "vender_id")
+        .limit(50)
+        .collect()
+    }
+    assert sample_before == sample_after
