@@ -47,14 +47,21 @@ PAYMENT_NAME = {
 }
 
 
-def clean_raw_lines(lines: DataFrame, header_prefix: str = "vendor_name") -> DataFrame:
+# shared cleaning-rule constants (single source of truth for both the
+# reference-parity drop filter and the DLQ classifier)
+HEADER_PREFIX = "vendor_name"  # CsvKafkaPublisher.scala:66
+MIN_LINE_LEN = 10  # CsvKafkaPublisher.scala:66
+MIN_CELLS = 4  # cells.size > 3, NyTaxiYellowTripStreaming.scala:118
+
+
+def clean_raw_lines(lines: DataFrame, header_prefix: str = HEADER_PREFIX) -> DataFrame:
     """P3 + P1 + P2 over a single-column DataFrame of raw CSV lines
     (column name `value`, as produced by text/Kafka sources)."""
     return (
         lines.filter(~F.col("value").startswith(header_prefix))
-        .filter(F.length("value") >= 10)
+        .filter(F.length("value") >= MIN_LINE_LEN)
         .withColumn("cells", F.split("value", ","))
-        .filter(F.size("cells") > 3)
+        .filter(F.size("cells") >= MIN_CELLS)
     )
 
 
@@ -168,14 +175,23 @@ def read_car_readings_stream(spark, path: str) -> DataFrame:
 def split_taxi_rejects(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(typed trips, rejected raw lines with a `reject_reason` column).
     Blank/whitespace lines are noise, not rejects; the header is dropped
-    silently too (it's structural, not data)."""
+    silently too (it's structural, not data).
+
+    Stricter than the reference-parity drop filter (clean_raw_lines,
+    same shared constants): a line that clears the reference's >3-cell
+    rule but cannot fill the 18-column 2009 schema would otherwise
+    become an all-null "clean" trip — here it routes to the DLQ as
+    `too_few_columns_for_schema`."""
+    n_schema_cells = len(TAXI_TRIP_RAW_COLUMNS)
+    n_cells = F.size(F.split("value", ","))
     classified = (
         lines.filter(F.trim("value") != "")
-        .filter(~F.col("value").startswith("vendor_name"))
+        .filter(~F.col("value").startswith(HEADER_PREFIX))
         .withColumn(
             "reject_reason",
-            F.when(F.length("value") < 10, "line_too_short")
-            .when(F.size(F.split("value", ",")) <= 3, "too_few_cells")
+            F.when(F.length("value") < MIN_LINE_LEN, "line_too_short")
+            .when(n_cells < MIN_CELLS, "too_few_cells")
+            .when(n_cells < n_schema_cells, "too_few_columns_for_schema")
             .otherwise(F.lit(None)),
         )
     )

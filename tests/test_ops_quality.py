@@ -9,19 +9,25 @@ from ingestprocessstoreinnrt_spark.streaming import compact
 def test_reject_routing(spark, tmp_path):
     p = generators.write_taxi_csv(str(tmp_path / "t.csv"), rows=200, seed=3)
     # append some rejects
+    truncated = "VTS,2009-01-04 02:52:00,2009-01-04 03:02:00,1,2.63"
     with open(p, "a") as f:
         f.write("x,y\n")                       # short -> line_too_short
         f.write("shortline\n")                 # short, 0 commas
         f.write("long enough line,but only,three cells\n")  # too_few_cells
+        f.write(truncated + "\n")              # 5 cells: passes reference
+        # rule but can't fill the 18-column schema -> DLQ, not all-null
         f.write("\n")                          # blank: noise, not reject
     lines = spark.read.text(p)
     good, rejects = csv_clean.split_taxi_rejects(lines)
     assert good.count() == 200
+    # no all-null "clean" rows sneak through
+    assert good.filter("tpep_dropoff_datetime IS NULL").count() == 0
     rej = {(r.value, r.reject_reason) for r in rejects.collect()}
     assert ("x,y", "line_too_short") in rej
     assert ("shortline", "line_too_short") in rej
     assert ("long enough line,but only,three cells", "too_few_cells") in rej
-    assert len(rej) == 3  # blank + header not counted as rejects
+    assert (truncated, "too_few_columns_for_schema") in rej
+    assert len(rej) == 4  # blank + header not counted as rejects
     # conservation: every non-noise line is either parsed or explained
     data_lines = lines.filter(
         "trim(value) != '' AND value NOT LIKE 'vendor_name%'"
@@ -57,3 +63,40 @@ def test_compaction_preserves_content(spark, tmp_path):
         .collect()
     }
     assert sample_before == sample_after
+
+
+def test_compaction_safety_guards(spark, tmp_path):
+    import os
+    import pytest as _pytest
+
+    # empty / missing dir -> no-op, not a crash
+    assert compact.compact_parquet_dir(spark, str(tmp_path / "nope")) == 0
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert compact.compact_parquet_dir(spark, str(empty)) == 0
+
+    src = str(tmp_path / "t")
+    csv = generators.write_taxi_csv(str(tmp_path / "c.csv"), rows=100, seed=1)
+    trips = csv_clean.read_taxi_trips(spark, csv)
+    trips.repartition(4).write.mode("overwrite").parquet(src)
+
+    # streaming file-sink log -> refused
+    os.makedirs(src + "/_spark_metadata", exist_ok=True)
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        compact.compact_parquet_dir(spark, src)
+    os.rmdir(src + "/_spark_metadata")
+
+    # Hive-partitioned layout -> refused
+    part = str(tmp_path / "p")
+    trips.write.partitionBy("vender_id").mode("overwrite").parquet(part)
+    with _pytest.raises(ValueError, match="partitioned"):
+        compact.compact_parquet_dir(spark, part)
+
+    # crash recovery: simulate a crash between the two swap renames
+    os.rename(src, src + "._compact_old")
+    assert compact.recover_compaction(src)
+    assert spark.read.parquet(src).count() == 100
+    # stale tmp dir from a crashed run does not wedge the next one
+    os.makedirs(src + "._compact_tmp", exist_ok=True)
+    assert compact.compact_parquet_dir(spark, src, target_bytes=10**9) == 1
+    assert spark.read.parquet(src).count() == 100
