@@ -26,6 +26,8 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import quantize
+
 
 def merge_keyed(
     parts: Sequence[DataFrame],
@@ -44,9 +46,9 @@ def merge_keyed(
         unioned = unioned.unionByName(p.select(*merge_columns))
 
     for c in qsum_cols:
-        unioned = unioned.withColumn(
-            c, F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5)).cast("long")
-        )
+        # same primitive that produced the value in dsum(): recovers the
+        # integer numerator exactly (|S| < 2^52)
+        unioned = unioned.withColumn(c, quantize(F.col(c)))
 
     aggs = (
         [F.sum(c).cast("long").alias(c) for c in count_cols]

@@ -6,29 +6,42 @@ row, NyTaxiYellowTripStreaming.scala:223-229).
 
 Design for 100 TB:
   * rows live under hash-bucket partitions (`_bucket=NN/`); an upsert
-    rewrites ONLY the buckets its keys touch (dynamic partition
-    overwrite), so cost scales with the update's key spread, not table
-    size.  Bucket count is the knob — same role as Kudu's hash buckets.
+    rewrites ONLY the buckets its keys touch (per-write dynamic
+    partition overwrite), so cost scales with the update's key spread,
+    not table size.  Bucket count is the knob — same role as Kudu's
+    hash buckets.
   * point lookups filter on the derivable `_bucket` value, so Catalyst
     partition-prunes to one directory.
-  * exactly-once under micro-batch replay: a batch-id ledger makes
-    `apply_batch` idempotent — re-delivered batches are skipped
-    (replaces the reference's swallow-duplicate-key-errors approach,
-    NyTaxiYellowTripStreaming.scala:298-313).
+  * exactly-once under micro-batch replay: `apply_batch` is guarded by
+    a batch-id ledger AND a per-batch undo log — before touching the
+    table it snapshots the affected buckets to `_pending/<batch>/`; a
+    crash anywhere before the applied-marker lands is rolled back from
+    the snapshot on the next call, so a redelivered batch replays
+    against the pre-batch state (no double-merge).  This replaces the
+    reference's swallow-duplicate-key-errors approach
+    (NyTaxiYellowTripStreaming.scala:298-313).
+
+Filesystem scope: the ledger/undo bookkeeping uses driver-local
+filesystem operations — correct for the local/NFS paths of this
+environment.  On an object store (s3a://...) this bookkeeping needs a
+transactional table format underneath (that consistency log is exactly
+what Delta/Iceberg provide); the DataFrame read/write calls themselves
+are already URI-agnostic.
 
 The reference's per-row insert-vs-update flag dance collapses into
-last-write-wins MERGE by key; a `merge_fn` hook supports aggregate
+last-write-wins MERGE by key (deterministic: ties inside one batch are
+broken by a stable row hash); a `merge_fn` hook supports aggregate
 merging (running entities) instead of row replacement.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 
 class UpsertTable:
@@ -44,41 +57,49 @@ class UpsertTable:
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
         self._ledger = os.path.join(path, "_applied_batches")
+        self._pending = os.path.join(path, "_pending")
 
     # -- storage ------------------------------------------------------------
 
-    def _bucket_col(self) -> F.Column:
+    def _data(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _bucket_col(self):
         return F.pmod(
             F.xxhash64(*self.key_cols), F.lit(self.num_buckets)
         ).cast("int")
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "data"))
+        return os.path.exists(self._data())
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "data")).drop(
-            "_bucket"
-        )
+        return self.spark.read.parquet(self._data()).drop("_bucket")
 
-    def read_bucket_pruned(self, keys_df: DataFrame) -> DataFrame:
-        """Read only the bucket partitions containing the given keys."""
-        buckets = [
+    def _affected_buckets(self, keys_df: DataFrame) -> list[int]:
+        return [
             r[0]
             for r in keys_df.select(self._bucket_col().alias("b"))
             .distinct()
             .collect()
         ]
-        df = self.spark.read.parquet(os.path.join(self.path, "data"))
+
+    def read_bucket_pruned(self, keys_df: DataFrame) -> DataFrame:
+        """Read only the bucket partitions containing the given keys."""
+        buckets = self._affected_buckets(keys_df)
+        df = self.spark.read.parquet(self._data())
         return df.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
 
     def init(self, df: DataFrame) -> None:
-        """Create/replace the table from a snapshot (bootstrap, J1)."""
+        """Create/replace the whole table from a snapshot (bootstrap,
+        J1).  Static overwrite on the directory — replaces every bucket
+        regardless of session conf."""
         (
             df.withColumn("_bucket", self._bucket_col())
             .repartition("_bucket")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("_bucket")
-            .parquet(os.path.join(self.path, "data"))
+            .parquet(self._data())
         )
 
     # -- upsert -------------------------------------------------------------
@@ -88,9 +109,12 @@ class UpsertTable:
         new_rows: DataFrame,
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
     ) -> None:
-        """MERGE by key.  Default: last-write-wins row replacement.  With
-        merge_fn(current_subset, new_rows) -> merged: aggregate merging.
-        Only the buckets present in `new_rows` are rewritten."""
+        """MERGE by key.  Default: last-write-wins row replacement
+        (deterministic under in-batch duplicate keys via a stable row
+        hash).  With merge_fn(current_subset, new_rows) -> merged:
+        aggregate merging.  Only the buckets present in `new_rows` are
+        rewritten (per-write dynamic partition overwrite — session conf
+        untouched)."""
         if not self.exists():
             merged = merge_fn(None, new_rows) if merge_fn else new_rows
             self.init(merged)
@@ -101,18 +125,26 @@ class UpsertTable:
         if merge_fn is not None:
             merged = merge_fn(current, new_rows)
         else:
-            # new rows win over current on key collision
-            w = Window.partitionBy(*self.key_cols).orderBy(F.col("_pri").desc())
+            # new rows win over current; ties among new rows broken by a
+            # deterministic hash of the whole row so reruns of the same
+            # input persist the same row
+            non_key = [c for c in new_rows.columns if c not in self.key_cols]
+            tie = F.xxhash64(*new_rows.columns)
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                F.col("_pri").desc(), F.col("_tie").desc()
+            )
             merged = (
                 current.withColumn("_pri", F.lit(0))
-                .unionByName(new_rows.withColumn("_pri", F.lit(1)))
+                .withColumn("_tie", F.lit(0).cast("long"))
+                .unionByName(
+                    new_rows.withColumn("_pri", F.lit(1)).withColumn(
+                        "_tie", tie
+                    )
+                )
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
-                .drop("_pri", "_rn")
+                .drop("_pri", "_tie", "_rn")
             )
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         # materialize before the write: `merged` reads the same parquet
         # partitions the write replaces (read-overwrite hazard otherwise)
         merged = merged.localCheckpoint(eager=True)
@@ -120,20 +152,43 @@ class UpsertTable:
             merged.withColumn("_bucket", self._bucket_col())
             .repartition("_bucket")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket")
-            .parquet(os.path.join(self.path, "data"))
+            .parquet(self._data())
         )
         new_rows.unpersist()
 
-    # -- exactly-once ledger ------------------------------------------------
+    # -- exactly-once ledger + undo log -------------------------------------
 
     def already_applied(self, batch_id: int) -> bool:
         return os.path.exists(os.path.join(self._ledger, str(batch_id)))
 
     def mark_applied(self, batch_id: int) -> None:
         os.makedirs(self._ledger, exist_ok=True)
-        with open(os.path.join(self._ledger, str(batch_id)), "w") as f:
+        tmp = os.path.join(self._ledger, f".{batch_id}.tmp")
+        with open(tmp, "w") as f:
             f.write("")
+        os.rename(tmp, os.path.join(self._ledger, str(batch_id)))
+
+    def _rollback_pending(self) -> None:
+        """Undo any batch that wrote data but never got its applied
+        marker (crash window): restore the snapshotted buckets."""
+        if not os.path.isdir(self._pending):
+            return
+        for batch in os.listdir(self._pending):
+            pdir = os.path.join(self._pending, batch)
+            if self.already_applied(int(batch)):
+                shutil.rmtree(pdir, ignore_errors=True)
+                continue
+            if os.path.exists(os.path.join(pdir, "_fresh_table")):
+                # the crashed batch CREATED the table; undo = drop it
+                shutil.rmtree(self._data(), ignore_errors=True)
+            else:
+                for bucket in os.listdir(pdir):
+                    dst = os.path.join(self._data(), bucket)
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.move(os.path.join(pdir, bucket), dst)
+            shutil.rmtree(pdir, ignore_errors=True)
 
     def apply_batch(
         self,
@@ -142,8 +197,34 @@ class UpsertTable:
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
     ) -> None:
         """Idempotent upsert keyed by micro-batch id — the foreachBatch
-        contract for exactly-once delivery to this table."""
+        contract for exactly-once delivery to this table.  Crash-safe:
+        affected buckets are snapshotted to an undo log before the
+        write; a replay after a crash first rolls back the half-applied
+        attempt, so the merge never double-counts."""
         if self.already_applied(batch_id):
             return
-        self.upsert(new_rows, merge_fn)
-        self.mark_applied(batch_id)
+        self._rollback_pending()
+
+        if self.exists():
+            new_rows = new_rows.cache()
+            pdir = os.path.join(self._pending, str(batch_id))
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.makedirs(pdir, exist_ok=True)
+            for b in self._affected_buckets(new_rows):
+                src = os.path.join(self._data(), f"_bucket={b}")
+                if os.path.isdir(src):
+                    shutil.copytree(src, os.path.join(pdir, f"_bucket={b}"))
+            self.upsert(new_rows, merge_fn)
+            self.mark_applied(batch_id)
+            shutil.rmtree(pdir, ignore_errors=True)
+            new_rows.unpersist()
+        else:
+            # first batch creates the table: undo log records that fact
+            # so a crash before the marker drops the half-created table
+            pdir = os.path.join(self._pending, str(batch_id))
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.makedirs(pdir, exist_ok=True)
+            open(os.path.join(pdir, "_fresh_table"), "w").close()
+            self.upsert(new_rows, merge_fn)
+            self.mark_applied(batch_id)
+            shutil.rmtree(pdir, ignore_errors=True)

@@ -143,6 +143,39 @@ def test_upsert_last_write_wins_and_pruning(spark, workdir):
     assert {r.v for r in t.read().filter("k=5").collect()} == {"X"}
 
 
+def test_apply_batch_crash_rollback(spark, workdir):
+    """Crash between data-write and applied-marker must not double-count
+    on replay: the undo log restores the pre-batch buckets first."""
+    import os
+    import shutil as sh
+
+    t = UpsertTable(spark, workdir + "/t", ["k"], num_buckets=4)
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "n"])  # noqa: E731
+    merge = lambda cur, new: (  # additive merge: double-apply detectable
+        new
+        if cur is None
+        else cur.unionByName(new)
+        .groupBy("k")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    t.apply_batch(0, mk([(1, 10), (2, 20)]), merge)
+
+    # simulate the crash window for batch 1: apply, then remove the
+    # applied marker but leave the written data AND the undo snapshot
+    # (what a crash between upsert() and mark_applied() leaves behind)
+    pdir = os.path.join(t._pending, "1")
+    os.makedirs(pdir, exist_ok=True)
+    for b in t._affected_buckets(mk([(1, 1)])):
+        src = os.path.join(t._data(), f"_bucket={b}")
+        if os.path.isdir(src):
+            sh.copytree(src, os.path.join(pdir, f"_bucket={b}"))
+    t.upsert(mk([(1, 1)]), merge)  # data landed...
+    # ...but no mark_applied(1): crash.  Structured Streaming replays 1:
+    t.apply_batch(1, mk([(1, 1)]), merge)
+    got = {r.k: r.n for r in t.read().collect()}
+    assert got == {1: 11, 2: 20}, got  # 10+1 once, NOT 10+1+1
+
+
 def test_streaming_car_profile_stats(spark, workdir):
     """Car profile via sufficient statistics: streamed stats == batch
     stats bit-for-bit, and the derived profile matches."""
