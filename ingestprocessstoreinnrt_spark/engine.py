@@ -78,10 +78,26 @@ class Engine:
     def update(self, name: str, where: str, assignments: dict[str, str]):
         """UPDATE t SET c = expr WHERE pred
         (update_ny_taxi_yellow_entity.impala:1 analog): read-modify-write
-        of only the affected rows, merged back by key."""
+        of only the affected rows, merged back by key.
+
+        SQL semantics: all RHS expressions see the PRE-update row (one
+        simultaneous select, not sequential withColumn — so
+        {a: 'b', b: 'a'} swaps).  Key columns cannot be assigned: the
+        upsert merges by key, so a key rewrite would leave the old row
+        behind (Kudu disallows PK updates for the same reason).
+        """
         t = self.tables[name]
+        bad = set(assignments) & set(t.key_cols)
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE primary key column(s) {sorted(bad)}; "
+                "delete + insert instead (Kudu semantics)"
+            )
         current = t.read()
-        affected = current.filter(where)
-        for col, expr in assignments.items():
-            affected = affected.withColumn(col, F.expr(expr))
+        affected = current.filter(where).select(
+            *[
+                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                for c in current.columns
+            ]
+        )
         t.upsert(affected)

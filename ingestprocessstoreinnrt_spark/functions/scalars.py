@@ -96,15 +96,26 @@ def clean_numeric(col: Column | str, default: str = "0") -> Column:
     return F.coalesce(F.nullif(F.trim(c), F.lit("")), F.lit(default))
 
 
+def safe_num(col: Column | str, typ: str, default: str = "0") -> Column:
+    """clean_numeric + try_cast: under Spark 4's default ANSI mode a
+    plain cast THROWS on malformed content ('N/A' in a numeric cell),
+    turning one bad record into a permanent streaming poison pill.
+    try_cast yields null instead; the ingest keeps flowing (the
+    reference would have crashed the executor on NumberFormatException).
+    """
+    return clean_numeric(col, default).try_cast(typ)
+
+
 def parse_ts_millis(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
-    """String timestamp -> epoch millis (LongType).
+    """String timestamp -> epoch millis (LongType); malformed values ->
+    null (try_to_timestamp — ANSI mode would otherwise throw mid-job).
 
     Reference parses with SimpleDateFormat("yyyy-MM-dd hh:mm:ss")
     (NyTaxiYellowTrip.scala:55-58); the 12-hour `hh` there is a bug
     (SURVEY 8.3) — intended 24-hour `HH` is implemented.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (F.unix_timestamp(c, fmt) * 1000).cast("long")
+    return F.unix_millis(F.try_to_timestamp(c, F.lit(fmt)))
 
 
 def millis_to_iso8601(col: Column | str) -> Column:

@@ -17,10 +17,10 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import (
     accel_magnitude,
-    clean_numeric,
     composite_id,
     dict_lookup,
     millis_to_iso8601,
+    safe_num,
 )
 
 # Calendar.DAY_OF_WEEK int -> name (p1Streaming.scala:22-28)
@@ -65,7 +65,7 @@ def p1_from_lines(lines: DataFrame) -> DataFrame:
         if typ == "string":
             cols.append(F.trim(c).alias(name))
         else:
-            cols.append(clean_numeric(c).cast(typ).alias(name))
+            cols.append(safe_num(c, typ).alias(name))
     return (
         lines.filter(F.length("value") >= 10)
         .filter(F.size(F.split("value", ",")) >= len(_P1_FIELDS) + 1)
@@ -123,7 +123,7 @@ def trip_summary_from_lines(lines: DataFrame) -> DataFrame:
         if typ == "string":
             cols.append(F.trim(c).alias(name))
         else:
-            cols.append(clean_numeric(c).cast(typ).alias(name))
+            cols.append(safe_num(c, typ).alias(name))
     return (
         lines.filter(F.length("value") >= 10)
         .filter(F.size(F.split("value", ",")) >= len(_TS_FIELDS))

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import clean_numeric, parse_ts_millis
+from ..functions.scalars import clean_numeric, parse_ts_millis, safe_num
 from ..schemas import TAXI_TRIP_RAW_COLUMNS
 
 # string payment spellings observed in the 2009 fixtures -> numeric codes
@@ -66,7 +66,11 @@ def clean_raw_lines(lines: DataFrame, header_prefix: str = HEADER_PREFIX) -> Dat
 
 
 def _cell(i: int) -> Column:
-    return F.col("cells").getItem(i)
+    # F.get, not getItem: under ANSI mode an out-of-bounds index THROWS,
+    # so a 4-17-cell line (legal per the reference's >3-cell rule) would
+    # kill the job at cells[17]; get() yields null, which clean_numeric
+    # then defaults — matching the reference's empty->'0' behavior
+    return F.get(F.col("cells"), i)
 
 
 def taxi_trips_from_lines(lines: DataFrame) -> DataFrame:
@@ -77,7 +81,7 @@ def taxi_trips_from_lines(lines: DataFrame) -> DataFrame:
     c = lambda name: _cell(idx[name])  # noqa: E731
 
     def num(name: str) -> Column:
-        return clean_numeric(c(name)).cast("double")
+        return safe_num(c(name), "double")
 
     payment_raw = F.upper(F.trim(c("Payment_Type")))
     code_map = F.create_map(
@@ -94,7 +98,7 @@ def taxi_trips_from_lines(lines: DataFrame) -> DataFrame:
         F.trim(c("vendor_name")).alias("vender_id"),
         parse_ts_millis(c("Trip_Pickup_DateTime")).alias("tpep_pickup_datetime"),
         parse_ts_millis(c("Trip_Dropoff_DateTime")).alias("tpep_dropoff_datetime"),
-        clean_numeric(c("Passenger_Count")).cast("int").alias("passenger_count"),
+        safe_num(c("Passenger_Count"), "int").alias("passenger_count"),
         num("Trip_Distance").alias("trip_distance"),
         num("Start_Lon").alias("pickup_longitude"),
         num("Start_Lat").alias("pickup_latitude"),
@@ -131,27 +135,28 @@ def read_taxi_trips_stream(spark, path: str) -> DataFrame:
 def car_readings_from_lines(lines: DataFrame) -> DataFrame:
     """Raw telemetry CSV lines -> typed car_reading DataFrame
     (schemas.CAR_READING).  Booleans parsed as equals("true")
-    (ConnectedCarReading.scala:50-55)."""
+    (ConnectedCarReading.scala:50-55); shares the line-cleaning
+    constants with the taxi path."""
     cells = F.split("value", ",")
     c = lambda i: cells.getItem(i)  # noqa: E731
     return (
-        lines.filter(F.length("value") >= 10)
-        .filter(F.size(F.split("value", ",")) >= 14)
+        lines.filter(F.length("value") >= MIN_LINE_LEN)
+        .filter(F.size(cells) >= 14)
         .select(
-            clean_numeric(c(0)).cast("long").alias("time"),
+            safe_num(c(0), "long").alias("time"),
             F.trim(c(1)).alias("vin"),
-            clean_numeric(c(2)).cast("long").alias("miles"),
-            clean_numeric(c(3)).cast("double").alias("x_accel"),
-            clean_numeric(c(4)).cast("double").alias("y_accel"),
-            clean_numeric(c(5)).cast("double").alias("z_accel"),
-            clean_numeric(c(6)).cast("int").alias("speed"),
+            safe_num(c(2), "long").alias("miles"),
+            safe_num(c(3), "double").alias("x_accel"),
+            safe_num(c(4), "double").alias("y_accel"),
+            safe_num(c(5), "double").alias("z_accel"),
+            safe_num(c(6), "int").alias("speed"),
             (c(7) == "true").alias("brakes_on"),
             (c(8) == "true").alias("signal_on"),
             (c(9) == "true").alias("lane_departed"),
             (c(10) == "true").alias("collision_detected"),
             (c(11) == "true").alias("hazard_detected"),
-            clean_numeric(c(12)).cast("double").alias("latitude"),
-            clean_numeric(c(13)).cast("double").alias("longitude"),
+            safe_num(c(12), "double").alias("latitude"),
+            safe_num(c(13), "double").alias("longitude"),
         )
     )
 

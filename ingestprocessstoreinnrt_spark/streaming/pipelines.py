@@ -80,12 +80,21 @@ def upsert_aggregate_stream(
     any number of micro-batches equals the batch aggregate over all rows
     ever seen — the incremental == batch invariant, now end-to-end."""
 
+    # ledger namespace from the checkpoint location: a fresh checkpoint
+    # restarts batch ids at 0, and a bare-id ledger would then silently
+    # skip the replayed ids as "already applied"
+    import hashlib
+
+    ns = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         partial = aggregate_fn(batch_df)
         # merge_fn None -> last-write-wins row upsert (document sinks);
         # otherwise exact aggregate merge with the table's current rows
+        # (merge_keyed handles an empty `current` natively — no extra
+        # isEmpty() job per micro-batch)
         table.apply_batch(
             batch_id,
             partial,
@@ -93,9 +102,10 @@ def upsert_aggregate_stream(
             if merge_fn is None
             else (
                 lambda current, new: new
-                if current is None or current.isEmpty()
+                if current is None
                 else merge_fn(current, new)
             ),
+            namespace=ns,
         )
 
     w = (

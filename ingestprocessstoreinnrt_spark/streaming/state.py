@@ -14,14 +14,23 @@ with new data are invoked (no full state scan per batch), and state
 survives restarts via the checkpoint.
 
 Initial-state bootstrap (J1): applyInPandasWithState has no initial-
-state argument, so seed state rides in-band — `with_seed_union` unions
-a one-off snapshot marked `__seed__`, which the state fn folds in
-without counting it as an insert.  (The reference loads a snapshot and
-then never wires it — SURVEY 8.2; here it participates.)
+state argument, so seed state rides in-band — `cdc_entity_stream`'s
+`seed_entities` stream is unioned into the input and the state fn folds
+it in without counting it as an insert.  (The reference loads a
+snapshot and then never wires it — SURVEY 8.2; here it participates.)
+
+ORDERING CAVEAT: the seed only protects a key if it arrives no later
+than the key's first stream rows.  With availableNow over a pre-staged
+seed directory that holds; with maxFilesPerTrigger or a late-landing
+seed file it does not — a key whose trips beat its seed emits New with
+trips-only totals until the seed lands.  The robust recipe is a
+seed-only priming pass first (run the stream against just the seed
+directory to completion, same checkpoint), then attach the live source.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -62,7 +71,9 @@ def _update(
 
     if state.exists:
         prev_trips, prev_amount, seeded = state.get
-        prev_q = int(prev_amount * 10000.0 + 0.5)
+        # floor, not int(): int() truncates toward zero, which breaks
+        # the quantization round-trip for negative running totals
+        prev_q = math.floor(prev_amount * 10000.0 + 0.5)
         is_new = False
     else:
         prev_trips, prev_q, seeded = 0, 0, False

@@ -159,16 +159,29 @@ class UpsertTable:
         new_rows.unpersist()
 
     # -- exactly-once ledger + undo log -------------------------------------
+    #
+    # Ledger keys are "<namespace>-<batch_id>": Structured Streaming
+    # batch ids restart at 0 for every new checkpoint, so a bare id
+    # would make a reprocessing run (fresh checkpoint, same table)
+    # silently skip batches that collide with history.  Pipelines pass
+    # a namespace derived from the checkpoint location.
 
-    def already_applied(self, batch_id: int) -> bool:
-        return os.path.exists(os.path.join(self._ledger, str(batch_id)))
+    @staticmethod
+    def _ledger_key(batch_id: int, namespace: str) -> str:
+        return f"{namespace}-{batch_id}" if namespace else str(batch_id)
 
-    def mark_applied(self, batch_id: int) -> None:
+    def already_applied(self, batch_id: int, namespace: str = "") -> bool:
+        return os.path.exists(
+            os.path.join(self._ledger, self._ledger_key(batch_id, namespace))
+        )
+
+    def mark_applied(self, batch_id: int, namespace: str = "") -> None:
         os.makedirs(self._ledger, exist_ok=True)
-        tmp = os.path.join(self._ledger, f".{batch_id}.tmp")
+        key = self._ledger_key(batch_id, namespace)
+        tmp = os.path.join(self._ledger, f".{key}.tmp")
         with open(tmp, "w") as f:
             f.write("")
-        os.rename(tmp, os.path.join(self._ledger, str(batch_id)))
+        os.rename(tmp, os.path.join(self._ledger, key))
 
     def _rollback_pending(self) -> None:
         """Undo any batch that wrote data but never got its applied
@@ -177,17 +190,27 @@ class UpsertTable:
             return
         for batch in os.listdir(self._pending):
             pdir = os.path.join(self._pending, batch)
-            if self.already_applied(int(batch)):
+            if os.path.exists(os.path.join(self._ledger, batch)):
                 shutil.rmtree(pdir, ignore_errors=True)
                 continue
             if os.path.exists(os.path.join(pdir, "_fresh_table")):
                 # the crashed batch CREATED the table; undo = drop it
                 shutil.rmtree(self._data(), ignore_errors=True)
             else:
-                for bucket in os.listdir(pdir):
-                    dst = os.path.join(self._data(), bucket)
+                for entry in os.listdir(pdir):
+                    if entry.startswith("_absent_bucket="):
+                        # the crashed write CREATED this bucket; undo =
+                        # remove it (snapshot-restore alone would leave
+                        # its half-applied rows to be double-merged)
+                        b = entry.split("=", 1)[1]
+                        shutil.rmtree(
+                            os.path.join(self._data(), f"_bucket={b}"),
+                            ignore_errors=True,
+                        )
+                        continue
+                    dst = os.path.join(self._data(), entry)
                     shutil.rmtree(dst, ignore_errors=True)
-                    shutil.move(os.path.join(pdir, bucket), dst)
+                    shutil.move(os.path.join(pdir, entry), dst)
             shutil.rmtree(pdir, ignore_errors=True)
 
     def apply_batch(
@@ -195,36 +218,44 @@ class UpsertTable:
         batch_id: int,
         new_rows: DataFrame,
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+        namespace: str = "",
     ) -> None:
-        """Idempotent upsert keyed by micro-batch id — the foreachBatch
-        contract for exactly-once delivery to this table.  Crash-safe:
-        affected buckets are snapshotted to an undo log before the
-        write; a replay after a crash first rolls back the half-applied
-        attempt, so the merge never double-counts."""
-        if self.already_applied(batch_id):
+        """Idempotent upsert keyed by (namespace, micro-batch id) — the
+        foreachBatch contract for exactly-once delivery to this table.
+        Crash-safe: affected buckets are snapshotted to an undo log
+        before the write; a replay after a crash first rolls back the
+        half-applied attempt, so the merge never double-counts."""
+        if self.already_applied(batch_id, namespace):
             return
         self._rollback_pending()
+        key = self._ledger_key(batch_id, namespace)
 
         if self.exists():
             new_rows = new_rows.cache()
-            pdir = os.path.join(self._pending, str(batch_id))
+            pdir = os.path.join(self._pending, key)
             shutil.rmtree(pdir, ignore_errors=True)
             os.makedirs(pdir, exist_ok=True)
             for b in self._affected_buckets(new_rows):
                 src = os.path.join(self._data(), f"_bucket={b}")
                 if os.path.isdir(src):
                     shutil.copytree(src, os.path.join(pdir, f"_bucket={b}"))
+                else:
+                    # record that this bucket did NOT exist so rollback
+                    # can delete it if the write creates it then crashes
+                    open(
+                        os.path.join(pdir, f"_absent_bucket={b}"), "w"
+                    ).close()
             self.upsert(new_rows, merge_fn)
-            self.mark_applied(batch_id)
+            self.mark_applied(batch_id, namespace)
             shutil.rmtree(pdir, ignore_errors=True)
             new_rows.unpersist()
         else:
             # first batch creates the table: undo log records that fact
             # so a crash before the marker drops the half-created table
-            pdir = os.path.join(self._pending, str(batch_id))
+            pdir = os.path.join(self._pending, key)
             shutil.rmtree(pdir, ignore_errors=True)
             os.makedirs(pdir, exist_ok=True)
             open(os.path.join(pdir, "_fresh_table"), "w").close()
             self.upsert(new_rows, merge_fn)
-            self.mark_applied(batch_id)
+            self.mark_applied(batch_id, namespace)
             shutil.rmtree(pdir, ignore_errors=True)
