@@ -26,18 +26,29 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, norm2
 
 TOP_K = 10
 N_QUERIES = 8  # vec_id < 8 are the demo query vectors
 
+# Norms are precomputed once per vector before any pair join: the value
+# is bitwise identical to computing norm2 inside the pair expression
+# (same sequential accumulation over the same array), but the O(pairs)
+# redundant array passes collapse to O(vectors).
+
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm2(F.col("embedding"))
     )
-    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
@@ -113,15 +124,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate fraction ~9/256 of the corpus; exact cosine re-rank
     inside.  At 100 TB the bucket column is precomputed and the table
     partitioned by it, so a query touches 9 partitions."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _signature(F.col("embedding"))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", _signature(F.col("embedding")))
+        .withColumn("nrm", norm2(F.col("embedding")))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
-    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
