@@ -56,6 +56,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism — but only
+    when the source provides fewer partitions.
+
+    Small single-file tables (documents.parquet is one ~600 KB file,
+    often one parquet row group) scan as ONE partition, so a CPU-bound
+    per-row stage (per-token md5, regex batteries, pair joins) runs on
+    one core while the other 31 idle.  The repartition shuffle is the
+    size of the (small) input — trivial next to the compute it unlocks.
+
+    At 100 TB the scan already yields thousands of partitions, the
+    condition is false, and this is a no-op — no accidental full-data
+    shuffle on the scale path.  Use it only in front of compute-heavy
+    stages; plain aggregations are better served by map-side partial
+    aggregation on the scan partitioning.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql()."""
     for name in TABLES:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.vectors import dot, norm2
 
 TOP_K = 10
@@ -38,7 +38,7 @@ N_QUERIES = 8  # vec_id < 8 are the demo query vectors
 
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
         "nrm", norm2(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -125,7 +125,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside.  At 100 TB the bucket column is precomputed and the table
     partitioned by it, so a query touches 9 partitions."""
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        fan_out(load_table(spark, sf_dir, "embeddings"))
         .withColumn("bucket", _signature(F.col("embedding")))
         .withColumn("nrm", norm2(F.col("embedding")))
     )

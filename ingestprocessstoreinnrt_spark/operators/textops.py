@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.scalars import SQL_STABLE_HASH64
 from ..functions.text import (
     LANG_MARKERS,
@@ -30,7 +30,7 @@ from ..functions.text import (
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     qs = quality_stats(F.col("text"))
     return docs.select(
         "doc_id",
@@ -82,7 +82,7 @@ FROM m
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     scores = lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
@@ -127,7 +127,7 @@ FROM s
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         fingerprint("text").alias("fp"),
