@@ -66,14 +66,26 @@ def fan_out(df: DataFrame) -> DataFrame:
     one core while the other 31 idle.  The repartition shuffle is the
     size of the (small) input — trivial next to the compute it unlocks.
 
-    At 100 TB the scan already yields thousands of partitions, the
-    condition is false, and this is a no-op — no accidental full-data
-    shuffle on the scale path.  Use it only in front of compute-heavy
-    stages; plain aggregations are better served by map-side partial
-    aggregation on the scan partitioning.
+    At 100 TB the scan already yields thousands of files, the condition
+    is false, and this is a no-op — no accidental full-data shuffle on
+    the scale path.  Use it only in front of compute-heavy stages; plain
+    aggregations are better served by map-side partial aggregation on
+    the scan partitioning.
+
+    Parallelism is probed with inputFiles() (file-index metadata, ~ms)
+    rather than rdd.getNumPartitions(), whose DataFrame->RDD plan
+    conversion costs 0.1-1 s per call in PySpark.  File count
+    undercounts partitions when single files span many row groups; the
+    call sites are compute-bound by contract, so an occasionally
+    redundant shuffle of their (small) input is the cheap side of the
+    trade.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        est = len(df.inputFiles())
+    except Exception:  # non-file source (e.g. in-memory test frame)
+        return df
+    if est and est < target:
         return df.repartition(target)
     return df
 
