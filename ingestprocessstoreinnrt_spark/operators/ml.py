@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.scalars import quantize
 
 FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -176,6 +176,10 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # no fan_out: the corpus is small enough that 20 Lloyd iterations x
+    # 32 tasks of scheduling overhead cost more than single-partition
+    # compute (measured 2.2s vs 3.7s at sf0.1); at real scale the scan
+    # arrives pre-partitioned
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
@@ -194,7 +198,9 @@ def decision_tree_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.feature import VectorAssembler
 
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    # fan_out: lineitem scans as ~3 partitions at bench SF; each tree
+    # level is a full pass, so train on cluster-wide parallelism
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).withColumn(
         "label", (F.col("l_returnflag") == "R").cast("double")
     )
     va = VectorAssembler(inputCols=FEATURES, outputCol="features")
