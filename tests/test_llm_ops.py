@@ -15,6 +15,7 @@ from tests.test_bi import _compare
     [
         "dedup_exact",
         "dedup_jaccard_pairs",
+        "dedup_jaccard_full",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_neardup",
