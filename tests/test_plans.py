@@ -37,3 +37,17 @@ def test_topk_plans_as_take_ordered(spark):
 def test_entity_rollup_prunes_unused_columns(spark):
     df = entity.customer_entity(spark, SF_ORACLE)
     assert not E.scan_reads_column(df, "o_orderdate")
+
+
+def test_jaccard_full_avoids_nested_loop_join(spark):
+    """The PPJoin path must candidate-generate via an equi-join on
+    prefix hashes — a BroadcastNestedLoopJoin/CartesianProduct here
+    means the O(n^2) theta-join came back and the operator no longer
+    scales past the sample gate."""
+    from ingestprocessstoreinnrt_spark.operators import dedup
+
+    plan = E.formatted_plan(dedup.jaccard_pairs_full(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # (the empty-doc scan pushdown can't be asserted here: the cached
+    # token frame hides the file scan behind InMemoryTableScan)
