@@ -94,6 +94,14 @@ class Engine:
                 "delete + insert instead (Kudu semantics)"
             )
         current = t.read()
+        unknown = set(assignments) - set(current.columns)
+        if unknown:
+            # SQL UPDATE errors on unknown columns; silently dropping a
+            # misspelled assignment while still rewriting rows would be
+            # a no-op that looks like success
+            raise ValueError(
+                f"unknown column(s) in UPDATE assignments: {sorted(unknown)}"
+            )
         affected = current.filter(where).select(
             *[
                 F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)

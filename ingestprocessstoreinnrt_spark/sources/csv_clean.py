@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import clean_numeric, parse_ts_millis, safe_num
+from ..functions.scalars import parse_ts_millis, safe_num
 from ..schemas import TAXI_TRIP_RAW_COLUMNS
 
 # string payment spellings observed in the 2009 fixtures -> numeric codes
@@ -68,7 +68,7 @@ def clean_raw_lines(lines: DataFrame, header_prefix: str = HEADER_PREFIX) -> Dat
 def _cell(i: int) -> Column:
     # F.get, not getItem: under ANSI mode an out-of-bounds index THROWS,
     # so a 4-17-cell line (legal per the reference's >3-cell rule) would
-    # kill the job at cells[17]; get() yields null, which clean_numeric
+    # kill the job at cells[17]; get() yields null, which safe_num
     # then defaults — matching the reference's empty->'0' behavior
     return F.get(F.col("cells"), i)
 

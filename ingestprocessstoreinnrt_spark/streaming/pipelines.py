@@ -82,10 +82,15 @@ def upsert_aggregate_stream(
 
     # ledger namespace from the checkpoint location: a fresh checkpoint
     # restarts batch ids at 0, and a bare-id ledger would then silently
-    # skip the replayed ids as "already applied"
+    # skip the replayed ids as "already applied".  Hash the NORMALIZED
+    # absolute path — 'ckpt/', './ckpt' and '/abs/ckpt' are the same
+    # checkpoint, and a restart that spells it differently must land in
+    # the same namespace or replayed batches double-merge.
     import hashlib
+    import os as _os
 
-    ns = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+    canon = _os.path.abspath(_os.path.normpath(checkpoint))
+    ns = hashlib.md5(canon.encode()).hexdigest()[:8]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
