@@ -30,6 +30,22 @@ from pyspark.sql.streaming import StreamingQuery
 from .upsert import UpsertTable
 
 
+def checkpoint_namespace(checkpoint: str) -> str:
+    """Exactly-once ledger namespace for a checkpoint location.
+
+    A fresh checkpoint restarts batch ids at 0, so ledger keys carry a
+    per-checkpoint namespace.  Derived from the NORMALIZED ABSOLUTE
+    path: 'ckpt/', './ckpt' and '/abs/ckpt' are the same checkpoint,
+    and a restart that spells it differently must land in the same
+    namespace or replayed batch ids double-merge.
+    """
+    import hashlib
+    import os
+
+    canon = os.path.abspath(os.path.normpath(checkpoint))
+    return hashlib.md5(canon.encode()).hexdigest()[:8]
+
+
 def kafka_lines_stream(
     spark: SparkSession, brokers: str, topics: str
 ) -> DataFrame:
@@ -80,17 +96,7 @@ def upsert_aggregate_stream(
     any number of micro-batches equals the batch aggregate over all rows
     ever seen — the incremental == batch invariant, now end-to-end."""
 
-    # ledger namespace from the checkpoint location: a fresh checkpoint
-    # restarts batch ids at 0, and a bare-id ledger would then silently
-    # skip the replayed ids as "already applied".  Hash the NORMALIZED
-    # absolute path — 'ckpt/', './ckpt' and '/abs/ckpt' are the same
-    # checkpoint, and a restart that spells it differently must land in
-    # the same namespace or replayed batches double-merge.
-    import hashlib
-    import os as _os
-
-    canon = _os.path.abspath(_os.path.normpath(checkpoint))
-    ns = hashlib.md5(canon.encode()).hexdigest()[:8]
+    ns = checkpoint_namespace(checkpoint)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

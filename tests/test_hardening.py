@@ -93,3 +93,27 @@ def test_update_rejects_primary_key_assignment(engine):
     engine.insert_values("u", [(1, 10)], ["k", "a"])
     with pytest.raises(ValueError, match="primary key"):
         engine.update("u", "a = 10", {"k": "k + 100"})
+
+
+def test_update_rejects_unknown_column(engine):
+    engine.create_table("v", ["k"], num_buckets=4)
+    engine.insert_values("v", [(1, 10)], ["k", "a"])
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.update("v", "k = 1", {"totl": "0"})  # typo must not no-op
+
+
+def test_ledger_namespace_is_path_canonical(tmp_path, monkeypatch):
+    """Different spellings of the same checkpoint dir must share a
+    ledger namespace, or a restart double-merges replayed batch ids."""
+    from ingestprocessstoreinnrt_spark.streaming.pipelines import (
+        checkpoint_namespace,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    absolute = str(tmp_path / "ckpt")
+    assert (
+        checkpoint_namespace("ckpt/")
+        == checkpoint_namespace("./ckpt")
+        == checkpoint_namespace(absolute)
+    )
+    assert checkpoint_namespace("ckpt") != checkpoint_namespace("other")
