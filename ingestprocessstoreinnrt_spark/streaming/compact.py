@@ -6,11 +6,16 @@ scan overhead at 100 TB.  `compact_parquet_dir` rewrites a directory to
 ~target-sized files (content-preserving, verified by count), the
 OPTIMIZE step a table maintenance job runs off the hot path.
 
-Safety contract (enforced, not assumed):
-  * the table must be QUIESCED — no writer between stat and swap; the
-    source directory is re-stat'ed after the rewrite and the run aborts
-    if anything changed (a live stream would otherwise lose its newest
-    batch in the swap).
+Safety contract:
+  * the table must be QUIESCED — no writer between stat and swap.  This
+    is the CALLER's responsibility; the run narrows (but cannot close)
+    the window by re-stat'ing the directory after the rewrite and
+    aborting if anything changed.  A writer landing between that final
+    stat and the swap rename still loses its files — stop the stream
+    first.  An exclusive `._compact_lock` file serializes concurrent
+    compactions of the same table and gives cooperating writers a
+    marker to check; a stale lock after a hard crash in the swap window
+    must be removed manually (after `recover_compaction`).
   * directories with a `_spark_metadata` file-sink log are refused:
     their readers resolve files through the log, which a rewrite cannot
     preserve.  Compaction targets foreachBatch/batch-written tables
@@ -51,6 +56,10 @@ def _tmp(path: str) -> str:
 
 def _old(path: str) -> str:
     return path.rstrip("/") + "._compact_old"
+
+
+def _lock(path: str) -> str:
+    return path.rstrip("/") + "._compact_lock"
 
 
 def recover_compaction(path: str) -> bool:
@@ -105,20 +114,37 @@ def compact_parquet_dir(
         raise RuntimeError(
             f"compaction row-count mismatch: {before} -> {after}"
         )
-    # quiescence check: if a writer landed anything since the first
-    # stat, abort rather than delete its data in the swap
-    if parquet_file_stats(path) != (n_before, total):
+    # exclusive lock over the stat-through-swap window: serializes
+    # concurrent compactions and marks the table for cooperating
+    # writers.  It cannot stop an arbitrary external writer — the
+    # quiescence contract remains the caller's (see module docstring).
+    try:
+        lock_fd = os.open(_lock(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
         shutil.rmtree(_tmp(path), ignore_errors=True)
         raise RuntimeError(
-            f"{path} changed during compaction (live writer?); aborted "
-            "without modifying the table. Quiesce the stream first."
+            f"{_lock(path)} exists: another compaction holds the lock "
+            "(or crashed in the swap window — run recover_compaction "
+            "and remove the lock file)."
         )
-
-    os.rename(path, _old(path))
     try:
-        os.rename(_tmp(path), path)
-    except OSError:
-        os.rename(_old(path), path)  # roll back, table never missing
-        raise
-    shutil.rmtree(_old(path), ignore_errors=True)
+        # quiescence check: if a writer landed anything since the first
+        # stat, abort rather than delete its data in the swap
+        if parquet_file_stats(path) != (n_before, total):
+            shutil.rmtree(_tmp(path), ignore_errors=True)
+            raise RuntimeError(
+                f"{path} changed during compaction (live writer?); aborted "
+                "without modifying the table. Quiesce the stream first."
+            )
+
+        os.rename(path, _old(path))
+        try:
+            os.rename(_tmp(path), path)
+        except OSError:
+            os.rename(_old(path), path)  # roll back, table never missing
+            raise
+        shutil.rmtree(_old(path), ignore_errors=True)
+    finally:
+        os.close(lock_fd)
+        os.unlink(_lock(path))
     return n_files

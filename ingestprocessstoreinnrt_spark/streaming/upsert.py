@@ -116,38 +116,89 @@ class UpsertTable:
         rewritten (per-write dynamic partition overwrite — session conf
         untouched)."""
         if not self.exists():
-            merged = merge_fn(None, new_rows) if merge_fn else new_rows
+            if merge_fn is not None:
+                merged = merge_fn(None, new_rows)
+            else:
+                # same deterministic-dedup contract as the merge path:
+                # in-batch duplicate keys must not persist multiple rows
+                merged = self._lww_dedup_new(new_rows)
             self.init(merged)
             return
 
         new_rows = new_rows.cache()
-        current = self.read_bucket_pruned(new_rows)
-        if merge_fn is not None:
-            merged = merge_fn(current, new_rows)
-        else:
-            # new rows win over current; ties among new rows broken by a
-            # deterministic hash of the whole row so reruns of the same
-            # input persist the same row
-            non_key = [c for c in new_rows.columns if c not in self.key_cols]
-            tie = F.xxhash64(*new_rows.columns)
-            w = Window.partitionBy(*self.key_cols).orderBy(
-                F.col("_pri").desc(), F.col("_tie").desc()
-            )
-            merged = (
-                current.withColumn("_pri", F.lit(0))
-                .withColumn("_tie", F.lit(0).cast("long"))
-                .unionByName(
-                    new_rows.withColumn("_pri", F.lit(1)).withColumn(
-                        "_tie", tie
-                    )
-                )
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_pri", "_tie", "_rn")
-            )
+        merged = self._merge_existing(new_rows, merge_fn)
         # materialize before the write: `merged` reads the same parquet
         # partitions the write replaces (read-overwrite hazard otherwise)
         merged = merged.localCheckpoint(eager=True)
+        self._check_merge_buckets(merged, new_rows, merge_fn)
+        self._write_dynamic(merged)
+        new_rows.unpersist()
+
+    def _lww_dedup_new(self, new_rows: DataFrame) -> DataFrame:
+        """One row per key among new rows only (no current table): ties
+        broken by the same stable whole-row hash as the merge path."""
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("_tie").desc())
+        return (
+            new_rows.withColumn("_tie", F.xxhash64(*new_rows.columns))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_tie", "_rn")
+        )
+
+    def _merge_existing(
+        self,
+        new_rows: DataFrame,
+        merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None,
+    ) -> DataFrame:
+        current = self.read_bucket_pruned(new_rows)
+        if merge_fn is not None:
+            return merge_fn(current, new_rows)
+        # new rows win over current; ties among new rows broken by a
+        # deterministic hash of the whole row so reruns of the same
+        # input persist the same row
+        tie = F.xxhash64(*new_rows.columns)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col("_pri").desc(), F.col("_tie").desc()
+        )
+        return (
+            current.withColumn("_pri", F.lit(0))
+            .withColumn("_tie", F.lit(0).cast("long"))
+            .unionByName(
+                new_rows.withColumn("_pri", F.lit(1)).withColumn("_tie", tie)
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_pri", "_tie", "_rn")
+        )
+
+    def _check_merge_buckets(
+        self,
+        merged: DataFrame,
+        new_rows: DataFrame,
+        merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None,
+    ) -> None:
+        """A merge_fn emitting keys that hash outside the batch's
+        buckets would have its rows land via dynamic overwrite into
+        buckets that were never read — silently dropping the unread
+        rows already there.  Fail fast instead (metadata-scale check:
+        <= num_buckets distinct values per side)."""
+        if merge_fn is None:
+            return  # LWW keeps exactly the batch's keys
+        extra = set(self._affected_buckets(merged)) - set(
+            self._affected_buckets(new_rows)
+        )
+        if extra:
+            raise ValueError(
+                "merge_fn emitted keys hashing to buckets "
+                f"{sorted(extra)} outside the batch's buckets; those "
+                "buckets were not read, so writing would drop their "
+                "existing rows. merge_fn must only return keys drawn "
+                "from the batch or the current subset it was given."
+            )
+
+    def _write_dynamic(self, merged: DataFrame) -> None:
+        """Rewrite only the buckets present in `merged` (per-write
+        dynamic partition overwrite — session conf untouched)."""
         (
             merged.withColumn("_bucket", self._bucket_col())
             .repartition("_bucket")
@@ -156,7 +207,6 @@ class UpsertTable:
             .partitionBy("_bucket")
             .parquet(self._data())
         )
-        new_rows.unpersist()
 
     # -- exactly-once ledger + undo log -------------------------------------
     #
@@ -185,7 +235,14 @@ class UpsertTable:
 
     def _rollback_pending(self) -> None:
         """Undo any batch that wrote data but never got its applied
-        marker (crash window): restore the snapshotted buckets."""
+        marker (crash window): restore the snapshotted buckets.
+
+        A snapshot is only trusted if it carries the
+        `_snapshot_complete` sentinel, written after the copy loop and
+        before the table write begins.  A pending dir without it means
+        the crash hit mid-snapshot — the live table was never touched,
+        and restoring the partial copy would LOSE rows — so it is
+        simply discarded."""
         if not os.path.isdir(self._pending):
             return
         for batch in os.listdir(self._pending):
@@ -196,8 +253,14 @@ class UpsertTable:
             if os.path.exists(os.path.join(pdir, "_fresh_table")):
                 # the crashed batch CREATED the table; undo = drop it
                 shutil.rmtree(self._data(), ignore_errors=True)
+            elif not os.path.exists(
+                os.path.join(pdir, "_snapshot_complete")
+            ):
+                pass  # partial snapshot, table untouched: discard only
             else:
                 for entry in os.listdir(pdir):
+                    if entry == "_snapshot_complete":
+                        continue
                     if entry.startswith("_absent_bucket="):
                         # the crashed write CREATED this bucket; undo =
                         # remove it (snapshot-restore alone would leave
@@ -232,10 +295,18 @@ class UpsertTable:
 
         if self.exists():
             new_rows = new_rows.cache()
+            # compute the merged output FIRST: the undo log must cover
+            # every bucket the write touches, and a merge_fn may emit
+            # keys hashing to buckets beyond the batch's own (checked
+            # and refused below, but the snapshot is derived from the
+            # merged output so the two can never disagree)
+            merged = self._merge_existing(new_rows, merge_fn)
+            merged = merged.localCheckpoint(eager=True)
+            self._check_merge_buckets(merged, new_rows, merge_fn)
             pdir = os.path.join(self._pending, key)
             shutil.rmtree(pdir, ignore_errors=True)
             os.makedirs(pdir, exist_ok=True)
-            for b in self._affected_buckets(new_rows):
+            for b in self._affected_buckets(merged):
                 src = os.path.join(self._data(), f"_bucket={b}")
                 if os.path.isdir(src):
                     shutil.copytree(src, os.path.join(pdir, f"_bucket={b}"))
@@ -245,7 +316,10 @@ class UpsertTable:
                     open(
                         os.path.join(pdir, f"_absent_bucket={b}"), "w"
                     ).close()
-            self.upsert(new_rows, merge_fn)
+            # sentinel: the snapshot is complete and the table write is
+            # about to start — only now may rollback restore from it
+            open(os.path.join(pdir, "_snapshot_complete"), "w").close()
+            self._write_dynamic(merged)
             self.mark_applied(batch_id, namespace)
             shutil.rmtree(pdir, ignore_errors=True)
             new_rows.unpersist()

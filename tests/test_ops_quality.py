@@ -100,3 +100,27 @@ def test_compaction_safety_guards(spark, tmp_path):
     os.makedirs(src + "._compact_tmp", exist_ok=True)
     assert compact.compact_parquet_dir(spark, src, target_bytes=10**9) == 1
     assert spark.read.parquet(src).count() == 100
+
+
+def test_compaction_lock_refuses_concurrent_run(spark, tmp_path):
+    """An existing ._compact_lock (concurrent or crashed run) must make
+    the compaction refuse rather than race the swap."""
+    import os
+
+    import pytest as _pytest
+
+    src = str(tmp_path / "t")
+    csv = generators.write_taxi_csv(str(tmp_path / "c.csv"), rows=100, seed=2)
+    trips = csv_clean.read_taxi_trips(spark, csv)
+    trips.repartition(4).write.mode("overwrite").parquet(src)
+
+    lock = src + "._compact_lock"
+    open(lock, "w").close()
+    with _pytest.raises(RuntimeError, match="lock"):
+        compact.compact_parquet_dir(spark, src, target_bytes=10**9)
+    # table untouched
+    assert spark.read.parquet(src).count() == trips.count()
+    os.unlink(lock)
+    # lock released after a successful run
+    assert compact.compact_parquet_dir(spark, src, target_bytes=10**9) == 1
+    assert not os.path.exists(lock)

@@ -169,6 +169,7 @@ def test_apply_batch_crash_rollback(spark, workdir):
         src = os.path.join(t._data(), f"_bucket={b}")
         if os.path.isdir(src):
             sh.copytree(src, os.path.join(pdir, f"_bucket={b}"))
+    open(os.path.join(pdir, "_snapshot_complete"), "w").close()
     t.upsert(mk([(1, 1)]), merge)  # data landed...
     # ...but no mark_applied(1): crash.  Structured Streaming replays 1:
     t.apply_batch(1, mk([(1, 1)]), merge)
@@ -221,3 +222,66 @@ def test_streaming_orders_entity(spark, workdir):
     assert _rows(table.read(), "o_custkey") == _rows(
         entity.entity_from_orders(static), "o_custkey"
     )
+
+
+def test_partial_snapshot_discarded_not_restored(spark, workdir):
+    """Crash DURING the undo-log snapshot (no _snapshot_complete
+    sentinel) means the table was never written: rollback must discard
+    the partial copy, not restore it over the intact live bucket."""
+    t = UpsertTable(spark, workdir + "/t", ["k"], num_buckets=4)
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])  # noqa: E731
+    t.apply_batch(0, mk([(i, f"v{i}") for i in range(20)]))
+    before = {r.k: r.v for r in t.read().collect()}
+
+    # simulate: batch 1 crashed mid-copytree — a snapshot dir exists
+    # with SOME bucket data but no sentinel
+    pdir = os.path.join(t._pending, "1")
+    os.makedirs(pdir, exist_ok=True)
+    b = t._affected_buckets(mk([(1, "x")]))[0]
+    src = os.path.join(t._data(), f"_bucket={b}")
+    shutil.copytree(src, os.path.join(pdir, f"_bucket={b}"))
+    # corrupt the copy to prove restore would lose rows if it happened
+    for f in os.listdir(os.path.join(pdir, f"_bucket={b}")):
+        os.unlink(os.path.join(pdir, f"_bucket={b}", f))
+
+    t.apply_batch(1, mk([(1, "NEW")]))
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {**before, 1: "NEW"}
+    assert not os.path.isdir(pdir)
+
+
+def test_first_batch_in_batch_duplicate_keys_deduped(spark, workdir):
+    """Table-creation path must honor the same deterministic LWW dedup
+    as the merge path: one row per key even on the very first batch."""
+    t = UpsertTable(spark, workdir + "/t", ["k"], num_buckets=4)
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (1, "c")], ["k", "v"]
+    )
+    t.upsert(dup)
+    rows = t.read().collect()
+    assert len(rows) == 2
+    winner = {r.k: r.v for r in rows}
+    # rerun on a fresh table -> same winner (deterministic tie-break)
+    t2 = UpsertTable(spark, workdir + "/t2", ["k"], num_buckets=4)
+    t2.upsert(dup)
+    assert {r.k: r.v for r in t2.read().collect()} == winner
+
+
+def test_merge_fn_out_of_batch_keys_refused(spark, workdir):
+    """A merge_fn that invents keys hashing outside the batch's buckets
+    would dynamic-overwrite buckets that were never read (losing their
+    rows) — apply_batch/upsert must refuse instead."""
+    t = UpsertTable(spark, workdir + "/t", ["k"], num_buckets=16)
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "n"])  # noqa: E731
+    t.init(mk([(i, i) for i in range(64)]))
+
+    def bad_merge(cur, new):
+        # emits every key 0..63 regardless of the batch
+        return mk([(i, -1) for i in range(64)])
+
+    before = sorted((r.k, r.n) for r in t.read().collect())
+    with pytest.raises(ValueError, match="outside the batch's buckets"):
+        t.apply_batch(7, mk([(3, 100)]), bad_merge)
+    # table untouched and batch NOT marked applied
+    assert sorted((r.k, r.n) for r in t.read().collect()) == before
+    assert not t.already_applied(7)
