@@ -21,7 +21,7 @@ would not be.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
@@ -166,6 +166,459 @@ FROM lineitem"""
     return "\nUNION ALL\n".join(parts)
 
 
+# --- exact quantized Lloyd's k-means (oracle-verified) ---------------------
+#
+# The reference's KMeans.train (MlLibNyTaxiExamples.scala:69-72) is
+# iterative and accumulation-order-dependent, so MLlib output can never
+# hash-match a SQL oracle.  This twin runs the SAME algorithm shape —
+# Lloyd's iterations, each one scan + a partial aggregate per cluster —
+# over quantized-integer vectors, making every step exact integer (or
+# single-rounding IEEE) arithmetic that DuckDB reproduces bit-for-bit:
+#   * components quantized floor(x*1e4 + 0.5) -> BIGINT
+#   * distances: integer sums of squared diffs (max ~7e9, no overflow)
+#   * assignment tie-break: smallest cluster id
+#   * centroid update: floor(sum/n + 0.5) — sum,n exact ints < 2^53, so
+#     the one double division rounds identically in both engines
+# Scale shape: each iteration is scan -> map-side partial agg -> k rows
+# to the driver (metadata-scale collect), exactly how distributed
+# k-means is built on 1000 executors; cluster count never touches the
+# shuffle width.
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 4
+EMB_DIM = 64
+_QS = 10000.0
+
+
+def _qvec():
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_QS) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def kmeans_lloyd(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """A9 — deterministic Lloyd's over the embeddings table; returns
+    (cluster_id, cluster_size, centroid_l1) per non-empty cluster."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _qvec().alias("qv")).cache()
+    cents = [
+        (i, [int(v) for v in r.qv])
+        for i, r in enumerate(q.orderBy("vec_id").limit(k).collect())
+    ]
+
+    # centroids travel as ONE broadcast row holding an array of
+    # (cid, vector), not as literals: the iteration plan keeps the same
+    # generated code every pass (codegen cache hit; literal-embedded
+    # centroids recompiled ~1.5 s/pass measured at sf0.1), and the
+    # argmin is a pure per-row fold — no per-vector shuffle, the only
+    # shuffle per iteration is the k-row cluster aggregate
+    def assign(cdf: DataFrame) -> DataFrame:
+        def dist(c):
+            return F.aggregate(
+                F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        init = F.struct(
+            F.lit(int(4e18)).cast("long").alias("d"),
+            F.lit(-1).cast("int").alias("cid"),
+        )
+        best = F.aggregate(
+            F.col("cents"),
+            init,
+            # least() on (d, cid) structs == ORDER BY dist, cid
+            lambda acc, c: F.least(
+                acc, F.struct(dist(c).alias("d"), c["cid"].alias("cid"))
+            ),
+        )
+        return q.join(F.broadcast(cdf)).withColumn("cid", best["cid"])
+
+    def cdf_of(c) -> DataFrame:
+        return spark.createDataFrame(
+            [([(i, cv) for i, cv in c],)],
+            "cents array<struct<cid:int, cv:array<bigint>>>",
+        )
+
+    dim_sums = [
+        F.sum(F.element_at("qv", j + 1)).alias(f"s{j}") for j in range(EMB_DIM)
+    ]
+    for _ in range(iters - 1):
+        got = {
+            r["cid"]: r
+            for r in assign(cdf_of(cents))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), *dim_sums)
+            .collect()
+        }
+        cents = [
+            (
+                i,
+                [
+                    int(math.floor(got[i][f"s{j}"] / got[i]["n"] + 0.5))
+                    for j in range(EMB_DIM)
+                ],
+            )
+            if i in got
+            else cents[i]  # empty cluster keeps its centroid
+            for i in range(k)
+        ]
+
+    g = (
+        assign(cdf_of(cents))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), *dim_sums)
+    )
+    l1 = None
+    for j in range(EMB_DIM):
+        term = F.abs(
+            F.floor(
+                F.col(f"s{j}").cast("double") / F.col("cluster_size")
+                + F.lit(0.5)
+            )
+        )
+        l1 = term if l1 is None else l1 + term
+    out = g.select(
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.col("cluster_size"),
+        l1.cast("long").alias("centroid_l1"),
+    )
+    q.unpersist()  # plan already resolved; output agg re-reads parquet
+    return out
+
+
+def _kmeans_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
+    d = EMB_DIM
+    qs = ", ".join(
+        f"CAST(FLOOR(embedding[{j + 1}]::DOUBLE * 10000.0 + 0.5) AS BIGINT)"
+        f" AS q{j}"
+        for j in range(d)
+    )
+    qnames = ", ".join(f"q{j}" for j in range(d))
+    ccols = ", ".join(f"q{j} AS c{j}" for j in range(d))
+    dist = " + ".join(
+        f"(q.q{j} - c.c{j}) * (q.q{j} - c.c{j})" for j in range(d)
+    )
+    upd = ", ".join(
+        f"CAST(FLOOR(SUM(q{j})::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS c{j}"
+        for j in range(d)
+    )
+    coal = ", ".join(f"COALESCE(u.c{j}, p.c{j}) AS c{j}" for j in range(d))
+
+    def assign_cte(name: str, cent: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, {qnames}, cid FROM ("
+            f"SELECT q.*, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM q, {cent} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"WITH q AS (SELECT vec_id, {qs} FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"{ccols} FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters):
+        ctes.append(assign_cte(f"a{t}", f"c{t - 1}"))
+        ctes.append(f"u{t} AS (SELECT cid, {upd} FROM a{t} GROUP BY cid)")
+        ctes.append(
+            f"c{t} AS (SELECT p.cid, {coal} FROM c{t - 1} p "
+            f"LEFT JOIN u{t} u USING (cid))"
+        )
+    ctes.append(assign_cte("af", f"c{iters - 1}"))
+    l1 = " + ".join(
+        f"abs(CAST(FLOOR(SUM(q{j})::DOUBLE / COUNT(*) + 0.5) AS BIGINT))"
+        for j in range(d)
+    )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT CAST(cid AS INTEGER) AS cluster_id, "
+        f"COUNT(*) AS cluster_size, {l1} AS centroid_l1 FROM af GROUP BY cid"
+    )
+
+
+# --- exact CART splits (oracle-verified) -----------------------------------
+#
+# The reference's DecisionTree.trainClassifier
+# (MlLibNyTaxiExamples.scala:117-118) has order-dependent impurity
+# accumulation and RNG-dependent binning, so its fitted tree cannot
+# hash-match a SQL oracle.  This twin runs the CART recurrence itself —
+# greedy best-gini split per node, level by level — deterministically:
+#   * features quantized floor(x*1e4+0.5) -> BIGINT (exact)
+#   * candidate thresholds: a global 16-cell grid between each
+#     feature's min/max (grid arithmetic = one double mult+div on
+#     integer-valued doubles < 2^53: identical in both engines)
+#   * split score = sum of per-child (pos^2 + neg^2)/n  (maximizing it
+#     minimizes weighted gini); products are exact BIGINTs < 2^53, the
+#     two divisions round identically in IEEE double
+#   * ties: lowest feature index, then lowest threshold index
+#   * a node splits only if impure (0 < pos < n) and both children
+#     non-empty
+# Scale shape: one scan per level with ~120 map-side partial aggregates
+# (the distributed-histogram strategy MLlib itself uses), candidate
+# ranking on the handful of (node x candidate) aggregate rows, and a
+# broadcast join to route rows to child nodes.  No per-row Python, no
+# row blowup.
+
+TREE_DEPTH = 3
+TREE_CELLS = 16
+_TQS = 10000.0
+
+
+def _tree_thresholds(qmin: dict, qmax: dict) -> list[tuple[int, str, int, int]]:
+    """(fidx, feature, i, thr) for i in 1..TREE_CELLS-1; thr exact."""
+    import math
+
+    out = []
+    for fidx, f in enumerate(FEATURES):
+        lo, hi = qmin[f], qmax[f]
+        for i in range(1, TREE_CELLS):
+            thr = lo + int(math.floor((hi - lo) * i / float(TREE_CELLS)))
+            out.append((fidx, f, i, thr))
+    return out
+
+
+def decision_tree_exact(
+    spark: SparkSession, sf_dir: str, depth: int = TREE_DEPTH
+) -> DataFrame:
+    """A10 — deterministic greedy CART splits predicting
+    l_returnflag == 'R'; one row per internal node:
+    (node, depth, feature, thr_q, n, pos, n_left, pos_left).
+
+    Distributed-histogram strategy (the same one MLlib's trees use):
+    each level is ONE pass over the data producing a (node, feature,
+    grid-cell) histogram — at most nodes x 4 x 16 aggregate rows — and
+    the 60-candidate argmax runs on those metadata-scale counts in the
+    driver with exact integer/IEEE arithmetic that the SQL twin
+    reproduces bit-for-bit.  A naive 120-aggregate-expressions-per-node
+    formulation was measured costing ~8 s of codegen compile alone at
+    sf0.1; the histogram's generated code is small and level-invariant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    nf = len(FEATURES)
+    qcols = [
+        F.floor(F.col(f) * F.lit(_TQS) + F.lit(0.5))
+        .cast("long")
+        .alias(f"q{j}")
+        for j, f in enumerate(FEATURES)
+    ]
+    data = li.select(
+        *qcols,
+        (F.col("l_returnflag") == "R").cast("long").alias("pos"),
+    ).cache()
+
+    mm = data.agg(
+        *[F.min(f"q{j}").alias(f"mn{j}") for j in range(nf)],
+        *[F.max(f"q{j}").alias(f"mx{j}") for j in range(nf)],
+    ).collect()[0]
+    cands = _tree_thresholds(
+        {f: mm[f"mn{j}"] for j, f in enumerate(FEATURES)},
+        {f: mm[f"mx{j}"] for j, f in enumerate(FEATURES)},
+    )
+    thr_of = {(fidx, i): thr for fidx, _f, i, thr in cands}
+
+    # cell = #thresholds <= q, so "q < thr_i" == "cell < i"
+    def cell(fidx: int):
+        c = F.lit(0)
+        for i in range(1, TREE_CELLS):
+            c = c + (
+                F.col(f"q{fidx}") >= F.lit(thr_of[(fidx, i)])
+            ).cast("int")
+        return c
+
+    cell_structs = F.array(
+        *[
+            F.struct(F.lit(j).alias("fidx"), cell(j).alias("cell"))
+            for j in range(nf)
+        ]
+    )
+
+    # per-feature value keyed by the joined split's feature index — a
+    # fixed expression, so the routing join below keeps the same
+    # generated code at every level (literal-embedded routing was
+    # measured recompiling ~1.3 s per level)
+    val_of = None
+    for j in range(nf):
+        branch = F.col(f"q{j}")
+        val_of = (
+            F.when(F.col("s_fidx") == j, branch)
+            if val_of is None
+            else val_of.when(F.col("s_fidx") == j, branch)
+        )
+
+    splits: dict[int, tuple] = {}  # node -> (fidx, i, n, pos, nl, pl)
+    df = data.withColumn("node", F.lit(1))
+    for lvl in range(depth):
+        hist = (
+            df.select("node", "pos", F.explode(cell_structs).alias("fc"))
+            .groupBy("node", "fc.fidx", "fc.cell")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p"))
+            .collect()
+        )
+        new_splits: dict[int, tuple] = {}
+        # exact driver-side candidate ranking over metadata-scale counts
+        by_node: dict[int, dict] = {}
+        for r in hist:
+            d = by_node.setdefault(r["node"], {})
+            d[(r["fidx"], r["cell"])] = (r["n"], r["p"])
+        for node, cells in sorted(by_node.items()):
+            n = sum(v[0] for v in cells.values()) // nf
+            pos = sum(v[1] for v in cells.values()) // nf
+            if not (0 < pos < n):
+                continue  # pure node: no split
+            best = None
+            for fidx in range(nf):
+                ordered = sorted(
+                    (c, v) for (fi, c), v in cells.items() if fi == fidx
+                )
+                for i in range(1, TREE_CELLS):
+                    # cumulative over cells < i
+                    nl = pl = 0
+                    for c, (cn, cp) in ordered:
+                        if c < i:
+                            nl, pl = nl + cn, pl + cp
+                    nr, pr = n - nl, pos - pl
+                    if nl == 0 or nr == 0:
+                        continue
+                    # identical expression tree to the SQL twin: two
+                    # integer-exact divisions + one double add
+                    score = (pl * pl + (nl - pl) * (nl - pl)) / nl + (
+                        pr * pr + (nr - pr) * (nr - pr)
+                    ) / nr
+                    key = (-score, fidx, i)
+                    if best is None or key < best[0]:
+                        best = (key, (fidx, i, n, pos, nl, pl))
+            if best is not None and node not in splits:
+                new_splits[node] = best[1]
+        splits.update(new_splits)
+
+        if lvl < depth - 1 and new_splits:
+            # route rows of this level's split nodes to their children;
+            # rows in unsplit (leaf) nodes keep their node id.  The
+            # splits ride in as broadcast DATA so the join+CASE keeps
+            # one codegen shape across levels.
+            sdf = spark.createDataFrame(
+                [
+                    (node, fidx, thr_of[(fidx, i)])
+                    for node, (fidx, i, *_r) in sorted(new_splits.items())
+                ],
+                "node int, s_fidx int, s_thr bigint",
+            )
+            df = (
+                df.join(F.broadcast(sdf), "node", "left")
+                .withColumn(
+                    "node",
+                    F.when(F.col("s_fidx").isNull(), F.col("node")).otherwise(
+                        F.col("node") * 2
+                        + F.when(val_of < F.col("s_thr"), 0).otherwise(1)
+                    ),
+                )
+                .drop("s_fidx", "s_thr")
+                # materialize the routed frame: every level's histogram
+                # then scans an identical-shaped in-memory source, so
+                # the (explode -> agg) codegen compiles exactly once
+                .localCheckpoint(eager=True)
+            )
+
+    rows = [
+        (
+            node,
+            node.bit_length() - 1,  # node 1 -> depth 0, 2..3 -> 1, 4..7 -> 2
+            FEATURES[fidx],
+            thr_of[(fidx, i)],
+            n,
+            pos,
+            nl,
+            pl,
+        )
+        for node, (fidx, i, n, pos, nl, pl) in sorted(splits.items())
+    ]
+    data.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "node int, depth int, feature string, thr_q bigint, n bigint, "
+        "pos bigint, n_left bigint, pos_left bigint",
+    )
+
+
+def _tree_sql(depth: int = TREE_DEPTH) -> str:
+    nf = len(FEATURES)
+    qs = ", ".join(
+        f"CAST(FLOOR({f} * 10000.0 + 0.5) AS BIGINT) AS q{j}"
+        for j, f in enumerate(FEATURES)
+    )
+    qnames = ", ".join(f"q{j}" for j in range(nf))
+    fvals = ", ".join(
+        f"({j}, '{f}')" for j, f in enumerate(FEATURES)
+    )
+    ivals = ", ".join(f"({i})" for i in range(1, TREE_CELLS))
+    thr_case = "CASE f.fidx " + " ".join(
+        f"WHEN {j} THEN st.mn{j} + CAST(FLOOR((st.mx{j} - st.mn{j}) * i.i "
+        f"/ {float(TREE_CELLS)}) AS BIGINT)"
+        for j in range(nf)
+    ) + " END"
+    st_cols = ", ".join(
+        f"MIN(q{j}) AS mn{j}, MAX(q{j}) AS mx{j}" for j in range(nf)
+    )
+    val = "CASE c.fidx " + " ".join(
+        f"WHEN {j} THEN d.q{j}" for j in range(nf)
+    ) + " END"
+    sval = "CASE s.fidx " + " ".join(
+        f"WHEN {j} THEN d.q{j}" for j in range(nf)
+    ) + " END"
+
+    def split_cte(name: str, dsrc: str) -> str:
+        return f"""{name} AS (
+  SELECT node, fidx, fname, thr, i, n, pos, nl, pl FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY
+      (pl*pl + (nl-pl)*(nl-pl))::DOUBLE / nl::DOUBLE +
+      ((pos-pl)*(pos-pl) + ((n-nl)-(pos-pl))*((n-nl)-(pos-pl)))::DOUBLE
+        / (n-nl)::DOUBLE DESC, fidx, i) AS rn
+    FROM (
+      SELECT d.node, c.fidx, c.fname, c.thr, c.i,
+        COUNT(*) AS n, CAST(SUM(d.pos) AS BIGINT) AS pos,
+        CAST(SUM(CASE WHEN {val} < c.thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        CAST(SUM(CASE WHEN {val} < c.thr THEN d.pos ELSE 0 END) AS BIGINT) AS pl
+      FROM {dsrc} d CROSS JOIN cand c
+      GROUP BY 1, 2, 3, 4, 5)
+    WHERE nl > 0 AND n - nl > 0 AND pos > 0 AND pos < n)
+  WHERE rn = 1)"""
+
+    ctes = [
+        f"WITH d0 AS (SELECT {qs}, CASE WHEN l_returnflag = 'R' THEN 1 "
+        "ELSE 0 END AS pos, 1 AS node FROM lineitem)",
+        f"st AS (SELECT {st_cols} FROM d0)",
+        f"cand AS (SELECT f.fidx, f.fname, i.i, {thr_case} AS thr "
+        f"FROM (VALUES {fvals}) f(fidx, fname) "
+        f"CROSS JOIN (VALUES {ivals}) i(i) CROSS JOIN st)",
+    ]
+    for lvl in range(depth):
+        ctes.append(split_cte(f"s{lvl}", f"d{lvl}"))
+        if lvl < depth - 1:
+            ctes.append(
+                f"d{lvl + 1} AS (SELECT {qnames}, d.pos, d.node * 2 + "
+                f"CASE WHEN {sval} < s.thr THEN 0 ELSE 1 END AS node "
+                f"FROM d{lvl} d JOIN s{lvl} s ON s.node = d.node)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST(node AS INTEGER) AS node, {lvl} AS depth, "
+        f"fname AS feature, thr AS thr_q, n, pos, nl AS n_left, "
+        f"pl AS pos_left FROM s{lvl}"
+        for lvl in range(depth)
+    )
+    return ",\n".join(ctes) + "\n" + sel
+
+
 # --- pyspark.ml pipelines (seeded; validated by tests, rows-only gate) -----
 
 SEED = 42
@@ -224,11 +677,13 @@ def decision_tree_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
-    "ml_kmeans": kmeans_clusters,  # rows-only (iterative algorithm)
-    "ml_decision_tree": decision_tree_eval,  # rows-only (split/impurity ties)
+    "ml_kmeans": kmeans_lloyd,  # exact Lloyd's, oracle-verified
+    "ml_decision_tree": decision_tree_exact,  # exact CART, oracle-verified
 }
 
 ORACLE = {
     "ml_col_stats": _colstats_sql(),
     "ml_correlation": _corr_sql(),
+    "ml_kmeans": _kmeans_sql(),
+    "ml_decision_tree": _tree_sql(),
 }

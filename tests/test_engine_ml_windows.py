@@ -169,3 +169,30 @@ def test_decision_tree_learns_something(spark):
     correct = cells.get((0.0, 0.0), 0) + cells.get((1.0, 1.0), 0)
     # class balance is ~2:1; the tree must beat majority-class guessing
     assert correct / total > 0.55
+
+
+def test_kmeans_lloyd_exact_invariants(spark):
+    rows = ml.kmeans_lloyd(spark, SF_ORACLE).collect()
+    assert sum(r.cluster_size for r in rows) == 500  # every vector assigned
+    assert all(r.centroid_l1 > 0 for r in rows)  # centroids moved off zero
+    again = ml.kmeans_lloyd(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_decision_tree_exact_structure(spark):
+    rows = {r.node: r for r in ml.decision_tree_exact(spark, SF_ORACLE).collect()}
+    root = rows[1]
+    assert root.depth == 0 and 0 < root.n_left < root.n
+    for node, r in rows.items():
+        assert 0 < r.pos < r.n  # only impure nodes split
+        assert 0 < r.n_left < r.n
+        if node > 1:  # child population == parent's routed side
+            parent = rows.get(node // 2)
+            if parent is not None:
+                side = node % 2  # 0 = left child, 1 = right child
+                expect = parent.n_left if side == 0 else parent.n - parent.n_left
+                assert r.n == expect
+                expect_pos = (
+                    parent.pos_left if side == 0 else parent.pos - parent.pos_left
+                )
+                assert r.pos == expect_pos
