@@ -155,9 +155,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_sql() -> str:
-    """DuckDB twin of the LSH path: same integer plane formula, same
-    quantized-sign signature, same hamming<=1 probe and ranked re-rank."""
+def sql_signature(col: str = "embedding") -> str:
+    """DuckDB twin of `_signature` — same integer plane formula, same
+    quantized-sign decision, so the bucket is bit-identical
+    cross-engine.  Shared with operators.dedup's bucketized near-dup."""
     sig_terms = []
     for j in range(_N_PLANES):
         plane = (
@@ -166,13 +167,19 @@ def _ann_lsh_sql() -> str:
             f"::DOUBLE / 1000.0)"
         )
         sig_terms.append(
-            f"(CASE WHEN FLOOR(list_dot_product(embedding::DOUBLE[], {plane})"
+            f"(CASE WHEN FLOOR(list_dot_product({col}::DOUBLE[], {plane})"
             f" * 1000000.0 + 0.5) >= 0 THEN {1 << j} ELSE 0 END)"
         )
-    sig = " + ".join(sig_terms)
+    return "(" + " + ".join(sig_terms) + ")"
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of the LSH path: same quantized-sign signature, same
+    hamming<=1 probe and ranked re-rank."""
+    sig = sql_signature("embedding")
     return f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, ({sig}) AS bucket FROM embeddings
+  SELECT vec_id, embedding, {sig} AS bucket FROM embeddings
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket

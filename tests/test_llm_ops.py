@@ -52,6 +52,58 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
 
 
+def test_salted_pair_join_matches_plain_join(spark):
+    """The mega-bucket guard must be lossless: a keyed frame with one
+    degenerate 120-row bucket (cap=10 -> 12-way salt split) and several
+    normal buckets yields exactly the pair set an unsalted self-join
+    would — every in-bucket pair once, nothing across buckets."""
+    rows = [(i, "hot") for i in range(120)] + [
+        (1000 + i, f"cold{i % 3}") for i in range(12)
+    ]
+    keyed = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._salted_self_join_pairs(
+            keyed, ["key"], cap=10
+        ).collect()
+    }
+    by_key: dict = {}
+    for i, k in rows:
+        by_key.setdefault(k, []).append(i)
+    want = {
+        (a, b)
+        for ids in by_key.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert got == want
+
+
+def test_salted_pair_join_respects_extra_predicate(spark):
+    """Non-equi side conditions (length blocking) survive the salting."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, "k", i % 4) for i in range(40)]
+    keyed = spark.createDataFrame(rows, "doc_id long, key string, n int")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._salted_self_join_pairs(
+            keyed,
+            ["key"],
+            cap=5,
+            extra=F.col("x.n") == F.col("y.n"),
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(40)
+        for b in range(40)
+        if a < b and a % 4 == b % 4
+    }
+    assert got == want
+
+
 def test_ann_lsh_subset_of_bruteforce_universe(spark):
     """Approximate top-k returns ranked, deduplicated neighbors from the
     query's bucket, and its hits agree with brute-force cosines."""

@@ -51,3 +51,14 @@ def test_jaccard_full_avoids_nested_loop_join(spark):
     assert "CartesianProduct" not in plan
     # (the empty-doc scan pushdown can't be asserted here: the cached
     # token frame hides the file scan behind InMemoryTableScan)
+
+
+def test_embedding_neardup_avoids_nested_loop_join(spark):
+    """Bucketized near-dup must candidate-generate via the probe-key
+    equi-join — a BroadcastNestedLoopJoin here means the O(n^2)
+    vec_id<vec_id theta-join came back."""
+    from ingestprocessstoreinnrt_spark.operators import dedup
+
+    plan = E.formatted_plan(dedup.embedding_neardup(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
