@@ -46,19 +46,53 @@ def checkpoint_namespace(checkpoint: str) -> str:
     return hashlib.md5(canon.encode()).hexdigest()[:8]
 
 
+# The record shape the kafka source emits (Spark's fixed wire schema) —
+# the contract test decodes a frame of this shape so the projection
+# below is exercised even where the kafka jar/broker is absent.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_reader_options(
+    brokers: str, topics: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """The structured-streaming option surface equivalent to the
+    reference's direct stream (NyTaxiYellowTripStreaming.scala:110-114:
+    `metadata.broker.list` -> bootstrap servers, comma topic list ->
+    `subscribe`; the old direct API starts at latest offsets unless
+    told otherwise, hence the default)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def decode_kafka_lines(raw: DataFrame) -> DataFrame:
+    """Binary (key, value) -> string lines: the StringDecoder role in
+    the reference's createDirectStream[String, String, ...].  Shared by
+    the live reader and the contract test's wire-schema twin."""
+    return raw.selectExpr(
+        "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
+    )
+
+
 def kafka_lines_stream(
-    spark: SparkSession, brokers: str, topics: str
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "latest",
 ) -> DataFrame:
     """Kafka CSV-lines source (S1): same (key, value) contract as the
     reference's direct stream.  Requires the spark-sql-kafka package at
-    runtime; tests use file streams with the identical downstream plan."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .load()
-        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
-    )
+    runtime; tests use file streams with the identical downstream plan
+    plus a contract test over the option surface and wire schema."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(brokers, topics, starting_offsets).items():
+        reader = reader.option(k, v)
+    return decode_kafka_lines(reader.load())
 
 
 def append_stream(

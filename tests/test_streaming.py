@@ -285,3 +285,54 @@ def test_merge_fn_out_of_batch_keys_refused(spark, workdir):
     # table untouched and batch NOT marked applied
     assert sorted((r.k, r.n) for r in t.read().collect()) == before
     assert not t.already_applied(7)
+
+
+def test_kafka_reader_contract(spark):
+    """S1 — the Kafka front door, executed as far as the environment
+    allows (no broker, no kafka jar): the option surface must match the
+    reference's direct-stream invocation
+    (NyTaxiYellowTripStreaming.scala:110-114), the StringDecoder
+    projection must decode the fixed kafka wire schema, and the live
+    reader builder must either produce the streaming (key, value) frame
+    or fail with the documented missing-datasource error — nothing
+    else."""
+    opts = pipelines.kafka_reader_options(
+        "broker1:9092,broker2:9092", "taxi-trips,car-events"
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "taxi-trips,car-events",
+        "startingOffsets": "latest",
+    }
+
+    raw = spark.createDataFrame(
+        [
+            (
+                bytearray(b"42"),
+                bytearray(b"2026-01-01 00:01:00,2026-01-01 00:06:00,1,2.5"),
+                "taxi-trips",
+                0,
+                7,
+                None,
+                0,
+            ),
+            (None, bytearray(b"k2,v2"), "taxi-trips", 1, 9, None, 0),
+        ],
+        pipelines.KAFKA_WIRE_SCHEMA,
+    )
+    out = pipelines.decode_kafka_lines(raw)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("key", "string"),
+        ("value", "string"),
+    ]
+    rows = {r.key: r.value for r in out.collect()}
+    assert rows["42"].startswith("2026-01-01 00:01:00,")
+    assert rows[None] == "k2,v2"  # null keys survive the cast
+
+    try:
+        df = pipelines.kafka_lines_stream(spark, "localhost:9092", "t")
+    except Exception as exc:  # environment limit: kafka jar absent
+        assert "kafka" in str(exc).lower()
+    else:
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == ["key", "value"]
