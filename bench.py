@@ -3,16 +3,77 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+plus a "streaming" block measuring the NRT ingest path (CSV lines ->
+parse/clean -> per-micro-batch aggregate -> exactly-once merge upsert —
+the reference's actual workload) in rows/s.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+STREAM_ROWS = 50_000
+STREAM_CHUNKS = 5
+
+
+def streaming_bench(spark) -> dict:
+    """Rows/s through the upsert pipeline: 5 micro-batches of taxi CSV
+    lines, each parsed, aggregated, and exact-merged into the bucketed
+    keyed table (ledger + undo log on — the full exactly-once cost)."""
+    from ingestprocessstoreinnrt_spark.operators import taxi
+    from ingestprocessstoreinnrt_spark.sources import csv_clean, generators
+    from ingestprocessstoreinnrt_spark.streaming import pipelines
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # setup (untimed): one CSV split into per-micro-batch chunks
+        full = generators.write_taxi_csv(
+            tmp + "/all.csv", rows=STREAM_ROWS, seed=7
+        )
+        with open(full) as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+        header, data = lines[0], lines[1:]
+        os.makedirs(tmp + "/stream")
+        k = len(data) // STREAM_CHUNKS + 1
+        for i in range(STREAM_CHUNKS):
+            with open(f"{tmp}/stream/chunk{i:03d}.csv", "w") as f:
+                f.write("\n".join([header] + data[i * k : (i + 1) * k]))
+        table = UpsertTable(
+            spark, tmp + "/entity", ["vender_id"], num_buckets=4
+        )
+        src = csv_clean.taxi_trips_from_lines(
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")  # one chunk per batch
+            .load(tmp + "/stream")
+        )
+        t0 = time.perf_counter()
+        q = pipelines.upsert_aggregate_stream(
+            src,
+            table,
+            taxi.entity_from_trips,
+            lambda cur, new: taxi.merge_taxi_entities(cur, new),
+            checkpoint=tmp + "/ckpt",
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        n_entities = table.read().count()
+        return {
+            "upsert_rows_per_sec": round(STREAM_ROWS / elapsed, 1),
+            "rows": STREAM_ROWS,
+            "batches": STREAM_CHUNKS,
+            "sec": round(elapsed, 4),
+            "entities": n_entities,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -32,6 +93,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    streaming = streaming_bench(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -40,6 +103,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
