@@ -118,7 +118,7 @@ def test_ann_lsh_subset_of_bruteforce_universe(spark):
             assert exact[(r.query_id, r.vec_id)] == r.cos_sim
 
 
-def test_multimodal_stub_contract(spark):
+def test_multimodal_fake_decode_contract(spark):
     media = multimodal.media_from_documents(spark, SF_ORACLE)
     assert [f.name for f in media.schema.fields] == [
         "media_id",
@@ -126,10 +126,99 @@ def test_multimodal_stub_contract(spark):
         "media_type",
         "source",
     ]
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media)  # real decode is stubbed
     decoded = multimodal.decode_media(media, use_deterministic_fake=True)
     assert decoded.schema == multimodal.DECODED_SCHEMA
     row = decoded.first()
     assert row.byte_len > 0 and len(row.content_md5_8) == 8
     assert 1 <= row.fake_width <= 1920 and 1 <= row.fake_height <= 1080
+
+
+def _wav_bytes(rate=8000, freq=440, ms=250):
+    """A real 16-bit mono PCM WAV, synthesized with the stdlib."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = rate * ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(16000 * math.sin(2 * math.pi * freq * i / rate))
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _png_bytes(width=320, height=200):
+    """A real PNG signature + IHDR (header-parseable)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def test_multimodal_real_decode(spark):
+    """The real decode path: stdlib WAV decode, pure-Python image header
+    parse, error routing for unrecognized payloads."""
+    import struct
+
+    wav = _wav_bytes(rate=8000, ms=250)
+    png = _png_bytes(320, 200)
+    gif = b"GIF89a" + struct.pack("<HH", 64, 48) + b"\x00" * 8
+    bmp = (
+        b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    )
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 17)  # SOF0, segment length
+        + b"\x08" + struct.pack(">HH", 240, 360)  # precision, h, w
+        + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    rows = [
+        (1, bytearray(wav), "audio", "t"),
+        (2, bytearray(png), "image", "t"),
+        (3, bytearray(gif), "image", "t"),
+        (4, bytearray(bmp), "image", "t"),
+        (5, bytearray(jpeg), "image", "t"),
+        (6, bytearray(b"not media at all"), "image", "t"),
+        (7, bytearray(b"RIFF\x00\x00\x00\x00WAVEtrunc"), "audio", "t"),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.decode_media(media).collect()}
+    assert len(got) == 7
+
+    w = got[1]
+    assert w.container == "wav"
+    assert w.channels == 1 and w.sample_rate_hz == 8000
+    assert w.n_frames == 2000 and abs(w.duration_ms - 250.0) < 1e-9
+    assert w.rms_amplitude > 10000  # full-ish amplitude sine
+    assert w.decode_error is None and w.width is None
+
+    assert (got[2].width, got[2].height) == (320, 200)
+    assert (got[3].width, got[3].height) == (64, 48)
+    assert (got[4].width, got[4].height) == (100, 50)  # top-down DIB abs()
+    assert (got[5].width, got[5].height) == (360, 240)
+    for mid in (2, 3, 4, 5):
+        assert got[mid].decode_error is None
+        # pixel stats only when PIL is importable (probed at runtime)
+        if multimodal._probe_pil() is None:
+            assert got[mid].pixel_mean is None
+
+    assert got[6].container == "unknown"
+    assert got[6].decode_error == "unrecognized container"
+    assert got[7].container == "wav" and got[7].decode_error is not None
