@@ -221,7 +221,7 @@ def kmeans_lloyd(
     # generated code every pass (codegen cache hit; literal-embedded
     # centroids recompiled ~1.5 s/pass measured at sf0.1), and the
     # argmin is a pure per-row fold — no per-vector shuffle, the only
-    # shuffle per iteration is the k-row cluster aggregate
+    # shuffle per iteration is the (k x dim)-row cluster aggregate
     def assign(cdf: DataFrame) -> DataFrame:
         def dist(c):
             return F.aggregate(
@@ -250,22 +250,33 @@ def kmeans_lloyd(
             "cents array<struct<cid:int, cv:array<bigint>>>",
         )
 
-    dim_sums = [
-        F.sum(F.element_at("qv", j + 1)).alias(f"s{j}") for j in range(EMB_DIM)
-    ]
-    for _ in range(iters - 1):
-        got = {
-            r["cid"]: r
-            for r in assign(cdf_of(cents))
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n"), *dim_sums)
+    # per-iteration aggregate: posexplode the vector and sum per
+    # (cid, pos) — a 2-column codegen aggregate over (k x dim) groups
+    # instead of a dim-wide one.  Same exact integer sums, but the
+    # narrow expression tree compiles ~2 s faster on first run, and
+    # EVERY pass (including the final one) reuses this single plan
+    # shape, so whole-stage codegen compiles once for the whole loop.
+    def agg_pass(c: list) -> dict:
+        rows = (
+            assign(cdf_of(c))
+            .select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
             .collect()
-        }
+        )
+        got: dict = {}
+        for r in rows:
+            e = got.setdefault(r["cid"], {"n": r["n"], "s": [0] * EMB_DIM})
+            e["s"][r["pos"]] = r["s"]
+        return got
+
+    for _ in range(iters - 1):
+        got = agg_pass(cents)
         cents = [
             (
                 i,
                 [
-                    int(math.floor(got[i][f"s{j}"] / got[i]["n"] + 0.5))
+                    int(math.floor(got[i]["s"][j] / got[i]["n"] + 0.5))
                     for j in range(EMB_DIM)
                 ],
             )
@@ -274,27 +285,27 @@ def kmeans_lloyd(
             for i in range(k)
         ]
 
-    g = (
-        assign(cdf_of(cents))
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("cluster_size"), *dim_sums)
-    )
-    l1 = None
-    for j in range(EMB_DIM):
-        term = F.abs(
-            F.floor(
-                F.col(f"s{j}").cast("double") / F.col("cluster_size")
-                + F.lit(0.5)
-            )
+    # final pass reuses the same aggregate plan; the k-row summary
+    # (sizes + centroid L1) is finalized on the driver — metadata-scale,
+    # like the centroid updates themselves
+    got = agg_pass(cents)
+    out_rows = [
+        (
+            int(i),
+            int(got[i]["n"]),
+            int(
+                sum(
+                    abs(int(math.floor(got[i]["s"][j] / got[i]["n"] + 0.5)))
+                    for j in range(EMB_DIM)
+                )
+            ),
         )
-        l1 = term if l1 is None else l1 + term
-    out = g.select(
-        F.col("cid").cast("int").alias("cluster_id"),
-        F.col("cluster_size"),
-        l1.cast("long").alias("centroid_l1"),
+        for i in sorted(got)
+    ]
+    q.unpersist()
+    return spark.createDataFrame(
+        out_rows, "cluster_id int, cluster_size long, centroid_l1 long"
     )
-    q.unpersist()  # plan already resolved; output agg re-reads parquet
-    return out
 
 
 def _kmeans_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
