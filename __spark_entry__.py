@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ingestprocessstoreinnrt_spark.operators import (
+    asof,
     bi,
     dedup,
     entity,
@@ -40,7 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew):
+                multimodal, ml, windows, skew, asof):
         out.update(mod.QUERIES)
     return out
 
@@ -50,6 +51,6 @@ def oracle_sql() -> dict[str, str]:
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew):
+                multimodal, ml, windows, skew, asof):
         out.update(mod.ORACLE)
     return out

@@ -22,10 +22,32 @@ from tests.test_bi import _compare
         "win_user_sessions",
         "win_tumbling_hourly",
         "win_user_event_ranks",
+        "asof_click_attribution",
     ],
 )
 def test_m6_query_matches_oracle(spark, duck, name):
     _compare(spark, duck, name)
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """The as-of join is inclusive (click at the same ts matches),
+    returns nulls before any click, and compiles to union+window —
+    ONE shuffle on the key, no Join node, no range explosion."""
+    from ingestprocessstoreinnrt_spark.operators import asof
+
+    rows = {
+        r.event_id: r
+        for r in asof.asof_enrich(spark, SF_ORACLE).collect()
+    }
+    assert rows  # purchases exist
+    # every attribution is no later than its purchase
+    for r in rows.values():
+        if r.last_click_ts_us is not None:
+            assert r.last_click_ts_us <= r.purchase_ts_us
+
+    plan = asof.asof_enrich(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union+window, not a join
+    assert plan.count("Exchange") <= 2  # dedup + window shuffles only
 
 
 def test_engine_sql_and_ddl(spark, tmp_path):
