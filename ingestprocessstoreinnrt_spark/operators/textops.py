@@ -144,14 +144,144 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked search — the full-text relevance layer over the Solr-role
+# index (operators.bi index_search is single-term TF; this is the real
+# ranking function a serving index computes).  Scale shape: one linear
+# scan computes per-doc term frequencies; corpus statistics (N, total
+# length, per-term document frequencies) reduce to ONE row that
+# broadcasts back; no shuffle larger than that single aggregate.
+# Scores are rounded to 6 dp before ranking with a doc_id tie-break
+# (the established cross-engine float pattern).
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "data", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 50
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def tf_of(term):  # one-arg lambda: F.filter treats 2-arg as (x, idx)
+        return F.size(F.filter(toks, lambda x: F.lower(x) == term))
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            tf_of(t).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    # idf = ln((N - df + 0.5)/(df + 0.5) + 1); length norm on dl/avgdl
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (
+                F.col("n_docs").cast("double")
+                - F.col(f"df{i}").cast("double")
+                + F.lit(0.5)
+            )
+            / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        score = score + idf * (
+            tf
+            * F.lit(BM25_K1 + 1.0)
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+                )
+            )
+        )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.filter(
+            sum(
+                (F.col(f"tf{i}") > 0).cast("int")
+                for i in range(len(BM25_TERMS))
+            )
+            > 0
+        )
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> lower(x) = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"""(ln((n_docs::DOUBLE - df{i}::DOUBLE + 0.5) /
+      (df{i}::DOUBLE + 0.5) + 1.0) *
+     (tf{i}::DOUBLE * {BM25_K1 + 1.0} /
+      (tf{i}::DOUBLE + {BM25_K1} *
+       ({1.0 - BM25_B} + {BM25_B} *
+        (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))))"""
+        for i in range(len(BM25_TERMS))
+    )
+    any_tf = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS dl,
+    {tf_cols}
+  FROM (SELECT doc_id, text,
+        regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl, {df_cols}
+  FROM d
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, round({score_terms}, 6) AS score,
+    ROW_NUMBER() OVER (ORDER BY round({score_terms}, 6) DESC, doc_id ASC)
+      AS rank
+  FROM d, stats
+  WHERE {any_tf} > 0
+) WHERE rank <= {BM25_TOP}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_bm25": text_bm25,
 }
 
 ORACLE = {
     "text_stats": _STATS_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,
+    "text_bm25": _bm25_sql(),
 }

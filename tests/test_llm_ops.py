@@ -16,13 +16,16 @@ from tests.test_bi import _compare
         "dedup_exact",
         "dedup_jaccard_pairs",
         "dedup_jaccard_full",
+        "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_neardup",
         "sim_topk_cosine",
+        "sim_ann_ivf",
         "text_stats",
         "text_langid",
         "text_fingerprint",
+        "text_bm25",
         "multimodal_decode",
     ],
 )
