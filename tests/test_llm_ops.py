@@ -17,6 +17,7 @@ from tests.test_bi import _compare
         "dedup_jaccard_pairs",
         "dedup_jaccard_full",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_neardup",
@@ -105,6 +106,38 @@ def test_salted_pair_join_respects_extra_predicate(spark):
         if a < b and a % 4 == b % 4
     }
     assert got == want
+
+
+def test_connected_components_exact(spark):
+    """Label propagation finds exact components: a 5-chain, a triangle,
+    and an isolated pair — min id wins, chains converge across passes."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),  # chain: rep 1
+         (10, 11), (11, 12), (10, 12),    # triangle: rep 10
+         (20, 21)],                        # pair: rep 20
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_cover_their_pairs(spark):
+    """Every near-dup pair lands in one cluster, reps are members."""
+    reps = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.dedup_clusters(spark, SF_ORACLE).collect()
+    }
+    pairs = dedup.jaccard_pairs(spark, SF_ORACLE).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert reps[p.doc_a] == reps[p.doc_b]
+    for doc, rep in reps.items():
+        assert reps[rep] == rep  # representative is its own rep
+        assert rep <= doc
 
 
 def test_ann_lsh_subset_of_bruteforce_universe(spark):
