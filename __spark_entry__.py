@@ -11,6 +11,7 @@ module only aggregates the registries.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,7 +30,11 @@ from ingestprocessstoreinnrt_spark.operators import (
     windows,
 )
 
-_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+# smoke entry targets sf0.001 per the driver contract; overridable for
+# consistency with catalog.TESTDATA_ROOT's env-driven default
+_SMOKE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

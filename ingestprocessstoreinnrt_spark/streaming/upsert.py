@@ -302,11 +302,26 @@ class UpsertTable:
             # merged output so the two can never disagree)
             merged = self._merge_existing(new_rows, merge_fn)
             merged = merged.localCheckpoint(eager=True)
-            self._check_merge_buckets(merged, new_rows, merge_fn)
+            # one buckets collect serves both the safety check and the
+            # snapshot loop (one less job per micro-batch)
+            merged_buckets = self._affected_buckets(merged)
+            if merge_fn is not None:
+                extra = set(merged_buckets) - set(
+                    self._affected_buckets(new_rows)
+                )
+                if extra:
+                    raise ValueError(
+                        "merge_fn emitted keys hashing to buckets "
+                        f"{sorted(extra)} outside the batch's buckets; "
+                        "those buckets were not read, so writing would "
+                        "drop their existing rows. merge_fn must only "
+                        "return keys drawn from the batch or the current "
+                        "subset it was given."
+                    )
             pdir = os.path.join(self._pending, key)
             shutil.rmtree(pdir, ignore_errors=True)
             os.makedirs(pdir, exist_ok=True)
-            for b in self._affected_buckets(merged):
+            for b in merged_buckets:
                 src = os.path.join(self._data(), f"_bucket={b}")
                 if os.path.isdir(src):
                     shutil.copytree(src, os.path.join(pdir, f"_bucket={b}"))
