@@ -370,8 +370,58 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# hierarchical ROLLUP — multi-level totals (flag x status, per-flag,
+# grand total) in ONE pass via Catalyst's Expand: each input row fans
+# into its grouping sets map-side, partial aggregation still applies,
+# so the cost is one scan + one shuffle regardless of how many levels
+# roll up.  grp_id (grouping_id bitmask) disambiguates NULL group keys
+# from real NULLs cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def pricing_rollup_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            dsum("l_quantity", "sum_qty"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("grp_id").cast("long").alias("grp_id"),
+            "sum_qty",
+            "sum_disc_price",
+            "count_order",
+        )
+    )
+
+
+_PRICING_ROLLUP_LEVELS_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag, l_linestatus)::BIGINT AS grp_id,
+  {sql_dsum('l_quantity', 'sum_qty')},
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
+    "bi_rollup_levels": pricing_rollup_levels,
     "bi_first_n": first_n_events,
     "bi_percentiles": order_percentiles,
     "bi_index_search": index_search,
@@ -385,6 +435,7 @@ QUERIES = {
 
 ORACLE = {
     "bi_pricing_rollup": _PRICING_ROLLUP_SQL,
+    "bi_rollup_levels": _PRICING_ROLLUP_LEVELS_SQL,
     "bi_first_n": _FIRST_N_SQL,
     "bi_percentiles": _PERCENTILES_SQL,
     "bi_index_search": _INDEX_SEARCH_SQL,

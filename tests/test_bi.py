@@ -27,6 +27,7 @@ def _compare(spark, duck, name):
     "name",
     [
         "bi_pricing_rollup",
+        "bi_rollup_levels",
         "bi_first_n",
         "bi_percentiles",
         "bi_index_search",
