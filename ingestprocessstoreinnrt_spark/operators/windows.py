@@ -109,6 +109,56 @@ GROUP BY 1, 2
 """
 
 
+HOP_WINDOW_US = 3_600_000_000  # 1 hour
+HOP_SLIDE_US = 900_000_000  # 15 min -> each event lands in 4 windows
+
+
+def hopping_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window rollup: 1-hour windows every
+    15 minutes via F.window(slide) — Catalyst expands each event into
+    its window/slide covering windows map-side, so the plan is one scan
+    + one shuffle exactly like the tumbling case, just with a 4x row
+    fan-out before partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# DuckDB twin: expand each event into its 4 covering window starts
+# explicitly (start_j = slide*floor(ts/slide) - j*slide; ts < start_j +
+# window holds for every j < window/slide, epoch-aligned like F.window)
+_HOPPING_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+),
+x AS (
+  SELECT event_type, value,
+    ({HOP_SLIDE_US} * (ts_us // {HOP_SLIDE_US}) - j::BIGINT * {HOP_SLIDE_US})
+      AS window_start_us
+  FROM e, (SELECT unnest([0, 1, 2, 3]) AS j)
+)
+SELECT window_start_us, event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value', 'total_value')}
+FROM x
+GROUP BY 1, 2
+"""
+
+
 def user_event_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/lag analytics: per user, each event's rank by value and
     the gap (us) since the previous event — row_number/lag/lead family."""
@@ -149,11 +199,13 @@ WHERE value_rank <= 3
 QUERIES = {
     "win_user_sessions": user_sessions,
     "win_tumbling_hourly": tumbling_hourly,
+    "win_hopping_quarter": hopping_quarter,
     "win_user_event_ranks": user_event_ranks,
 }
 
 ORACLE = {
     "win_user_sessions": _SESSIONS_SQL,
     "win_tumbling_hourly": _TUMBLING_SQL,
+    "win_hopping_quarter": _HOPPING_SQL,
     "win_user_event_ranks": _RANKS_SQL,
 }

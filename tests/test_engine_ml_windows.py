@@ -21,6 +21,7 @@ from tests.test_bi import _compare
         "ml_correlation",
         "win_user_sessions",
         "win_tumbling_hourly",
+        "win_hopping_quarter",
         "win_user_event_ranks",
         "asof_click_attribution",
     ],
