@@ -1,0 +1,111 @@
+"""Cardinality sketching: KMV (k-minimum-values) approximate distinct
+count — the sketch family HyperLogLog belongs to, chosen here because
+its estimate is a DETERMINISTIC function of the data given the hash:
+the k smallest distinct hash values are a set property, independent of
+partitioning, arrival order, or merge shape.  That makes the
+approximate operator itself bit-exactly oracle-checkable — DuckDB
+computes the same k-th smallest hash by brute force and lands on the
+same estimate — unlike HLL, whose register layouts differ per engine.
+
+Scale shape (the point of a sketch): NO shuffle of the value universe.
+Each partition reduces to <= K hash values inside one Arrow-batched
+mapInPandas pass (numpy unique + partial k-min — the map-side combine
+Spark lacks a built-in aggregate for), and only |partitions| x K small
+longs reach the final tiny sort.  Estimating |D| of a 100 TB column
+moves kilobytes.  Exact distinct is computed alongside at test scale
+to expose the observed error; at production scale you run the sketch
+alone.
+
+Estimator (Bar-Yossef et al. 2002): with u_(k) = k-th smallest of
+distinct hashes normalized to [0,1), E[|D|] ~ (k-1)/u_(k).  The hash
+is the shared 60-bit md5 primitive (functions.scalars.stable_hash64),
+so u_(k) = h_(k) / 2^60 and the one multiply+divide is evaluated in
+the same order by both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import SQL_STABLE_HASH64, stable_hash64
+
+KMV_K = 256
+_HASH_SPACE = float(1 << 60)  # stable_hash64 is uniform on [0, 2^60)
+
+
+def kmv_partials(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-partition k smallest distinct hashes via mapInPandas: each
+    partition emits <= k rows however many rows it holds."""
+    import numpy as np
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best = None
+        for pdf in batches:
+            u = np.unique(pdf["h"].values)  # sorted ascending
+            merged = u if best is None else np.concatenate([best, u])
+            best = np.unique(merged)[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    return hashes.mapInPandas(_partial, schema="h long")
+
+
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct o_custkey over orders, KMV(k=256), with the
+    exact count alongside so the observed error is visible."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        stable_hash64(F.col("o_custkey").cast("string")).alias("h")
+    )
+    # partials: <= K rows per partition; global k-min over the tiny set
+    topk = kmv_partials(h).distinct().orderBy("h").limit(KMV_K)
+    s = topk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.max("h").alias("kth_hash"),
+    )
+    e = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    # fewer than K distinct values => the "sketch" saw everything: exact
+    approx = F.when(
+        F.col("k_eff") < KMV_K, F.col("k_eff").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K - 1)) * F.lit(_HASH_SPACE))
+        / F.col("kth_hash").cast("double")
+    )
+    return s.crossJoin(e).select(
+        F.lit("o_custkey").alias("column_name"),
+        "k_eff",
+        "kth_hash",
+        approx.alias("approx_distinct"),
+        "exact_distinct",
+    )
+
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT {SQL_STABLE_HASH64.format(x="o_custkey::VARCHAR")} AS h
+  FROM orders
+),
+topk AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+s AS (
+  SELECT COUNT(*)::BIGINT AS k_eff, MAX(h) AS kth_hash FROM topk
+),
+e AS (
+  SELECT COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct FROM orders
+)
+SELECT 'o_custkey' AS column_name, k_eff, kth_hash,
+  CASE WHEN k_eff < {KMV_K} THEN k_eff::DOUBLE
+       ELSE ({float(KMV_K - 1)} * {_HASH_SPACE}) / kth_hash::DOUBLE
+  END AS approx_distinct,
+  exact_distinct
+FROM s, e
+"""
+
+QUERIES = {"sketch_kmv_distinct": kmv_distinct_customers}
+ORACLE = {"sketch_kmv_distinct": _KMV_SQL}

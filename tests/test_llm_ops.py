@@ -27,6 +27,7 @@ from tests.test_bi import _compare
         "text_langid",
         "text_fingerprint",
         "text_bm25",
+        "sketch_kmv_distinct",
         "multimodal_decode",
     ],
 )
@@ -106,6 +107,35 @@ def test_salted_pair_join_respects_extra_predicate(spark):
         if a < b and a % 4 == b % 4
     }
     assert got == want
+
+
+def test_kmv_sketch_error_and_partition_invariance(spark):
+    """KMV estimate is within theory's ~1/sqrt(k) error band and is a
+    set property — repartitioning the input cannot change it."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.functions.scalars import stable_hash64
+    from ingestprocessstoreinnrt_spark.operators import sketch
+
+    r = sketch.kmv_distinct_customers(spark, SF_ORACLE).collect()[0]
+    assert r.k_eff == sketch.KMV_K
+    err = abs(r.approx_distinct - r.exact_distinct) / r.exact_distinct
+    assert err < 4.0 / (sketch.KMV_K ** 0.5)  # ~4 sigma
+
+    h = (
+        load_table(spark, SF_ORACLE, "orders")
+        .select(stable_hash64(F.col("o_custkey").cast("string")).alias("h"))
+    )
+    a = sorted(
+        x.h for x in sketch.kmv_partials(h.repartition(3)).distinct()
+        .orderBy("h").limit(sketch.KMV_K).collect()
+    )
+    b = sorted(
+        x.h for x in sketch.kmv_partials(h.repartition(17)).distinct()
+        .orderBy("h").limit(sketch.KMV_K).collect()
+    )
+    assert a == b  # k smallest distinct hashes: partitioning-independent
 
 
 def test_connected_components_exact(spark):
