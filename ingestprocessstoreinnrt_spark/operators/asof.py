@@ -125,5 +125,111 @@ ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """
 
-QUERIES = {"asof_click_attribution": asof_enrich}
-ORACLE = {"asof_click_attribution": _ASOF_SQL}
+# ---------------------------------------------------------------------------
+# Binned range join — the generic scale path for interval joins.  Spark
+# plans a non-equi `point BETWEEN lo AND hi` join as a nested loop
+# (broadcast if one side is small, cartesian otherwise).  Binning makes
+# it an EQUI-join: intervals explode into the fixed-width bins they
+# overlap, points compute their bin, the join key is the bin, and the
+# exact BETWEEN predicate verifies inside.  Candidate volume follows
+# bin occupancy x interval span — linear for bounded spans — instead of
+# |points| x |intervals|.
+# ---------------------------------------------------------------------------
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join `points` to every interval with lo <= point <= hi
+    (plus optional equi-keys), as bin-equi-join + exact verify."""
+    keys = list(extra_keys or [])
+    pts = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    ivs = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(f"p.{point_col}") >= F.col(f"i.{lo_col}")) & (
+        F.col(f"p.{point_col}") <= F.col(f"i.{hi_col}")
+    )
+    return (
+        pts.alias("p")
+        .join(ivs.alias("i"), ["_bin", *keys])
+        .filter(cond)
+        .drop("_bin")
+    )
+
+
+# value tiers as an interval dimension; each event joins the tier whose
+# [lo, hi] range contains its value — the driver-gate instance of the
+# generic helper (integer cents avoid float boundary semantics)
+TIERS = [  # (tier, lo_cents, hi_cents)
+    ("free", 0, 999),
+    ("basic", 1000, 4999),
+    ("plus", 5000, 14999),
+    ("pro", 15000, 49999),
+    ("enterprise", 50000, 99999999),
+]
+_TIER_BIN = 5000
+
+
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    tiers = spark.createDataFrame(
+        TIERS, "tier string, lo_cents long, hi_cents long"
+    )
+    joined = binned_range_join(
+        ev, tiers, "value_cents", "lo_cents", "hi_cents", _TIER_BIN
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value_cents").alias("min_cents"),
+        F.max("value_cents").alias("max_cents"),
+    )
+
+
+_TIER_ROWS = ", ".join(
+    f"('{t}', {lo}::BIGINT, {hi}::BIGINT)" for t, lo, hi in TIERS
+)
+
+_RANGE_JOIN_SQL = f"""
+WITH tiers(tier, lo_cents, hi_cents) AS (VALUES {_TIER_ROWS}),
+e AS (
+  SELECT event_id,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT tier,
+  COUNT(*) AS n_events,
+  MIN(value_cents) AS min_cents,
+  MAX(value_cents) AS max_cents
+FROM e JOIN tiers
+  ON e.value_cents BETWEEN tiers.lo_cents AND tiers.hi_cents
+GROUP BY tier
+"""
+
+QUERIES = {
+    "asof_click_attribution": asof_enrich,
+    "range_join_tiers": range_join_tiers,
+}
+ORACLE = {
+    "asof_click_attribution": _ASOF_SQL,
+    "range_join_tiers": _RANGE_JOIN_SQL,
+}

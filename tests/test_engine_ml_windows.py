@@ -24,6 +24,7 @@ from tests.test_bi import _compare
         "win_hopping_quarter",
         "win_user_event_ranks",
         "asof_click_attribution",
+        "range_join_tiers",
     ],
 )
 def test_m6_query_matches_oracle(spark, duck, name):
@@ -49,6 +50,44 @@ def test_asof_join_semantics_and_plan(spark):
     plan = asof.asof_enrich(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # union+window, not a join
     assert plan.count("Exchange") <= 2  # dedup + window shuffles only
+
+
+def test_binned_range_join_exact_and_no_nested_loop(spark):
+    """The binned range join returns exactly the naive BETWEEN-join
+    pairs (intervals overlapping, points on boundaries) and plans as an
+    equi-join — no BroadcastNestedLoopJoin."""
+    from ingestprocessstoreinnrt_spark.operators import asof
+
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 10, 99, 100, 101, 250, 999])],
+        "pid long, v long",
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0, 100), ("b", 100, 200), ("c", 90, 110), ("d", 500, 600)],
+        "name string, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.name)
+        for r in asof.binned_range_join(
+            pts, ivs, "v", "lo", "hi", bin_width=64
+        ).collect()
+    }
+    want = {
+        (p.pid, i.name)
+        for p in pts.collect()
+        for i in ivs.collect()
+        if i.lo <= p.v <= i.hi
+    }
+    assert got == want
+
+    plan = (
+        asof.range_join_tiers(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_engine_sql_and_ddl(spark, tmp_path):
