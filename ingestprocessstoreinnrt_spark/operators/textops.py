@@ -92,11 +92,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
-    score_exprs, markers_sql = [], {}
+def _sql_lang_parts() -> tuple[list, str]:
+    """(score column exprs over `toks`, the argmax CASE over them) —
+    shared by the langid oracle and the curation-pipeline oracle."""
+    score_exprs = []
     for lang, markers in LANG_MARKERS.items():
         arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
-        markers_sql[lang] = arr
         score_exprs.append(
             f"len(list_filter(toks, t -> list_contains({arr}, lower(t))))::BIGINT"
             f" AS score_{lang}"
@@ -108,6 +109,12 @@ def _langid_sql() -> str:
     for lang in langs:
         pick += f"WHEN score_{lang} = {best} THEN '{lang}' "
     pick += "END"
+    return score_exprs, pick
+
+
+def _langid_sql() -> str:
+    score_exprs, pick = _sql_lang_parts()
+    langs = sorted(LANG_MARKERS)
     return f"""
 WITH d AS (
   SELECT doc_id, lang AS labeled_lang, {_SQL_TOKS} AS toks FROM documents
@@ -272,11 +279,73 @@ SELECT doc_id, score, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation pipeline — the end-to-end user story, composed from
+# the primitives above in ONE linear scan + ONE groupBy: quality gate
+# (token count), language gate (detected English), then exact-dedup
+# representative selection per fingerprint.  This is the query a
+# training-data pipeline actually runs; at 100 TB it is a scan with
+# every expression in codegen followed by a single shuffle on the
+# 60-bit fingerprint.
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_TOKENS = 10
+CURATE_LANG = "en"
+
+
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        lang_id(F.col("text")).alias("detected_lang"),
+        fingerprint("text").alias("fp"),
+    )
+    kept = d.filter(
+        (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+        & (F.col("detected_lang") == CURATE_LANG)
+    )
+    return kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+
+
+def _curated_sql() -> str:
+    score_exprs, pick = _sql_lang_parts()
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    {SQL_STABLE_HASH64.format(x=_SQL_NORM)} AS fp,
+    {", ".join(score_exprs)}
+  FROM d
+),
+kept AS (
+  SELECT doc_id, n_tokens, fp FROM (
+    SELECT *, {pick} AS detected_lang FROM feat
+  )
+  WHERE n_tokens >= {CURATE_MIN_TOKENS} AND detected_lang = '{CURATE_LANG}'
+)
+SELECT fp,
+  MIN(doc_id) AS doc_id,
+  COUNT(*) AS dup_count,
+  MIN(n_tokens) AS n_tokens
+FROM kept
+GROUP BY fp
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_bm25": text_bm25,
+    "pipeline_curated_corpus": curated_corpus,
 }
 
 ORACLE = {
@@ -284,4 +353,5 @@ ORACLE = {
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,
     "text_bm25": _bm25_sql(),
+    "pipeline_curated_corpus": _curated_sql(),
 }

@@ -28,6 +28,7 @@ from tests.test_bi import _compare
         "text_fingerprint",
         "text_bm25",
         "sketch_kmv_distinct",
+        "pipeline_curated_corpus",
         "multimodal_decode",
     ],
 )
