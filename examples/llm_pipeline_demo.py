@@ -1,0 +1,98 @@
+"""End-to-end training-data pipeline demo — the beyond-reference half
+of this engine, in one script over the documents/embeddings tables:
+
+  documents
+    -> curation          (quality gate + language gate + exact-dedup rep)
+    -> near-dup pairs    (full-corpus PPJoin exact Jaccard)
+    -> dedup clusters    (connected components; one survivor per group)
+    -> class rebalance   (deterministic stratified sample by language)
+    -> corpus stats      (KMV distinct sketch vs exact)
+    -> relevance search  (BM25 over the curated corpus)
+  embeddings
+    -> ANN search        (IVF probe vs brute-force recall)
+
+Run:  python examples/llm_pipeline_demo.py  [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ingestprocessstoreinnrt_spark.catalog import load_table
+from ingestprocessstoreinnrt_spark.operators import (
+    dedup,
+    similarity,
+    sketch,
+    textops,
+)
+from ingestprocessstoreinnrt_spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    spark = get_spark("llm-pipeline-demo")
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. curation: quality + language gates, exact-dedup representative
+    curated = textops.curated_corpus(spark, sf_dir)
+    n_curated = curated.count()
+    print(f"[1] curation: {n_raw} raw docs -> {n_curated} curated reps")
+
+    # 2. near-dup pairs + connected components -> one survivor per group
+    pairs = dedup.jaccard_pairs_full(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = dedup.connected_components(pairs)
+    n_members = clusters.count()
+    n_groups = clusters.select("cluster_rep").distinct().count()
+    print(
+        f"[2] near-dup: {pairs.count()} exact pairs -> "
+        f"{n_members} docs in {n_groups} clusters "
+        f"({n_members - n_groups} near-dups droppable)"
+    )
+
+    # 3. deterministic language rebalance
+    balance = textops.sample_balanced_corpus(spark, sf_dir)
+    print("[3] stratified sample (en downsampled to ~50%):")
+    for r in balance.orderBy("lang").collect():
+        print(f"      {r.lang}: {r.n_before} -> {r.n_after}")
+
+    # 4. cardinality sketch vs exact
+    s = sketch.kmv_distinct_customers(spark, sf_dir).collect()[0]
+    print(
+        f"[4] KMV sketch: approx {s.approx_distinct:.0f} vs exact "
+        f"{s.exact_distinct} distinct keys (k={s.k_eff})"
+    )
+
+    # 5. BM25 relevance over the corpus
+    top = textops.text_bm25(spark, sf_dir).orderBy("rank").limit(3).collect()
+    print(
+        "[5] BM25 top hits for "
+        f"{textops.BM25_TERMS}: "
+        + ", ".join(f"doc {r.doc_id} ({r.score:.3f})" for r in top)
+    )
+
+    # 6. ANN over embeddings: IVF probe vs brute force
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_topk_cosine(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_ivf_topk(spark, sf_dir).collect()
+    }
+    print(
+        f"[6] ANN: IVF recall vs brute force "
+        f"{len(ivf & exact) / len(exact):.2f} "
+        f"({len(ivf)} probe results, {len(exact)} exact top-k)"
+    )
+
+    spark.stop()
+    print("llm pipeline demo complete")
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or []))

@@ -340,12 +340,83 @@ GROUP BY fp
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling — class-balanced corpus sampling
+# (e.g. cap the dominant language) the reproducible way: a document is
+# kept iff pmod(stable_hash64(doc_id), 1000) < rate_permille(stratum).
+# Hash-gate sampling is a pure row-local predicate: no shuffle, no RNG
+# state, identical on any cluster/partitioning/replay, pushes after the
+# scan, and (unlike df.sample) gives the oracle an exact twin.
+# ---------------------------------------------------------------------------
+
+# per-language keep rates in permille: downsample English (the majority
+# class) to ~half, keep the rest whole
+STRATA_PERMILLE = {"en": 500}
+DEFAULT_PERMILLE = 1000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    rates_permille: dict,
+    default_permille: int = DEFAULT_PERMILLE,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff its deterministic hash gate clears its
+    stratum's rate.  Composable with any upstream frame."""
+    from ..functions.scalars import stable_hash64
+
+    gate = F.pmod(
+        stable_hash64(F.col(key_col).cast("string")), F.lit(1000)
+    )
+    rate = F.lit(default_permille)
+    for stratum, permille in sorted(rates_permille.items()):
+        rate = F.when(
+            F.col(stratum_col) == stratum, F.lit(permille)
+        ).otherwise(rate)
+    return docs.filter(gate < rate)
+
+
+def sample_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: per-language document counts before/after the
+    deterministic stratified gate — the class-rebalancing step of a
+    training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", STRATA_PERMILLE)
+    before = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    return before.join(after, "lang", "left").select(
+        "lang",
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+    )
+
+
+def _sample_sql() -> str:
+    gate = SQL_STABLE_HASH64.format(x="doc_id::VARCHAR") + " % 1000"
+    rate = f"{DEFAULT_PERMILLE}"
+    for stratum, permille in sorted(STRATA_PERMILLE.items()):
+        rate = f"CASE WHEN lang = '{stratum}' THEN {permille} ELSE {rate} END"
+    return f"""
+WITH kept AS (
+  SELECT lang FROM documents WHERE ({gate}) < ({rate})
+),
+b AS (SELECT lang, COUNT(*)::BIGINT AS n_before FROM documents GROUP BY lang),
+a AS (SELECT lang, COUNT(*)::BIGINT AS n_after FROM kept GROUP BY lang)
+SELECT b.lang, b.n_before, COALESCE(a.n_after, 0) AS n_after
+FROM b LEFT JOIN a USING (lang)
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_bm25": text_bm25,
     "pipeline_curated_corpus": curated_corpus,
+    "sample_stratified": sample_balanced_corpus,
 }
 
 ORACLE = {
@@ -354,4 +425,5 @@ ORACLE = {
     "text_fingerprint": _FP_SQL,
     "text_bm25": _bm25_sql(),
     "pipeline_curated_corpus": _curated_sql(),
+    "sample_stratified": _sample_sql(),
 }

@@ -21,6 +21,23 @@ ATTRIBUTION_WINDOW = "30 minutes"
 WATERMARK = "2 hours"
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """In-stream exact dedup: emit the first arrival per key, drop
+    redelivered duplicates for as long as the key can still legally
+    reappear.  dropDuplicatesWithinWatermark bounds the state store by
+    the watermark (keys older than it are evicted), which is what makes
+    exactly-once dedup of an at-least-once source runnable forever —
+    the streaming counterpart of operators.dedup.exact_dedup."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def click_purchase_interval_join(
     clicks: DataFrame,
     purchases: DataFrame,

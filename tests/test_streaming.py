@@ -380,3 +380,33 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # over one file the final watermark covers all data, so the emitted
     # set must equal the batch join exactly (no dupes, no misses)
     assert streamed == batch
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark emits one row per key when the
+    source redelivers: duplicated input -> batch-distinct output."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.streaming import joins as sjoins
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events").limit(2000)
+    d = str(tmp_path / "ev_dup")
+    # an at-least-once source: every event delivered twice
+    ev.unionByName(ev).write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    assert static.count() == 2 * ev.count()
+
+    src = spark.readStream.schema(static.schema).parquet(d)
+    deduped = sjoins.dedup_stream(src, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sdd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT event_id FROM sdd_test").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids))  # no duplicate emissions
+    assert set(ids) == {r.event_id for r in ev.select("event_id").collect()}
