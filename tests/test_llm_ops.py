@@ -29,6 +29,7 @@ from tests.test_bi import _compare
         "text_bm25",
         "sketch_kmv_distinct",
         "pipeline_curated_corpus",
+        "sample_stratified",
         "multimodal_decode",
     ],
 )

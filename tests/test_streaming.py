@@ -410,3 +410,71 @@ def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids))  # no duplicate emissions
     assert set(ids) == {r.event_id for r in ev.select("event_id").collect()}
+
+
+def test_continuous_hourly_rollup_via_upsert(spark, tmp_path):
+    """Continuous aggregate (hypertable-rollup style): the streaming
+    upsert path maintains an hourly x event_type rollup incrementally;
+    after all micro-batches it equals the batch tumbling rollup."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import windows as bwin
+    from ingestprocessstoreinnrt_spark.streaming import pipelines
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+    from ingestprocessstoreinnrt_spark.functions.scalars import dsum
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events").limit(5000)
+    d = str(tmp_path / "ev_cont")
+    ev.write.mode("overwrite").parquet(d)  # several files => micro-batches
+    static = spark.read.parquet(d)
+
+    def hourly(batch_df):
+        return (
+            batch_df.groupBy(
+                F.window("ts", "1 hour").alias("w"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "total_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    def merge(cur, new):
+        # exact merge: counts add; quantized sums add (associative ints)
+        u = cur.unionByName(new)
+        return u.groupBy("window_start_us", "event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.floor(F.col("total_value") * 10000 + 0.5).cast("long"))
+            .cast("double")
+            .alias("_q"),
+        ).withColumn("total_value", F.col("_q") / 10000.0).drop("_q")
+
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "cont_rollup"),
+        ["window_start_us", "event_type"],
+        num_buckets=4,
+    )
+    src = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(d)
+    q = pipelines.upsert_aggregate_stream(
+        src, table, hourly, merge, checkpoint=str(tmp_path / "ckpt_cont")
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in table.read().collect()
+    }
+    want = {
+        (r.window_start_us, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in hourly(static).collect()
+    }
+    assert got == want
