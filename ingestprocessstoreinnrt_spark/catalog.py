@@ -31,11 +31,15 @@ TABLES = (
 )
 
 
-# Columns stored as TIMESTAMP(NANOS) in the testdata parquet.  With
-# spark.sql.legacy.parquet.nanosAsLong they arrive as int64 nanos; convert
-# with integer division (ns DIV 1000 — exact; float division would lose
-# precision above 2^53) back to TimestampType.
-_TS_NANOS_COLS = {
+# Temporal columns in the testdata parquet.  Generations of the testdata
+# have stored these as TIMESTAMP(NANOS) (arrives as int64 nanos under
+# spark.sql.legacy.parquet.nanosAsLong) or as TIMESTAMP(MICROS) without
+# isAdjustedToUTC (arrives as TIMESTAMP_NTZ when NTZ inference is on).
+# Both are normalized to plain TimestampType here so every downstream
+# event-time expression (unix_micros, window(), hour()) sees one type; the
+# session runs UTC, so the stored wall-clock micros ARE epoch micros and
+# the DuckDB oracle (which reads them naively) agrees bit-for-bit.
+_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
@@ -46,13 +50,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Callers (the test driver included) may hand us a session built
-    # without our defaults; the nanos knob is runtime-settable, so make
+    # without our defaults; both knobs are runtime-settable, so make
     # every load self-sufficient.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _TS_NANOS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _TS_COLS.get(name, ()):
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":  # nanos-as-long generation
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        elif dt == "timestamp_ntz":  # NTZ slipped through (pre-set reader conf)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

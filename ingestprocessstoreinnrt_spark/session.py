@@ -41,9 +41,13 @@ def builder(app_name: str = APP_NAME, shuffle_partitions: int | None = None):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata parquet stores TIMESTAMP(NANOS), which the vectorized
-        # reader rejects; read as int64 nanos and convert in the catalog.
+        # testdata parquet temporal columns vary by generation: nanos
+        # (vectorized reader rejects; read as int64 and convert in the
+        # catalog) or no-tz micros (keep as TimestampType, not NTZ, so
+        # event-time functions resolve; session tz is UTC so values agree
+        # with the naive DuckDB read either way).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
