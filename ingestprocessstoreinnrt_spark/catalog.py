@@ -46,14 +46,28 @@ _TS_COLS = {
 }
 
 
+# Logical-plan memo: building a parquet DataFrame costs ~100 ms of file
+# listing + footer schema reads, and a 40-query session re-loads the same
+# immutable table dozens of times.  Keyed per Spark application so a new
+# session (the driver's fresh process) always re-lists; the memo'd object
+# is an immutable logical plan whose execution stays fully lazy.
+_LOAD_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Callers (the test driver included) may hand us a session built
     # without our defaults; both knobs are runtime-settable, so make
-    # every load self-sufficient.
+    # every load self-sufficient.  Set on every call (not just memo
+    # misses): a sibling session sharing the JVM app shares the memo but
+    # not the SQL conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    got = _LOAD_MEMO.get(key)
+    if got is not None:
+        return got
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLS.get(name, ()):
         dt = dict(df.dtypes).get(col)
@@ -61,6 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
         elif dt == "timestamp_ntz":  # NTZ slipped through (pre-set reader conf)
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _LOAD_MEMO[key] = df
     return df
 
 

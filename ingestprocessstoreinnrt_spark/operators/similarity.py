@@ -231,49 +231,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ml.fit_centroids(
         spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
     )
+    cdf = ml._cdf_of(spark, cents)
 
-    # inverted lists: nearest-centroid id per corpus vector (broadcast
-    # fold, no shuffle) joined back to the raw embeddings + norms
-    lists = ml.assign_nearest(qv, ml._cdf_of(spark, cents)).select(
-        "vec_id", "cid"
-    )
-    corpus = (
-        emb.withColumn("nrm", norm2(F.col("embedding")))
-        .join(lists, "vec_id")
-    )
+    # inverted lists: nearest-centroid id computed in-row on the scan
+    # (broadcast fold over the centroid row) — no corpus self-join; at
+    # 100 TB `cid` is the precomputed partition column this expression
+    # writes at ingest.
+    corpus = ml.assign_nearest(
+        emb.withColumn("qv", ml._qvec()).withColumn(
+            "nrm", norm2(F.col("embedding"))
+        ),
+        cdf,
+    ).select("vec_id", "embedding", "nrm", "cid")
 
-    # query probes: distance to every centroid (k rows per query —
-    # metadata-scale), keep the IVF_NPROBE nearest lists
-    cent_rows = spark.createDataFrame(
-        [(int(i), [int(v) for v in cv]) for i, cv in cents],
-        "cid int, cv array<bigint>",
+    # query probes: another per-row fold — score all k centroids,
+    # array_sort on (dist, cid), keep the IVF_NPROBE nearest, explode.
+    # Replaces a crossJoin + row_number window: the metadata-size query
+    # side never shuffles.
+    def _cdist(qcol, c):
+        return F.aggregate(
+            F.zip_with(qcol, c["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _cdist(ml._qvec(), c).alias("d"), c["cid"].alias("cid")
+        ),
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("qqv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("cid").asc()
-    )
-    probes = (
-        qv.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
-        .crossJoin(F.broadcast(cent_rows))
-        .withColumn("cdist", qdist)
-        .withColumn("prn", F.row_number().over(wprobe))
-        .filter(F.col("prn") <= IVF_NPROBE)
-        .select("query_id", "cid")
+    probe_cids = F.transform(
+        F.slice(F.array_sort(scored), 1, IVF_NPROBE), lambda s: s["cid"]
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("qnrm", norm2(F.col("embedding")))
+        .join(F.broadcast(cdf))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             "qnrm",
+            F.explode(probe_cids).alias("cid"),
         )
-        .join(probes, "query_id")
     )
 
     # probe join: equi-join on the inverted-list id, exact cosine rank

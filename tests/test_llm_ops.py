@@ -157,6 +157,32 @@ def test_connected_components_exact(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver union-find short-circuit and the distributed
+    label-propagation loop compute the identical fixpoint — same rows,
+    same reps — on a graph with chains, cycles, and singleton pairs."""
+    import random
+
+    rng = random.Random(7)
+    edges = {(i, i + 1) for i in range(0, 40, 1) if i % 7}  # broken chains
+    edges |= {(rng.randrange(50), rng.randrange(50, 100)) for _ in range(60)}
+    pairs = spark.createDataFrame(
+        sorted((min(a, b), max(a, b)) for a, b in edges if a != b),
+        "doc_a long, doc_b long",
+    )
+    small = sorted(
+        (r.doc_id, r.cluster_rep)
+        for r in dedup.connected_components(pairs).collect()
+    )
+    dist = sorted(
+        (r.doc_id, r.cluster_rep)
+        for r in dedup.connected_components(
+            pairs, small_graph_max=0
+        ).collect()
+    )
+    assert small == dist and len(small) > 0
+
+
 def test_dedup_clusters_cover_their_pairs(spark):
     """Every near-dup pair lands in one cluster, reps are members."""
     reps = {
