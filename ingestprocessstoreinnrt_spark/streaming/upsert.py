@@ -76,16 +76,26 @@ class UpsertTable:
         return self.spark.read.parquet(self._data()).drop("_bucket")
 
     def _affected_buckets(self, keys_df: DataFrame) -> list[int]:
+        # reuse a materialized _bucket column when the frame carries one
+        # (same deterministic derivation, no hash recompute)
+        col = (
+            F.col("_bucket")
+            if "_bucket" in keys_df.columns
+            else self._bucket_col()
+        )
         return [
-            r[0]
-            for r in keys_df.select(self._bucket_col().alias("b"))
-            .distinct()
-            .collect()
+            r[0] for r in keys_df.select(col.alias("b")).distinct().collect()
         ]
 
-    def read_bucket_pruned(self, keys_df: DataFrame) -> DataFrame:
-        """Read only the bucket partitions containing the given keys."""
-        buckets = self._affected_buckets(keys_df)
+    def read_bucket_pruned(
+        self, keys_df: DataFrame, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Read only the bucket partitions containing the given keys.
+        Pass `buckets` when the caller already collected them — the
+        collect is one Spark job, and a micro-batch should pay it
+        once."""
+        if buckets is None:
+            buckets = self._affected_buckets(keys_df)
         df = self.spark.read.parquet(self._data())
         return df.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
 
@@ -126,12 +136,9 @@ class UpsertTable:
             return
 
         new_rows = new_rows.cache()
-        merged = self._merge_existing(new_rows, merge_fn)
-        # materialize before the write: `merged` reads the same parquet
-        # partitions the write replaces (read-overwrite hazard otherwise)
-        merged = merged.localCheckpoint(eager=True)
+        merged = self._finalize(self._merge_existing(new_rows, merge_fn))
         self._check_merge_buckets(merged, new_rows, merge_fn)
-        self._write_dynamic(merged)
+        self._write_prebucketed(merged)
         new_rows.unpersist()
 
     def _lww_dedup_new(self, new_rows: DataFrame) -> DataFrame:
@@ -149,8 +156,9 @@ class UpsertTable:
         self,
         new_rows: DataFrame,
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None,
+        new_buckets: list[int] | None = None,
     ) -> DataFrame:
-        current = self.read_bucket_pruned(new_rows)
+        current = self.read_bucket_pruned(new_rows, new_buckets)
         if merge_fn is not None:
             return merge_fn(current, new_rows)
         # new rows win over current; ties among new rows broken by a
@@ -196,13 +204,24 @@ class UpsertTable:
                 "from the batch or the current subset it was given."
             )
 
-    def _write_dynamic(self, merged: DataFrame) -> None:
-        """Rewrite only the buckets present in `merged` (per-write
-        dynamic partition overwrite — session conf untouched)."""
-        (
+    def _finalize(self, merged: DataFrame) -> DataFrame:
+        """Bucket-assign + repartition + materialize the merge output.
+        The checkpoint serves two masters with ONE shuffle: it breaks
+        the read-overwrite hazard (`merged` reads the same parquet
+        partitions the write replaces), and it materializes the final
+        partition layout so the write itself is shuffle-free."""
+        return (
             merged.withColumn("_bucket", self._bucket_col())
             .repartition("_bucket")
-            .write.mode("overwrite")
+            .localCheckpoint(eager=True)
+        )
+
+    def _write_prebucketed(self, merged: DataFrame) -> None:
+        """Rewrite only the buckets present in `merged` (per-write
+        dynamic partition overwrite — session conf untouched).  Expects
+        a _finalize()d frame: `_bucket` present, layout materialized."""
+        (
+            merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket")
             .parquet(self._data())
@@ -295,20 +314,25 @@ class UpsertTable:
 
         if self.exists():
             new_rows = new_rows.cache()
+            # the batch's bucket list is collected ONCE and reused for
+            # the pruned current-read and the merge_fn safety check —
+            # each collect is a Spark job, the dominant fixed cost of a
+            # small micro-batch
+            new_buckets = self._affected_buckets(new_rows)
             # compute the merged output FIRST: the undo log must cover
             # every bucket the write touches, and a merge_fn may emit
             # keys hashing to buckets beyond the batch's own (checked
             # and refused below, but the snapshot is derived from the
             # merged output so the two can never disagree)
-            merged = self._merge_existing(new_rows, merge_fn)
-            merged = merged.localCheckpoint(eager=True)
+            merged = self._finalize(
+                self._merge_existing(new_rows, merge_fn, new_buckets)
+            )
             # one buckets collect serves both the safety check and the
-            # snapshot loop (one less job per micro-batch)
+            # snapshot loop (one less job per micro-batch); reads the
+            # materialized _bucket column, no hash recompute
             merged_buckets = self._affected_buckets(merged)
             if merge_fn is not None:
-                extra = set(merged_buckets) - set(
-                    self._affected_buckets(new_rows)
-                )
+                extra = set(merged_buckets) - set(new_buckets)
                 if extra:
                     raise ValueError(
                         "merge_fn emitted keys hashing to buckets "
@@ -334,7 +358,7 @@ class UpsertTable:
             # sentinel: the snapshot is complete and the table write is
             # about to start — only now may rollback restore from it
             open(os.path.join(pdir, "_snapshot_complete"), "w").close()
-            self._write_dynamic(merged)
+            self._write_prebucketed(merged)
             self.mark_applied(batch_id, namespace)
             shutil.rmtree(pdir, ignore_errors=True)
             new_rows.unpersist()
