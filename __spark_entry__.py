@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ingestprocessstoreinnrt_spark.operators import (
     asof,
     bi,
+    cdc,
     sketch,
     dedup,
     entity,
@@ -47,7 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew, asof, sketch):
+                multimodal, ml, windows, skew, asof, sketch, cdc):
         out.update(mod.QUERIES)
     return out
 
@@ -57,6 +58,6 @@ def oracle_sql() -> dict[str, str]:
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew, asof, sketch):
+                multimodal, ml, windows, skew, asof, sketch, cdc):
         out.update(mod.ORACLE)
     return out

@@ -1,0 +1,248 @@
+"""Change-tracking operators: SCD2 dimension history, snapshot diff
+(CDC), and count-min heavy-hitter estimation.
+
+The reference mutates serving tables in place (Kudu upserts,
+NyTaxiYellowTripStreaming.scala:223-229) and keeps no history; a
+training-data pipeline needs the other direction too — reconstructing
+WHAT changed:
+  * scd2_history — collapse an event log into type-2 dimension rows
+    (value, valid_from, valid_to, version): the standard
+    slowly-changing-dimension build, one window pass, no self-join.
+  * snapshot_diff — full-outer diff of two table snapshots into
+    inserted/deleted/changed rows: the batch CDC primitive used to
+    validate replication and to derive incremental training sets.
+    Scale shape: one shuffle on the join key; at 100 TB both sides
+    would be bucketed on the key and the join co-located.
+  * cms_heavy_hitters — count-min sketch (Cormode & Muthukrishnan
+    2005) frequency estimates.  Like the KMV sketch (operators/
+    sketch.py) the estimate is a DETERMINISTIC function of the data
+    given fixed hashes, so the approximate operator has an exact
+    DuckDB oracle; the d x w cell grid is a map-side-combined
+    aggregate (d*w bounded cells shuffle, never the key universe),
+    and estimates for any candidate set come from a broadcast join
+    against the tiny grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import SQL_STABLE_HASH64, stable_hash64
+
+# --- SCD2 history ----------------------------------------------------------
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type: one row per change
+    point, versioned, with [valid_from_us, valid_to_us) ranges (open
+    range on the current row).  Deterministic order: (ts_us, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wc).cast("long").alias("version"),
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wc).alias("valid_to_us"),
+    )
+
+
+_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+changes AS (
+  SELECT * FROM (
+    SELECT *, LAG(event_type) OVER w AS prev_type
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  ) f
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+  ROW_NUMBER() OVER w AS version,
+  event_type,
+  ts_us AS valid_from_us,
+  LEAD(ts_us) OVER w AS valid_to_us
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+# --- snapshot diff (batch CDC) ---------------------------------------------
+#
+# Two deterministic snapshots derived from orders stand in for
+# yesterday's and today's table: "old" drops keys = 0 (mod 10), "new"
+# drops keys = 0 (mod 7) and bumps o_totalprice by exactly 1.0 for keys
+# = 0 (mod 3) (an exact IEEE add — equality comparisons agree across
+# engines).  The diff is one full-outer equi-join on the key.
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), "inserted")
+        .when(F.col("new_price").isNull(), "deleted")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+    )
+    return (
+        j.withColumn("change_type", status)
+        .filter(F.col("change_type").isNotNull())
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+    )
+
+
+_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS ok, o_totalprice AS old_price FROM orders
+  WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey AS nk,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+diff AS (
+  SELECT COALESCE(ok, nk) AS o_orderkey,
+    CASE WHEN old_price IS NULL THEN 'inserted'
+         WHEN new_price IS NULL THEN 'deleted'
+         WHEN old_price <> new_price THEN 'changed' END AS change_type,
+    old_price, new_price
+  FROM old FULL OUTER JOIN new ON ok = nk
+)
+SELECT o_orderkey, change_type, old_price, new_price
+FROM diff WHERE change_type IS NOT NULL
+"""
+
+
+# --- count-min heavy hitters -----------------------------------------------
+
+CMS_DEPTH = 3  # independent hash rows
+CMS_WIDTH = 256  # buckets per row
+CMS_CANDIDATES = 20  # user_ids < 20 are the demo estimate targets
+
+
+def _cms_bucket(d: int):
+    # row-d hash: shared 60-bit md5 primitive over "d|user_id" (same
+    # string both engines), folded to the row's bucket
+    return F.pmod(
+        stable_hash64(
+            F.concat_ws("|", F.lit(str(d)), F.col("user_id").cast("string"))
+        ),
+        F.lit(CMS_WIDTH),
+    ).cast("int")
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs exact counts for the candidate user set.
+    est_count >= exact_count always (collisions only ADD); the gap on
+    this data is the observable sketch error."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_bucket(d).alias("bucket"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    # the sketch: d*w bounded cells, map-side combined — the key
+    # universe never shuffles
+    grid = (
+        ev.select(F.explode(cells).alias("c"))
+        .groupBy("c.d", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = (
+        ev.filter(F.col("user_id") < CMS_CANDIDATES)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = cand.select(
+        "user_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(d).alias("bucket")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "exact_count", "c.d", "c.bucket")
+    return (
+        probes.join(F.broadcast(grid), ["d", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .select("user_id", "est_count", "exact_count")
+    )
+
+
+def _cms_sql() -> str:
+    def bucket(d: int, key: str) -> str:
+        h = SQL_STABLE_HASH64.format(x=f"('{d}' || '|' || {key}::VARCHAR)")
+        return f"CAST({h} % {CMS_WIDTH} AS INT)"
+
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'user_id')} AS bucket, user_id"
+        " FROM events"
+        for d in range(CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, exact_count, {d} AS d,"
+        f" {bucket(d, 'user_id')} AS bucket FROM cand"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH hashed AS ({rows}),
+grid AS (
+  SELECT d, bucket, COUNT(*) AS cnt FROM hashed GROUP BY d, bucket
+),
+cand AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM events
+  WHERE user_id < {CMS_CANDIDATES} GROUP BY user_id
+),
+probes AS ({probe_rows})
+SELECT user_id, MIN(cnt) AS est_count, ANY_VALUE(exact_count) AS exact_count
+FROM probes JOIN grid USING (d, bucket)
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "cdc_scd2_history": scd2_history,
+    "cdc_snapshot_diff": snapshot_diff,
+    "sketch_cms_heavy_hitters": cms_heavy_hitters,
+}
+ORACLE = {
+    "cdc_scd2_history": _SCD2_SQL,
+    "cdc_snapshot_diff": _DIFF_SQL,
+    "sketch_cms_heavy_hitters": _cms_sql(),
+}
