@@ -20,6 +20,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     asof,
     bi,
     cdc,
+    graph,
     sketch,
     dedup,
     entity,
@@ -48,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew, asof, sketch, cdc):
+                multimodal, ml, windows, skew, asof, sketch, cdc, graph):
         out.update(mod.QUERIES)
     return out
 
@@ -58,6 +59,6 @@ def oracle_sql() -> dict[str, str]:
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew, asof, sketch, cdc):
+                multimodal, ml, windows, skew, asof, sketch, cdc, graph):
         out.update(mod.ORACLE)
     return out

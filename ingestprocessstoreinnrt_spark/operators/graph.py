@@ -1,0 +1,162 @@
+"""PageRank over the supplier -> customer shipment graph — the second
+"inherently iterative" operator family (after connected components and
+Lloyd's k-means) made exactly oracle-checkable.
+
+Determinism recipe: all score arithmetic is BIGINT — scores start at
+SCALE per vertex (PageRank is scale-invariant), each iteration
+distributes `score DIV outdeg` along edges (integral division; the
+leaked remainder mass is deterministic and identical cross-engine) and
+damps with integer ratios: next = (DEN-D)*SCALE DIV DEN
++ D * inbound DIV DEN.  Integer sums are order-independent, so the
+fixed-iteration unrolled DuckDB CTE chain lands on bit-identical
+scores.
+
+Scale shape: the textbook distributed PageRank — edges keyed by src
+with a precomputed out-degree, one shuffle per iteration
+(contributions groupBy dst), vertices co-partitioned.  At 100 TB you
+bucket edges and scores on the vertex id so the per-iteration join is
+co-located, and AQE splits skewed hubs; iteration count is fixed, so
+the lazy 3-deep plan here (no checkpoint needed) mirrors the unrolled
+SQL exactly.
+
+Graph: lineitem (sampled 1-in-10 by order key) joined to orders gives
+directed edges supplier -> ordering customer.  Supplier and customer
+key spaces overlap numerically, so vertex ids are disambiguated to
+2*suppkey and 2*custkey+1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+PR_SCALE = 1_000_000
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact integer ratio
+PR_ITERS = 3
+PR_TOPK = 20
+_EDGE_MOD = 10  # 1-in-10 order sample keeps the demo graph light
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _EDGE_MOD == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOPK vertices by damped PageRank after PR_ITERS exact
+    integer iterations: (node_id, node_kind, score_q, rank)."""
+    edges = _edges(spark, sf_dir)
+    out = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # one materialization each for the loop-invariant frames: every
+    # iteration re-reads them, and localCheckpoint (vs cache) keeps
+    # each pass's plan SHALLOW so whole-stage codegen compiles one
+    # iteration shape and reuses it — the same lesson as the kmeans
+    # one-plan-shape fix (13.9 s -> ~4 s first-run at sf0.1)
+    ed = edges.join(out, "src").localCheckpoint(eager=True)
+    verts = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    scores = verts.withColumn("s", F.lit(PR_SCALE).cast("long"))
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    for _ in range(PR_ITERS):
+        inbound = (
+            ed.join(scores, ed.src == scores.node)
+            .select("dst", F.expr("s DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inb"))
+        )
+        scores = (
+            verts.join(inbound, verts.node == inbound.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"{PR_D_NUM} * coalesce(inb, 0L) DIV {PR_D_DEN}"
+                    )
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    w = Window.orderBy(F.col("s").desc(), F.col("node").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PR_TOPK)
+        .select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, "supplier")
+            .otherwise("customer")
+            .alias("node_kind"),
+            F.col("s").alias("score_q"),
+            "rank",
+        )
+    )
+
+
+def _pagerank_sql() -> str:
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % {_EDGE_MOD} = 0
+)""",
+        "outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "verts AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"s0 AS (SELECT node, {PR_SCALE}::BIGINT AS s FROM verts)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""i{t} AS (
+  SELECT dst, SUM(s // outdeg) AS inb
+  FROM edges JOIN outd USING (src) JOIN s{t - 1} ON src = node
+  GROUP BY dst
+)"""
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT node, {base}::BIGINT
+    + {PR_D_NUM} * COALESCE(inb, 0) // {PR_D_DEN} AS s
+  FROM verts LEFT JOIN i{t} ON node = dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS node_id,
+  CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_kind,
+  s AS score_q, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, node ASC) AS rank
+  FROM s{PR_ITERS}
+) r
+WHERE rank <= {PR_TOPK}
+"""
+    )
+
+
+QUERIES = {"graph_pagerank": pagerank_shipments}
+ORACLE = {"graph_pagerank": _pagerank_sql()}
