@@ -22,6 +22,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     cdc,
     graph,
     sketch,
+    timeseries,
     dedup,
     entity,
     ml,
@@ -49,7 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew, asof, sketch, cdc, graph):
+                multimodal, ml, windows, skew, asof, sketch, cdc, graph,
+                timeseries):
         out.update(mod.QUERIES)
     return out
 
@@ -59,6 +61,7 @@ def oracle_sql() -> dict[str, str]:
     ingestprocessstoreinnrt_spark.functions.scalars)."""
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
-                multimodal, ml, windows, skew, asof, sketch, cdc, graph):
+                multimodal, ml, windows, skew, asof, sketch, cdc, graph,
+                timeseries):
         out.update(mod.ORACLE)
     return out

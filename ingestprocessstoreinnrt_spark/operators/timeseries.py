@@ -1,0 +1,162 @@
+"""Time-series regularization and feature binning — the reshaping
+steps between an event log and a training matrix.
+
+  * resample_ffill — per-user hourly grid over the user's active
+    range, aggregates where events exist, forward-filled otherwise:
+    the classic resample/fill-forward that turns irregular event
+    times into the regular grid sequence models train on.  Scale
+    shape: the grid is generated per key with sequence+explode (rows
+    never leave their key's partition), the hourly aggregate is
+    map-side combined, and the fill is one window pass per key — no
+    self-join, no driver loop.
+  * quantile_bins — decile binning of a numeric feature: boundaries
+    from one exact percentile aggregate (interpolated the same way by
+    Spark percentile() and DuckDB quantile_cont — the bi_percentiles
+    precedent), broadcast to a row-local bin expression, then a
+    10-group rollup.  This is the scale-correct shape for quantile
+    features: NTILE over a global window would serialize the corpus
+    through one partition; a broadcast boundary comparison keeps the
+    scan embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import davg, dsum, sql_davg, sql_dsum
+
+HOUR_US = 3_600_000_000
+RESAMPLE_USERS = 200  # deterministic user gate keeps the grid bounded
+N_BINS = 10
+
+
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, hour_us, n_events, avg_value) on a dense hourly grid
+    per user between the user's first and last event; empty hours have
+    n_events = 0 and carry the last seen avg_value forward (null until
+    the first observation)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < RESAMPLE_USERS)
+        .select(
+            "user_id",
+            # integral division, not `/` + cast: double rounding could
+            # cross an hour boundary; DIV and DuckDB's // agree exactly
+            F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+            "value",
+        )
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"), davg("value", "avg_v")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            (F.col("h") * HOUR_US).alias("hour_us"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("avg_value"),
+        )
+    )
+
+
+_RESAMPLE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {HOUR_US} AS h, value FROM events
+  WHERE user_id < {RESAMPLE_USERS}
+),
+hourly AS (
+  SELECT user_id, h, COUNT(*) AS n_events, {sql_davg("value", "avg_v")}
+  FROM ev GROUP BY user_id, h
+),
+grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM (
+    SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY user_id
+  )
+)
+SELECT g.user_id, g.h * {HOUR_US} AS hour_us,
+  COALESCE(n_events, 0) AS n_events,
+  last_value(avg_v IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING
+  ) AS avg_value
+FROM grid g LEFT JOIN hourly USING (user_id, h)
+"""
+
+
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bins of o_totalprice: (bin, n_orders, min/max/avg price).
+    Boundaries come from ONE percentile aggregate broadcast onto the
+    scan; bin = 1 + #boundaries at or below the price."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [i / N_BINS for i in range(1, N_BINS)]
+    bounds = orders.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
+        ).alias("bs")
+    )
+    binned = orders.join(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, b: acc
+                + (F.col("o_totalprice") >= b).cast("int"),
+            )
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice", "avg_price"),
+        )
+        .select("bin", "n_orders", "min_price", "max_price", "avg_price")
+    )
+
+
+def _bins_sql() -> str:
+    qs = ", ".join(str(i / N_BINS) for i in range(1, N_BINS))
+    return f"""
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice, [{qs}]) AS bs FROM orders
+),
+binned AS (
+  SELECT o_totalprice,
+    1 + len(list_filter(bs, b -> o_totalprice >= b)) AS bin
+  FROM orders, bounds
+)
+SELECT bin, COUNT(*) AS n_orders,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  {sql_davg("o_totalprice", "avg_price")}
+FROM binned GROUP BY bin
+"""
+
+
+QUERIES = {
+    "ts_resample_ffill": resample_ffill,
+    "ml_quantile_bins": quantile_bins,
+}
+ORACLE = {
+    "ts_resample_ffill": _RESAMPLE_SQL,
+    "ml_quantile_bins": _bins_sql(),
+}

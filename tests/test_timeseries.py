@@ -1,0 +1,58 @@
+"""Resample/fill-forward and quantile-binning invariants on smoke
+data; exact values are the DuckDB oracle's job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestprocessstoreinnrt_spark.operators import timeseries
+from tests.conftest import SF_SMOKE
+
+
+def test_resample_grid_dense_and_mass_conserving(spark):
+    out = timeseries.resample_ffill(spark, SF_SMOKE).collect()
+    ev = (
+        timeseries.load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") < timeseries.RESAMPLE_USERS)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {r.user_id: r.n for r in ev.collect()}
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(expected)
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.hour_us)
+        hours = [r.hour_us for r in rows]
+        # dense: every hour between first and last, exactly once
+        assert hours == list(
+            range(hours[0], hours[-1] + 1, timeseries.HOUR_US)
+        )
+        assert sum(r.n_events for r in rows) == expected[user]
+        # end hours anchor on real events; fill never leaves a null
+        # after the first observation (h0 is an event hour, so none)
+        assert rows[0].n_events > 0 and rows[-1].n_events > 0
+        assert all(r.avg_value is not None for r in rows)
+        # empty hours carry the previous value forward
+        prev = None
+        for r in rows:
+            if r.n_events == 0:
+                assert r.avg_value == prev
+            prev = r.avg_value
+
+
+def test_quantile_bins_partition_orders(spark):
+    rows = sorted(
+        timeseries.quantile_bins(spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(1, timeseries.N_BINS + 1))
+    total = (
+        timeseries.load_table(spark, SF_SMOKE, "orders").count()
+    )
+    assert sum(r.n_orders for r in rows) == total
+    for r in rows:  # deciles: each bin within a loose balance band
+        assert 0.05 * total < r.n_orders < 0.15 * total
+    for a, b in zip(rows, rows[1:]):  # value ranges strictly ordered
+        assert a.max_price <= b.min_price
