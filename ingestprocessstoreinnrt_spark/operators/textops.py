@@ -279,6 +279,79 @@ SELECT doc_id, score, rank FROM (
 """
 
 
+TFIDF_TOP = 3
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP characteristic terms per document by tf-idf
+    (idf = ln(N/df)).  Scale shape: explode -> one (doc, term)
+    aggregate shuffle; document frequencies are a vocabulary-sized
+    aggregate joined back on the term (broadcastable here, a plain
+    shuffle join at 100 TB); ranking is one window pass per doc.
+    Scores round to 6 dp before ranking with a term tie-break (the
+    cross-engine float pattern used by BM25 and the cosine ranks)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.trim(F.col("text")) != ""
+    )
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(
+            F.col("n_docs").cast("double") / F.col("df").cast("double")
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+    )
+
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (
+  SELECT COUNT(*)::BIGINT AS n_docs FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term,
+    round(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 6) AS tfidf,
+    ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY round(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 6) DESC,
+               term ASC
+    ) AS rank
+  FROM tf JOIN df USING (term), n
+) r
+WHERE rank <= {TFIDF_TOP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation pipeline — the end-to-end user story, composed from
 # the primitives above in ONE linear scan + ONE groupBy: quality gate
@@ -415,6 +488,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_bm25": text_bm25,
+    "text_tfidf_topterms": text_tfidf_topterms,
     "pipeline_curated_corpus": curated_corpus,
     "sample_stratified": sample_balanced_corpus,
 }
@@ -424,6 +498,7 @@ ORACLE = {
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,
     "text_bm25": _bm25_sql(),
+    "text_tfidf_topterms": _TFIDF_SQL,
     "pipeline_curated_corpus": _curated_sql(),
     "sample_stratified": _sample_sql(),
 }

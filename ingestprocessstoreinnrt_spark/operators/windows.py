@@ -196,11 +196,61 @@ WHERE value_rank <= 3
 """
 
 
+ROLL_US = 24 * 3_600_000_000  # trailing 24h, current row inclusive
+
+
+def rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: trailing-24h activity features (count + exact
+    quantized value sum) over a RANGE frame — the point-in-time
+    feature join shape: every training example sees exactly the
+    history available at its own timestamp, no leakage.  One window
+    pass per key; the quantized integer sum keeps the windowed
+    aggregate order-independent like every dsum."""
+    from ..functions.scalars import quantize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(ROLL_US - 1), 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(wr).alias("n_24h"),
+        (F.sum(quantize(F.col("value"))).over(wr).cast("double") / 10000.0)
+        .alias("value_24h"),
+    )
+
+
+_ROLLING_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+)
+SELECT user_id, event_id,
+  COUNT(*) OVER w AS n_24h,
+  CAST(SUM(qv) OVER w AS DOUBLE) / 10000.0 AS value_24h
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_us
+  RANGE BETWEEN {ROLL_US - 1} PRECEDING AND CURRENT ROW
+)
+"""
+
+
 QUERIES = {
     "win_user_sessions": user_sessions,
     "win_tumbling_hourly": tumbling_hourly,
     "win_hopping_quarter": hopping_quarter,
     "win_user_event_ranks": user_event_ranks,
+    "win_rolling_24h": rolling_24h,
 }
 
 ORACLE = {
@@ -208,4 +258,5 @@ ORACLE = {
     "win_tumbling_hourly": _TUMBLING_SQL,
     "win_hopping_quarter": _HOPPING_SQL,
     "win_user_event_ranks": _RANKS_SQL,
+    "win_rolling_24h": _ROLLING_SQL,
 }

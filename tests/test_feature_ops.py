@@ -1,0 +1,53 @@
+"""Rolling point-in-time features and tf-idf ranking invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestprocessstoreinnrt_spark.operators import textops, windows
+from tests.conftest import SF_SMOKE
+
+
+def test_rolling_24h_matches_bruteforce_on_sample(spark):
+    """For a handful of users, the windowed trailing-24h count equals a
+    brute-force per-event filter count."""
+    out = {
+        r.event_id: r
+        for r in windows.rolling_24h(spark, SF_SMOKE)
+        .filter(F.col("user_id") < 5)
+        .collect()
+    }
+    ev = (
+        windows.load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    assert out and len(ev) == len(out)
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rows in by_user.items():
+        for r in rows:
+            n = sum(
+                1
+                for o in rows
+                if r.ts_us - windows.ROLL_US < o.ts_us <= r.ts_us
+            )
+            assert out[r.event_id].n_24h == n
+
+
+def test_tfidf_ranks_and_positivity(spark):
+    rows = textops.text_tfidf_topterms(spark, SF_SMOKE).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= textops.TFIDF_TOP
+        for a, b in zip(rs, rs[1:]):
+            assert (a.tfidf, b.term) >= (b.tfidf, a.term)  # desc, tie asc
+        for r in rs:
+            assert r.tfidf >= 0.0  # ln(N/df) >= 0 since df <= N
