@@ -62,3 +62,42 @@ def test_embedding_neardup_avoids_nested_loop_join(spark):
     plan = E.formatted_plan(dedup.embedding_neardup(spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_has_no_corpus_self_join(spark):
+    """The inverted-list assignment is an in-row broadcast fold; a
+    SortMergeJoin on vec_id here means the corpus self-join came back
+    (one full shuffle of the embedding table per query at scale)."""
+    from ingestprocessstoreinnrt_spark.operators import similarity
+
+    assert not E.uses_sort_merge_join(
+        similarity.ann_ivf_topk(spark, SF_ORACLE)
+    )
+
+
+def test_quantile_bins_has_no_global_window(spark):
+    """Binning must come from broadcast boundary comparison; a Window
+    operator here means a global NTILE serializing the corpus through
+    one partition.  (The boundaries ride in as a condition-less 1-row
+    BroadcastNestedLoopJoin — that one is metadata-scale by
+    construction and is the intended shape.)"""
+    from ingestprocessstoreinnrt_spark.operators import timeseries
+
+    plan = E.formatted_plan(timeseries.quantile_bins(spark, SF_ORACLE))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_is_an_equi_join(spark):
+    from ingestprocessstoreinnrt_spark.operators import cdc
+
+    plan = E.formatted_plan(cdc.snapshot_diff(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_is_single_window_pass_no_join(spark):
+    from ingestprocessstoreinnrt_spark.operators import cdc
+
+    plan = E.formatted_plan(cdc.scd2_history(spark, SF_ORACLE))
+    assert "Join" not in plan  # lag/lead windows only — no self-join
