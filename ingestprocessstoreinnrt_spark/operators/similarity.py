@@ -338,14 +338,69 @@ WHERE rank <= {TOP_K}"""
     )
 
 
+# --- int8 storage quantization ---------------------------------------------
+#
+# The format a 100 TB embedding table actually ships in: per-vector
+# absmax scale + int8 components (4x smaller than float32, 8x smaller
+# than float64; recall loss is the re-rank stage's problem).  Exact
+# cross-engine: the scale is an exact max of exact float->double
+# widenings, and each component quantizes with one division + multiply
+# + floor evaluated in the same order by both engines.  Output is
+# exploded to (vec_id, pos, qval) rows so the value-hash gate covers
+# every component.
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qval = F.when(F.col("scale") == 0.0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            F.col("x").cast("double") / F.col("scale") * F.lit(127.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return (
+        emb.select("vec_id", scale.alias("scale"), "embedding")
+        .select(
+            "vec_id",
+            "scale",
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select("vec_id", F.col("pos").cast("int").alias("pos"),
+                qval.alias("qval"), "scale")
+    )
+
+
+def _quant_sql() -> str:
+    from .ml import EMB_DIM
+
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+  FROM embeddings
+)
+SELECT vec_id, i::INT AS pos,
+  CASE WHEN scale = 0 THEN 0
+       ELSE FLOOR(embedding[i + 1]::DOUBLE / scale * 127.0 + 0.5)
+  END::BIGINT AS qval,
+  scale
+FROM s, (SELECT unnest(range(0, {EMB_DIM})) AS i) t
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": ann_topk_cosine,
     "sim_ann_lsh": ann_lsh_topk,
     "sim_ann_ivf": ann_ivf_topk,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 ORACLE = {
     "sim_topk_cosine": _TOPK_SQL,
     "sim_ann_lsh": _ann_lsh_sql(),
     "sim_ann_ivf": _ann_ivf_sql(),
+    "emb_quantize_int8": _quant_sql(),
 }
