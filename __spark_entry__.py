@@ -21,6 +21,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     bi,
     cdc,
     graph,
+    layout,
     sketch,
     timeseries,
     dedup,
@@ -51,7 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries):
+                timeseries, layout):
         out.update(mod.QUERIES)
     return out
 
@@ -62,6 +63,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries):
+                timeseries, layout):
         out.update(mod.ORACLE)
     return out
