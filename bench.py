@@ -81,6 +81,43 @@ def streaming_bench(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def windowed_stream_bench(spark, sf_dir: str) -> dict:
+    """Rows/s through the watermarked event-time window path: the sf
+    events table streamed in 5 file micro-batches into the tumbling
+    hourly aggregate (state-store windows + watermark eviction on)."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.streaming import windows as sw
+
+    tmp = tempfile.mkdtemp(prefix="bench_winstream_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n_rows = ev.count()
+        ev.repartition(5).write.mode("overwrite").parquet(tmp + "/ev")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp + "/ev")
+        )
+        t0 = time.perf_counter()
+        q = (
+            sw.windowed_counts_stream(src)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        return {
+            "windowed_rows_per_sec": round(n_rows / elapsed, 1),
+            "rows": n_rows,
+            "sec": round(elapsed, 4),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -99,6 +136,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     streaming = streaming_bench(spark)
+    streaming.update(windowed_stream_bench(spark, sf_dir))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
