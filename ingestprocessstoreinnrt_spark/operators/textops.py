@@ -450,6 +450,62 @@ def stratified_sample(
     return docs.filter(gate < rate)
 
 
+WEIGHTED_K = 5
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample, k per source stratum — Efraimidis-
+    Spirakis A-ES with the randomness replaced by the shared
+    deterministic hash: u = (h+1)/2^60 in (0,1], and since
+    u^(1/w) orders identically to ln(u)/w, the key is one ln + one
+    divide (the libm boundary already load-bearing in BM25/TF-IDF).
+    Heavier docs (weight = n_chars+1) win proportionally more seats.
+    Row-local scoring + one per-stratum top-k window: at 100 TB this
+    is a scan plus a TakeOrdered per stratum, no shuffle of the
+    corpus beyond the k winners per partition.  Keys round to 9 dp
+    before ranking with a doc_id tie-break (same cross-engine float
+    pattern as every ranked score here)."""
+    from pyspark.sql import Window
+
+    from ..functions.scalars import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        stable_hash64(F.col("doc_id").cast("string")).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = F.round(
+        F.log(u) / (F.col("n_chars").cast("double") + F.lit(1.0)), 9
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("key_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source",
+                    (F.col("n_chars") + 1).alias("weight"),
+                    key.alias("key_r"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= WEIGHTED_K)
+    )
+
+
+def _weighted_sql() -> str:
+    h = SQL_STABLE_HASH64.format(x="doc_id::VARCHAR")
+    key = (
+        f"round(ln(({h}::DOUBLE + 1.0) / {float(1 << 60)}) /"
+        f" (n_chars::DOUBLE + 1.0), 9)"
+    )
+    return f"""
+SELECT doc_id, source, weight, key_r, rank FROM (
+  SELECT doc_id, source, n_chars + 1 AS weight, {key} AS key_r,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY {key} DESC, doc_id ASC) AS rank
+  FROM documents
+) r
+WHERE rank <= {WEIGHTED_K}
+"""
+
+
 def sample_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate query: per-language document counts before/after the
     deterministic stratified gate — the class-rebalancing step of a
@@ -491,6 +547,7 @@ QUERIES = {
     "text_tfidf_topterms": text_tfidf_topterms,
     "pipeline_curated_corpus": curated_corpus,
     "sample_stratified": sample_balanced_corpus,
+    "sample_weighted": weighted_sample,
 }
 
 ORACLE = {
@@ -501,4 +558,5 @@ ORACLE = {
     "text_tfidf_topterms": _TFIDF_SQL,
     "pipeline_curated_corpus": _curated_sql(),
     "sample_stratified": _sample_sql(),
+    "sample_weighted": _weighted_sql(),
 }
