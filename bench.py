@@ -111,8 +111,8 @@ def windowed_stream_bench(spark, sf_dir: str) -> dict:
         elapsed = time.perf_counter() - t0
         return {
             "windowed_rows_per_sec": round(n_rows / elapsed, 1),
-            "rows": n_rows,
-            "sec": round(elapsed, 4),
+            "windowed_rows": n_rows,
+            "windowed_sec": round(elapsed, 4),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
