@@ -6,10 +6,16 @@ of this engine, in one script over the documents/embeddings tables:
     -> near-dup pairs    (full-corpus PPJoin exact Jaccard)
     -> dedup clusters    (connected components; one survivor per group)
     -> class rebalance   (deterministic stratified sample by language)
+    -> weighted sample   (A-ES reservoir, k per source, length-weighted)
     -> corpus stats      (KMV distinct sketch vs exact)
     -> relevance search  (BM25 over the curated corpus)
+  events
+    -> training grid     (hourly resample + fill-forward per user)
   embeddings
     -> ANN search        (IVF probe vs brute-force recall)
+    -> storage quantize  (absmax int8 — the 100 TB shipping format)
+  orders
+    -> layout            (z-order clustering for 2-D file pruning)
 
 Run:  python examples/llm_pipeline_demo.py  [sf_dir]
 """
@@ -26,9 +32,11 @@ from pyspark.sql import functions as F
 from ingestprocessstoreinnrt_spark.catalog import load_table
 from ingestprocessstoreinnrt_spark.operators import (
     dedup,
+    layout,
     similarity,
     sketch,
     textops,
+    timeseries,
 )
 from ingestprocessstoreinnrt_spark.session import get_spark
 
@@ -88,6 +96,40 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"[6] ANN: IVF recall vs brute force "
         f"{len(ivf & exact) / len(exact):.2f} "
         f"({len(ivf)} probe results, {len(exact)} exact top-k)"
+    )
+
+    # 7. weighted reservoir sample (length-weighted, k per source)
+    ws = textops.weighted_sample(spark, sf_dir)
+    by_src = ws.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("weight").alias("w")
+    )
+    picks = ", ".join(
+        f"{r.source}: {r.k} seats" for r in by_src.orderBy("source").collect()
+    )
+    print(f"[7] weighted reservoir sample — {picks}")
+
+    # 8. training grid: hourly resample + fill-forward
+    grid = timeseries.resample_ffill(spark, sf_dir)
+    n_cells = grid.count()
+    n_empty = grid.filter(F.col("n_events") == 0).count()
+    print(
+        f"[8] resample: {n_cells} hourly cells, "
+        f"{n_empty} empty hours fill-forwarded"
+    )
+
+    # 9. int8 storage quantization
+    q = similarity.emb_quantize_int8(spark, sf_dir)
+    mx = q.agg(F.max(F.abs(F.col("qval")))).collect()[0][0]
+    print(
+        f"[9] int8 quantization: {q.count()} components, |q| <= {mx} "
+        f"(4x smaller than float32 at rest)"
+    )
+
+    # 10. z-order layout quality
+    z = layout.zorder_orders(spark, sf_dir)
+    print(
+        f"[10] z-order: {z.count()} orders keyed for 2-D pruning "
+        f"(see tests/test_layout.py for the file-skip demonstration)"
     )
 
     spark.stop()
