@@ -1,0 +1,110 @@
+"""Streaming point-in-time features: the applyInPandasWithState twin
+of the batch trailing-24h window (operators/windows.py:rolling_24h).
+
+Per user the state store keeps only the events still inside the
+trailing window of the newest event seen (bounded state: at most the
+key's 24h activity, evicted as time advances).  Each micro-batch emits
+one feature row per incoming event — the same (count, exact quantized
+sum) the batch RANGE frame computes, so a feature store fed by this
+stream serves values bit-identical to offline training features
+computed in batch.  The equality is asserted in
+tests/test_feature_ops.py over a chunked replay of the events table.
+
+Ordering contract: per-key arrival must be event-time ordered ACROSS
+micro-batches (in-batch disorder is handled by sorting, and equal-ts
+peers are mutually visible like the batch RANGE frame's peer rows).
+Time-chunked file sources satisfy this; an out-of-order source needs a
+watermark-buffered variant.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.windows import ROLL_US
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n_24h", T.LongType()),
+        T.StructField("value_24h", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = "ts_list ARRAY<LONG>, qv_list ARRAY<LONG>"
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
+
+    if state.exists:
+        ts_hist, qv_hist = state.get
+        ts_hist, qv_hist = list(ts_hist), list(qv_hist)
+    else:
+        ts_hist, qv_hist = [], []
+
+    # append the whole batch FIRST: equal-ts peers must see each other
+    # (the batch RANGE frame includes peer rows), then score per event
+    new_ts = rows["ts_us"].tolist()
+    new_qv = [
+        math.floor(v * 10000.0 + 0.5) for v in rows["value"].tolist()
+    ]
+    ts_all = ts_hist + new_ts
+    qv_all = qv_hist + new_qv
+
+    out_n, out_v = [], []
+    for t in new_ts:
+        lo = t - ROLL_US + 1
+        n = q = 0
+        for ts, qv in zip(ts_all, qv_all):
+            if lo <= ts <= t:
+                n += 1
+                q += qv
+        out_n.append(n)
+        out_v.append(q / 10000.0)
+
+    # evict entries no future (in-order) event can see
+    hi = max(ts_all)
+    keep_lo = hi - ROLL_US + 1
+    kept = [(ts, qv) for ts, qv in zip(ts_all, qv_all) if ts >= keep_lo]
+    state.update(
+        ([ts for ts, _ in kept], [qv for _, qv in kept])
+    )
+
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])] * len(new_ts),
+            "event_id": rows["event_id"].tolist(),
+            "n_24h": out_n,
+            "value_24h": out_v,
+        }
+    )
+
+
+def rolling_features_stream(events: DataFrame) -> DataFrame:
+    """events: streaming (user_id, event_id, ts, value) -> one feature
+    row per event, state bounded to each key's trailing window."""
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

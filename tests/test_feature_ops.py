@@ -51,3 +51,59 @@ def test_tfidf_ranks_and_positivity(spark):
             assert (a.tfidf, b.term) >= (b.tfidf, a.term)  # desc, tie asc
         for r in rs:
             assert r.tfidf >= 0.0  # ln(N/df) >= 0 since df <= N
+
+
+def test_streaming_rolling_features_equal_batch(spark, tmp_path):
+    """The applyInPandasWithState rolling-feature stream replayed over
+    time-ordered chunks emits EXACTLY the batch RANGE-frame features —
+    online serving equals offline training, bit for bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ingestprocessstoreinnrt_spark.streaming import features
+
+    ev = windows.load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),  # plain longs round-trip
+        "value",
+    )
+    pdf = ev.orderBy("ts_us", "event_id").toPandas()
+    d = str(tmp_path / "chunks")
+    import os
+
+    os.makedirs(d)
+    k = len(pdf) // 3 + 1
+    for i in range(3):  # time-ordered chunks (per-key order holds)
+        chunk = pdf.iloc[i * k : (i + 1) * k]
+        if len(chunk):
+            pq.write_table(pa.Table.from_pandas(chunk), f"{d}/c{i}.parquet")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        .drop("ts_us")
+    )
+    q = (
+        features.rolling_features_stream(src)
+        .writeStream.format("memory")
+        .queryName("rollfeat")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.event_id: (r.user_id, r.n_24h, r.value_24h)
+        for r in spark.sql("SELECT * FROM rollfeat").collect()
+    }
+    batch = {
+        r.event_id: (r.user_id, r.n_24h, r.value_24h)
+        for r in windows.rolling_24h(spark, SF_SMOKE).collect()
+    }
+    assert len(streamed) == len(batch) > 0
+    assert streamed == batch
