@@ -795,11 +795,96 @@ def decision_tree_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-key OLS trend (exact sufficient statistics) -----------------------
+#
+# Per-entity linear trend features (value vs hours since corpus start):
+# the same closed-form-from-integer-sums recipe as correlation_pairs —
+# x is a small exact int (hour offset <= ~720), y quantizes to 1e-4,
+# every sufficient statistic is an exact BIGINT sum, and the two final
+# divisions convert exact ints (< 2^53) to double identically in both
+# engines.  Scale shape: one map-side-combined aggregate per key; the
+# global min-hour rides in as a broadcast 1-row frame.
+
+
+def group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("h"),
+        quantize(F.col("value")).alias("qy"),
+    )
+    h0 = ev.agg(F.min("h").alias("h0"))
+    d = ev.join(F.broadcast(h0)).select(
+        "user_id", (F.col("h") - F.col("h0")).alias("x"), "qy"
+    )
+    g = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("qy")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_q = num.cast("double") / den.cast("double")
+    slope = slope_q / F.lit(10000.0)
+    intercept = (
+        (F.col("sy").cast("double") - slope_q * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(10000.0)
+    )
+    flat_mean = (
+        F.col("sy").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(10000.0)
+    )
+    return g.select(
+        "user_id",
+        "n",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(slope)
+        .alias("slope_per_hour"),
+        F.when(den == 0, flat_mean).otherwise(intercept).alias("intercept"),
+    )
+
+
+_OLS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qy
+  FROM events
+),
+b AS (SELECT MIN(h) AS h0 FROM e),
+d AS (SELECT user_id, h - h0 AS x, qy FROM e, b),
+g AS (
+  SELECT user_id,
+    COUNT(*)::BIGINT AS n,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(qy) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * qy) AS BIGINT) AS sxy
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+            / 10000.0
+  END AS slope_per_hour,
+  CASE WHEN n * sxx - sx * sx = 0
+       THEN sy::DOUBLE / n::DOUBLE / 10000.0
+       ELSE (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+              / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+            / n::DOUBLE / 10000.0
+  END AS intercept
+FROM g
+"""
+
+
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
     "ml_kmeans": kmeans_lloyd,  # exact Lloyd's, oracle-verified
     "ml_decision_tree": decision_tree_exact,  # exact CART, oracle-verified
+    "ml_group_ols": group_ols_trend,
 }
 
 ORACLE = {
@@ -807,4 +892,5 @@ ORACLE = {
     "ml_correlation": _corr_sql(),
     "ml_kmeans": _kmeans_sql(),
     "ml_decision_tree": _tree_sql(),
+    "ml_group_ols": _OLS_SQL,
 }
