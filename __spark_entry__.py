@@ -29,6 +29,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     ml,
     multimodal,
     profile,
+    quality,
     similarity,
     skew,
     textops,
@@ -52,7 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout):
+                timeseries, layout, quality):
         out.update(mod.QUERIES)
     return out
 
@@ -63,6 +64,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout):
+                timeseries, layout, quality):
         out.update(mod.ORACLE)
     return out
