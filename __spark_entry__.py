@@ -26,6 +26,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     timeseries,
     dedup,
     entity,
+    funnel,
     ml,
     multimodal,
     profile,
@@ -53,7 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality):
+                timeseries, layout, quality, funnel):
         out.update(mod.QUERIES)
     return out
 
@@ -64,6 +65,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality):
+                timeseries, layout, quality, funnel):
         out.update(mod.ORACLE)
     return out

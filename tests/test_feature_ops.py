@@ -107,3 +107,37 @@ def test_streaming_rolling_features_equal_batch(spark, tmp_path):
     }
     assert len(streamed) == len(batch) > 0
     assert streamed == batch
+
+
+def test_funnel_matches_bruteforce(spark):
+    """Ordered funnel counts equal a per-user Python replay."""
+    from ingestprocessstoreinnrt_spark.operators import funnel
+
+    got = {
+        r.stage: r.n_users
+        for r in funnel.funnel_counts(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        windows.load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_type))
+    n = [0, 0, 0]
+    for rows in by_user.values():
+        rows.sort()
+        t = None
+        for depth, stage in enumerate(funnel.FUNNEL_STAGES):
+            nxt = min(
+                (ts for ts, et in rows
+                 if et == stage and (t is None or ts > t)),
+                default=None,
+            )
+            if nxt is None:
+                break
+            t = nxt
+            n[depth] += 1
+    assert got == dict(zip(funnel.FUNNEL_STAGES, n))
+    assert n[0] >= n[1] >= n[2] > 0  # funnel narrows, never empties here
