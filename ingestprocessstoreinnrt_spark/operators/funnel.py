@@ -117,5 +117,49 @@ UNION ALL SELECT '{s2}', 3, n2 FROM c
 """
 
 
-QUERIES = {"funnel_ordered": funnel_counts}
-ORACLE = {"funnel_ordered": _funnel_sql()}
+WEEK_US = 7 * 86_400_000_000
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_offset, n_users) — weekly cohort retention:
+    users bucketed by their first-activity week, counted in every later
+    week they return.  Two aggregates: first-week per user (one shuffle
+    on user_id), then distinct-user counts per (cohort, offset) over
+    the deduplicated (user, week) activity — the standard retention
+    matrix, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {WEEK_US}").alias("wk")
+    )
+    active = ev.distinct()  # (user, week) activity grid
+    first = active.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_RETENTION_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS wk FROM events
+),
+first AS (
+  SELECT user_id, MIN(wk) AS cw FROM active GROUP BY user_id
+)
+SELECT cw AS cohort_week, wk - cw AS week_offset, COUNT(*) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cw, wk - cw
+"""
+
+
+QUERIES = {
+    "funnel_ordered": funnel_counts,
+    "funnel_retention_cohorts": retention_cohorts,
+}
+ORACLE = {
+    "funnel_ordered": _funnel_sql(),
+    "funnel_retention_cohorts": _RETENTION_SQL,
+}
