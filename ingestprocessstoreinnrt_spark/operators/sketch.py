@@ -107,5 +107,112 @@ SELECT 'o_custkey' AS column_name, k_eff, kth_hash,
 FROM s, e
 """
 
-QUERIES = {"sketch_kmv_distinct": kmv_distinct_customers}
-ORACLE = {"sketch_kmv_distinct": _KMV_SQL}
+# --- grouped KMV: approximate distinct PER GROUP ---------------------------
+#
+# The merge property sketches exist for: per input partition, per
+# group, keep the k smallest distinct hashes (one Arrow pass, NO
+# shuffle of the value universe); the global per-group sketch is then
+# the k-min over <= partitions x k partial rows.  This is the
+# map-side-combine shape PySpark lacks a native UDAF for — mapInPandas
+# emits the partials, a tiny window finishes the merge.
+
+
+def kmv_group_partials(
+    hashes: DataFrame, group_col: str = "g", k: int = KMV_K
+) -> DataFrame:
+    import numpy as np
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                u = np.unique(sub["h"].values)
+                prev = best.get(g)
+                merged = u if prev is None else np.unique(
+                    np.concatenate([prev, u])
+                )
+                best[g] = merged[:k]
+        for g, arr in best.items():
+            if len(arr):
+                yield pd.DataFrame({group_col: g, "h": arr})
+
+    return hashes.mapInPandas(_partial, schema=f"{group_col} string, h long")
+
+
+def kmv_distinct_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct o_custkey per o_orderpriority (KMV k=256),
+    exact count alongside."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        stable_hash64(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    topk = (
+        kmv_group_partials(h)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    s = topk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.max("h").alias("kth_hash"),
+    )
+    e = orders.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    approx = F.when(
+        F.col("k_eff") < KMV_K, F.col("k_eff").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K - 1)) * F.lit(_HASH_SPACE))
+        / F.col("kth_hash").cast("double")
+    )
+    return s.join(e, "g").select(
+        F.col("g").alias("group_value"),
+        "k_eff",
+        "kth_hash",
+        approx.alias("approx_distinct"),
+        "exact_distinct",
+    )
+
+
+_KMV_GROUP_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS g,
+    {SQL_STABLE_HASH64.format(x="o_custkey::VARCHAR")} AS h
+  FROM orders
+),
+topk AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+),
+s AS (
+  SELECT g, COUNT(*)::BIGINT AS k_eff, MAX(h) AS kth_hash
+  FROM topk GROUP BY g
+),
+e AS (
+  SELECT o_orderpriority AS g,
+    COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT s.g AS group_value, k_eff, kth_hash,
+  CASE WHEN k_eff < {KMV_K} THEN k_eff::DOUBLE
+       ELSE ({float(KMV_K - 1)} * {_HASH_SPACE}) / kth_hash::DOUBLE
+  END AS approx_distinct,
+  exact_distinct
+FROM s JOIN e ON s.g = e.g
+"""
+
+
+QUERIES = {
+    "sketch_kmv_distinct": kmv_distinct_customers,
+    "sketch_kmv_by_group": kmv_distinct_by_group,
+}
+ORACLE = {
+    "sketch_kmv_distinct": _KMV_SQL,
+    "sketch_kmv_by_group": _KMV_GROUP_SQL,
+}
