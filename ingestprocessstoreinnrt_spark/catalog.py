@@ -64,10 +64,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # not the SQL conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
     got = _LOAD_MEMO.get(key)
     if got is not None:
         return got
+    # miss: evict entries from other applications — their DataFrames pin
+    # stopped SparkSessions and would otherwise accumulate forever in
+    # long-lived processes that restart sessions (the test suite does)
+    for k in [k for k in _LOAD_MEMO if k[0] != app_id]:
+        del _LOAD_MEMO[k]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLS.get(name, ()):
         dt = dict(df.dtypes).get(col)

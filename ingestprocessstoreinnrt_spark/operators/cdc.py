@@ -34,25 +34,29 @@ from ..functions.scalars import SQL_STABLE_HASH64, stable_hash64
 # --- SCD2 history ----------------------------------------------------------
 
 
-def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 history of each user's event_type: one row per change
-    point, versioned, with [valid_from_us, valid_to_us) ranges (open
-    range on the current row).  Deterministic order: (ts_us, event_id).
-    """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("ts_us"),
+def _scd2_from(ev: DataFrame) -> DataFrame:
+    """SCD2 core over a prepared (user_id, event_id, ts_us, event_type)
+    frame.  Same-ts events collapse to the LAST event_id first (the
+    state AS OF that instant), so ranges are always non-empty — without
+    the collapse, two different-type events at one ts would emit a
+    zero-duration [t, t) row and the earlier event would be covered by
+    the wrong-type version."""
+    w_ts = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    changes = ev.withColumn(
+    last_at_ts = (
+        ev.withColumn("rn", F.row_number().over(w_ts))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    changes = last_at_ts.withColumn(
         "prev_type", F.lag("event_type").over(w)
     ).filter(
         F.col("prev_type").isNull()
         | (F.col("prev_type") != F.col("event_type"))
     )
-    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wc = Window.partitionBy("user_id").orderBy("ts_us")
     return changes.select(
         "user_id",
         F.row_number().over(wc).cast("long").alias("version"),
@@ -62,14 +66,37 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type: one row per change
+    point, versioned, with [valid_from_us, valid_to_us) ranges (open
+    range on the current row).  Same-ts events collapse to the last
+    event_id (see _scd2_from); order within a user is by ts_us alone
+    after the collapse, which makes it deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return _scd2_from(ev)
+
+
 _SCD2_SQL = """
 WITH e AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
 ),
+last_at_ts AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, ts_us ORDER BY event_id DESC
+    ) AS rn FROM e
+  ) g WHERE rn = 1
+),
 changes AS (
   SELECT * FROM (
     SELECT *, LAG(event_type) OVER w AS prev_type
-    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    FROM last_at_ts WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
   ) f
   WHERE prev_type IS NULL OR prev_type <> event_type
 )
@@ -79,7 +106,7 @@ SELECT user_id,
   ts_us AS valid_from_us,
   LEAD(ts_us) OVER w AS valid_to_us
 FROM changes
-WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
 """
 
 

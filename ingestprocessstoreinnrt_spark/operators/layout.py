@@ -55,10 +55,9 @@ def _norm(v: str, mn: str, mx: str) -> str:
     )
 
 
-def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(o_orderkey, xdim, ydim, zval) — the z-value each order sorts by
-    when the table is laid out for (customer, day) pruning; xdim/ydim
-    are the normalized coordinates the tests measure spans on."""
+def _orders_with_zval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All orders columns + (day, xdim, ydim, zval).  The normalization
+    bounds are ONE metadata-scale aggregate broadcast onto the scan."""
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "day", F.expr(f"unix_micros(o_orderdate) DIV {DAY_US}")
     )
@@ -73,12 +72,47 @@ def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(bounds))
-        .select(
-            "o_orderkey",
-            F.expr(_norm("o_custkey", "cmn", "cmx")).alias("xdim"),
-            F.expr(_norm("day", "dmn", "dmx")).alias("ydim"),
-        )
+        .withColumn("xdim", F.expr(_norm("o_custkey", "cmn", "cmx")))
+        .withColumn("ydim", F.expr(_norm("day", "dmn", "dmx")))
         .withColumn("zval", F.expr(z).cast("long"))
+        .drop("cmn", "cmx", "dmn", "dmx")
+    )
+
+
+def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, xdim, ydim, zval) — the z-value each order sorts by
+    when the table is laid out for (customer, day) pruning; xdim/ydim
+    are the normalized coordinates the tests measure spans on."""
+    return _orders_with_zval(spark, sf_dir).select(
+        "o_orderkey", "xdim", "ydim", "zval"
+    )
+
+
+def zorder_write(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 16
+) -> None:
+    """OPTIMIZE-ZORDER closed loop: physically write the orders table
+    (all original columns + day) clustered by the interleaved key —
+    range-partitioned into n_files so each output file covers a
+    contiguous z-range, sorted within files so row groups nest the
+    same way.  Per-file min/max footer statistics on the REAL query
+    columns (o_custkey, day) then prune two-dimensional range scans;
+    tests/test_layout.py measures the skip rate on the written files.
+
+    The reference keys its serving table for point access the same way
+    (Kudu PRIMARY KEY (vendor_id, tpep_pickup_datetime, ...) in
+    create_ny_taxi_yellow_trip_table.impala:22); z-order is the
+    scan-pruning generalization for TWO selective dimensions.  At
+    100 TB: repartitionByRange samples the z-key (one pass), the sort
+    is per-partition, and nothing but the written data shuffles.
+    """
+    (
+        _orders_with_zval(spark, sf_dir)
+        .drop("xdim", "ydim")
+        .repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out_dir)
     )
 
 

@@ -103,18 +103,29 @@ FK_EDGES = (
 
 
 def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LAZY plan: per FK edge, total child rows from a plain
+    aggregate plus orphan rows from a left_anti join aggregate, joined
+    on the edge label and unioned.  Nothing executes at build time
+    (every other registered query is lazy too), and each edge's
+    anti-join still distributes — bucketing co-locates it at scale."""
     parts = []
     for child, fk, parent, pk in FK_EDGES:
+        edge = f"{child}.{fk} -> {parent}.{pk}"
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent).select(
             F.col(pk).alias("_pk")
         )
-        orphans = c.join(
-            p, c[fk] == p["_pk"], "left_anti"
-        ).count()  # metadata-scale result per edge; the join distributes
-        parts.append((f"{child}.{fk} -> {parent}.{pk}", c.count(), orphans))
-    return spark.createDataFrame(
-        parts, "fk_edge string, n_child bigint, n_orphans bigint"
+        totals = c.agg(
+            F.lit(edge).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child"),
+        )
+        orphans = c.join(p, c[fk] == p["_pk"], "left_anti").agg(
+            F.lit(edge).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+        parts.append(totals.join(orphans, "fk_edge"))
+    return reduce(DataFrame.unionByName, parts).select(
+        "fk_edge", "n_child", "n_orphans"
     )
 
 

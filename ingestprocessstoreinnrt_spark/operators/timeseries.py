@@ -28,7 +28,11 @@ from ..catalog import load_table
 from ..functions.scalars import davg, dsum, sql_davg, sql_dsum
 
 HOUR_US = 3_600_000_000
-RESAMPLE_USERS = 200  # deterministic user gate keeps the grid bounded
+# Deterministic user gate keeps the dense grid bounded.  32 users keeps
+# the sf0.01 oracle compare ~17k rows (200 users produced a 105k-row
+# diff, the largest in the driver gate by 7x) while still exercising
+# multi-user grids; the operator itself is per-key and scale-free.
+RESAMPLE_USERS = 32
 N_BINS = 10
 
 

@@ -10,11 +10,18 @@ stream serves values bit-identical to offline training features
 computed in batch.  The equality is asserted in
 tests/test_feature_ops.py over a chunked replay of the events table.
 
-Ordering contract: per-key arrival must be event-time ordered ACROSS
-micro-batches (in-batch disorder is handled by sorting, and equal-ts
-peers are mutually visible like the batch RANGE frame's peer rows).
-Time-chunked file sources satisfy this; an out-of-order source needs a
-watermark-buffered variant.
+Ordering contract: per-key timestamps must be STRICTLY increasing
+across micro-batch boundaries — all events sharing a (user_id, ts)
+must arrive in the SAME micro-batch (in-batch disorder is handled by
+sorting, and in-batch equal-ts peers are mutually visible like the
+batch RANGE frame's peer rows).  If an equal-ts peer arrived in a
+LATER batch, the earlier event's already-emitted features would
+undercount its peers, and append mode cannot re-emit a correction —
+so ``_update`` fails fast on any cross-batch ts regression or tie
+rather than silently breaking the online==offline guarantee.
+Time-chunked file sources that cut only between distinct timestamps
+satisfy this; an out-of-order source needs a watermark-buffered
+variant.
 """
 
 from __future__ import annotations
@@ -53,6 +60,19 @@ def _update(
         ts_hist, qv_hist = list(ts_hist), list(qv_hist)
     else:
         ts_hist, qv_hist = [], []
+
+    # contract guard: a ts <= the previous batches' max means an event
+    # whose features were already emitted is missing a peer/ancestor —
+    # unrecoverable in append mode, so fail loudly instead of serving
+    # features that no longer match the batch RANGE frame
+    if ts_hist and rows["ts_us"].iat[0] <= max(ts_hist):
+        raise ValueError(
+            f"rolling_features_stream: key {key[0]} received ts "
+            f"{int(rows['ts_us'].iat[0])} <= already-emitted max "
+            f"{max(ts_hist)}; per-key timestamps must be strictly "
+            "increasing across micro-batches (equal-ts peers must "
+            "share a batch)"
+        )
 
     # append the whole batch FIRST: equal-ts peers must see each other
     # (the batch RANGE frame includes peer rows), then score per event

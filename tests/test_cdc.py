@@ -54,6 +54,33 @@ def test_scd2_covers_every_event_state(spark):
     assert covered.count() == ev.count()  # exactly one covering row each
 
 
+def test_scd2_same_ts_collision_collapses_no_zero_width(spark):
+    """Two different-type events at ONE timestamp collapse to the last
+    event_id's type — no zero-duration [t, t) range, and the instant is
+    covered by exactly one row of the winning type (testdata has no
+    such collisions, so this crafts one)."""
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "a", 1_000_000),
+            (1, 11, "b", 2_000_000),  # collision at ts 2s: b then c
+            (1, 12, "c", 2_000_000),  # higher event_id wins
+            (1, 13, "c", 3_000_000),  # no change -> no new version
+            (1, 14, "a", 4_000_000),
+        ],
+        "user_id LONG, event_id LONG, event_type STRING, ts_us LONG",
+    )
+    rows = sorted(
+        cdc._scd2_from(ev).collect(), key=lambda r: r.version
+    )
+    assert [(r.event_type, r.valid_from_us, r.valid_to_us) for r in rows] == [
+        ("a", 1_000_000, 2_000_000),
+        ("c", 2_000_000, 4_000_000),
+        ("a", 4_000_000, None),
+    ]
+    for r in rows:  # never a zero-width range
+        assert r.valid_to_us is None or r.valid_to_us > r.valid_from_us
+
+
 def test_snapshot_diff_statuses_partition_keys(spark):
     diff = {r.o_orderkey: r for r in cdc.snapshot_diff(spark, SF_SMOKE).collect()}
     keys = [

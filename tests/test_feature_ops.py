@@ -73,9 +73,20 @@ def test_streaming_rolling_features_equal_batch(spark, tmp_path):
     import os
 
     os.makedirs(d)
+    # time-ordered chunks, cut ONLY between distinct timestamps so a
+    # (user_id, ts_us) peer group never straddles a micro-batch — the
+    # stream's strictly-increasing-across-batches contract
     k = len(pdf) // 3 + 1
-    for i in range(3):  # time-ordered chunks (per-key order holds)
-        chunk = pdf.iloc[i * k : (i + 1) * k]
+    cuts, at = [0], k
+    while at < len(pdf):
+        while at < len(pdf) and pdf["ts_us"].iat[at] == pdf["ts_us"].iat[at - 1]:
+            at += 1
+        if at < len(pdf):
+            cuts.append(at)
+        at += k
+    cuts.append(len(pdf))
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        chunk = pdf.iloc[lo:hi]
         if len(chunk):
             pq.write_table(pa.Table.from_pandas(chunk), f"{d}/c{i}.parquet")
 

@@ -50,6 +50,72 @@ def test_zval_roundtrips_dimensions(spark):
         assert (x, y) == (r.xdim, r.ydim)
 
 
+def test_zorder_writer_physical_table_prunes_real_columns(spark, tmp_path):
+    """The writer's payoff on the REAL table: zorder_write lays out
+    orders (original columns) z-clustered, and per-file footer stats on
+    the actual query columns (o_custkey, day) let a planner skip most
+    files for a two-dimensional range predicate — while the written
+    table still answers the query identically to the source table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_z")
+    layout.zorder_write(spark, SF_SMOKE, out, n_files=16)
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+
+    def stats(f, col):
+        md = pq.read_metadata(f)
+        i = md.schema.to_arrow_schema().names.index(col)
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+
+    src = layout.load_table(spark, SF_SMOKE, "orders")
+    cmx = src.agg(F.max("o_custkey")).first()[0]
+    days = src.select(
+        F.expr(f"unix_micros(o_orderdate) DIV {layout.DAY_US}").alias("d")
+    ).agg(F.min("d"), F.max("d")).first()
+    # low-corner rectangle, ~15% of each real dimension
+    qc = (0, int(cmx * 0.15))
+    qd = (days[0], days[0] + max(1, int((days[1] - days[0]) * 0.15)))
+
+    touched = 0
+    for f in files:
+        c0, c1 = stats(f, "o_custkey")
+        d0, d1 = stats(f, "day")
+        if c1 >= qc[0] and c0 <= qc[1] and d1 >= qd[0] and d0 <= qd[1]:
+            touched += 1
+    assert touched <= len(files) // 2  # planner skips most files
+
+    # and the written table answers the rectangle query identically
+    got = (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("o_custkey").between(*qc)) & (F.col("day").between(*qd))
+        )
+        .select("o_orderkey")
+    )
+    want = src.filter(
+        (F.col("o_custkey").between(*qc))
+        & (
+            F.expr(
+                f"unix_micros(o_orderdate) DIV {layout.DAY_US}"
+            ).between(*qd)
+        )
+    ).select("o_orderkey")
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in want.collect()
+    )
+
+
 def test_zorder_write_enables_file_pruning(spark, tmp_path):
     """The payoff claim, demonstrated physically: write the table
     z-sorted vs hash-distributed, read per-file min/max statistics
