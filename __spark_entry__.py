@@ -20,6 +20,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     asof,
     bi,
     cdc,
+    curation,
     graph,
     layout,
     sketch,
@@ -88,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality, funnel):
+                timeseries, layout, quality, funnel, curation):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -99,6 +100,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality, funnel):
+                timeseries, layout, quality, funnel, curation):
         out.update(mod.ORACLE)
     return _ordered(out)

@@ -1,0 +1,358 @@
+"""Corpus-curation operators a training-data pipeline runs between raw
+ingest and tokenization: PII redaction, fixed-window document chunking,
+within-document repetition signals, and train/eval decontamination.
+
+The reference stops at per-record cleansing (NyTaxiYellowTripParser
+zero-defaults malformed fields); an LLM corpus needs document-level
+curation on top.  All four are native DataFrame plans (regex/array
+expressions inside whole-stage codegen; no Python UDFs) with DuckDB
+oracle twins sharing the same regexes, window constants, and md5 hash
+primitive.
+
+Scale shapes:
+  * pii_redact — pure per-row regex battery: no shuffle, codegen end to
+    end; at 100 TB it is scan-bound.
+  * chunk_windows — per-row array explode (narrow): output rows ~
+    n_tokens/stride per doc, no shuffle before the sink.
+  * repetition_stats — wordcount shape: explode -> (doc_id, token)
+    partial-agg -> doc_id agg; both aggregates map-side combine.
+  * ngram_contamination — distinct train-gram set (one shuffle keyed by
+    gram) + a gram-keyed join against eval grams: both sides bucket on
+    the gram key at scale; no pairwise doc join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fan_out, load_table
+from ..functions.scalars import SQL_STABLE_HASH64, stable_hash64
+from ..functions.text import tokens
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes and bounded quantifiers
+# only — no lookaround, no backtracking-dependent alternation.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus is PII-free word soup, so the query grafts a
+    deterministic PII suffix onto 3 of every 5 docs (keyed by doc_id —
+    same rows, same strings, in both engines).  The detection/redaction
+    expressions below are the real operator; this just gives them
+    non-zero work to prove on."""
+    m = F.col("doc_id") % 5
+    suffix = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn("txt", F.concat(F.col("text"), suffix))
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII counts plus the redacted text's length and hash —
+    the redacted string itself round-trips through the md5 fingerprint
+    so the oracle proves byte-identical redaction, not just counts."""
+    docs = _with_synthetic_pii(
+        fan_out(load_table(spark, sf_dir, "documents"))
+    )
+    txt = F.col("txt")
+    red = F.regexp_replace(txt, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(txt, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_len"),
+        stable_hash64(red).alias("redacted_hash"),
+    )
+
+
+_SQL_PII_TXT = """
+  SELECT doc_id, text ||
+    CASE doc_id % 5
+      WHEN 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+      WHEN 1 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      WHEN 2 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                  || ((doc_id * 7) % 256)::VARCHAR
+      ELSE ''
+    END AS txt
+  FROM documents
+"""
+
+_PII_SQL = f"""
+WITH d AS ({_SQL_PII_TXT}),
+r AS (
+  SELECT doc_id, txt,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(txt, '{PII_EMAIL}', '<EMAIL>', 'g'),
+        '{PII_PHONE}', '<PHONE>', 'g'),
+      '{PII_IPV4}', '<IP>', 'g') AS red
+  FROM d
+)
+SELECT doc_id,
+  len(regexp_extract_all(txt, '{PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(txt, '{PII_PHONE}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(txt, '{PII_IPV4}'))::BIGINT AS n_ips,
+  length(red)::BIGINT AS redacted_len,
+  {SQL_STABLE_HASH64.format(x="red")} AS redacted_hash
+FROM r
+"""
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # window size
+CHUNK_STRIDE = 48  # step -> 16-token overlap between neighbors
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into overlapping fixed-token windows —
+    the step that turns a curated corpus into training sequences.
+    Output: (doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_hash); the hash is over the space-joined window so the
+    oracle proves the exact token content of every chunk."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    d = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunked = d.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.slice(
+            F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        stable_hash64(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    )
+
+
+_SQL_TOKS = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+  WHERE trim(text) <> ''
+),
+c AS (
+  SELECT doc_id,
+    u.start // {CHUNK_STRIDE} AS chunk_idx,
+    u.start AS chunk_start,
+    toks[u.start + 1 : u.start + {CHUNK_TOKENS}] AS chunk
+  FROM d, UNNEST(range(0, len(toks), {CHUNK_STRIDE})) AS u(start)
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+  chunk_start::BIGINT AS chunk_start,
+  len(chunk)::BIGINT AS n_chunk_tokens,
+  {SQL_STABLE_HASH64.format(x="array_to_string(chunk, ' ')")} AS chunk_hash
+FROM c
+"""
+
+# ---------------------------------------------------------------------------
+# within-document repetition signals (Gopher-style quality gates)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition profile: token count, distinct count, the
+    most-frequent token's share, and the distinct ratio — the signals
+    repetition filters (e.g. Gopher Rule 6/7) threshold on."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    per_tok = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_token_share"
+        ),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+  WHERE trim(text) <> ''
+),
+per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  SUM(c)::BIGINT AS n_tokens,
+  COUNT(*)::BIGINT AS n_distinct,
+  MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_token_share,
+  COUNT(*)::DOUBLE / SUM(c)::DOUBLE AS distinct_ratio
+FROM per_tok GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 3  # word n-gram size
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> held-out eval split
+
+
+def _gram_frame(docs: DataFrame, pred) -> DataFrame:
+    """(doc_id, gram) distinct word-CONTAM_N-grams, hashed to 64-bit
+    (Broder shingle hashing — the oracle keeps raw strings; equal
+    cardinalities make the counts bit-identical, and the cross-engine
+    match doubles as a collision check, same trick as dedup's
+    _shingle_frame)."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (CONTAM_N - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(words, i + j) for j in range(CONTAM_N)],
+                )
+            ),
+        )
+    )
+    return (
+        docs.filter(pred)
+        .filter(F.size(words) >= CONTAM_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+
+
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every eval-split doc: how many of its distinct word-3-grams
+    also appear anywhere in the train split — the overlap check run
+    before trusting a benchmark number (GPT-3 appendix C / Gopher
+    decontamination).  Train grams reduce to ONE distinct gram set
+    (shuffle keyed by gram); the probe is a gram-keyed left join —
+    both sides bucket on gram at 100 TB, nothing quadratic."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ev = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = _gram_frame(docs, ev)
+    train_grams = (
+        _gram_frame(docs, ~ev).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_grams.join(train_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contaminated_share",
+            F.col("n_contaminated").cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+_SQL_GRAMS = f"""
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, len(w) - {CONTAM_N - 2}),
+      i -> array_to_string(w[i : i + {CONTAM_N - 1}], ' ')
+    ))) AS gram
+  FROM (
+    SELECT doc_id,
+      regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+    FROM documents WHERE {{side}}
+  )
+  WHERE len(w) >= {CONTAM_N}
+"""
+
+_CONTAM_SQL = f"""
+WITH eval_grams AS ({_SQL_GRAMS.format(side=f"doc_id % {EVAL_MOD} = 0")}),
+train_grams AS (
+  SELECT DISTINCT gram
+  FROM ({_SQL_GRAMS.format(side=f"doc_id % {EVAL_MOD} <> 0")})
+),
+j AS (
+  SELECT e.doc_id, e.gram,
+    CASE WHEN t.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM eval_grams e LEFT JOIN train_grams t USING (gram)
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+  SUM(hit)::BIGINT AS n_contaminated,
+  SUM(hit)::DOUBLE / COUNT(*)::DOUBLE AS contaminated_share
+FROM j GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "curation_pii_redact": pii_redact,
+    "curation_chunk_windows": chunk_windows,
+    "curation_repetition_stats": repetition_stats,
+    "curation_ngram_contamination": ngram_contamination,
+}
+ORACLE = {
+    "curation_pii_redact": _PII_SQL,
+    "curation_chunk_windows": _CHUNK_SQL,
+    "curation_repetition_stats": _REPETITION_SQL,
+    "curation_ngram_contamination": _CONTAM_SQL,
+}

@@ -1,0 +1,95 @@
+"""Corpus-curation operators: semantic contracts (the cross-engine
+value equality is the driver oracle's job — operators/curation.py
+ORACLE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestprocessstoreinnrt_spark.operators import curation
+from tests.conftest import SF_SMOKE
+
+
+def test_pii_redaction_removes_every_match(spark):
+    """Redacted text re-scanned with the same patterns yields ZERO
+    matches — redaction is complete, not just counted."""
+    docs = curation._with_synthetic_pii(
+        curation.load_table(spark, SF_SMOKE, "documents")
+    )
+    red = F.regexp_replace(
+        F.col("txt"), curation.PII_EMAIL, "<EMAIL>"
+    )
+    red = F.regexp_replace(red, curation.PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, curation.PII_IPV4, "<IP>")
+    residue = docs.select(red.alias("red")).filter(
+        (F.size(F.regexp_extract_all("red", F.lit(curation.PII_EMAIL), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("red", F.lit(curation.PII_PHONE), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("red", F.lit(curation.PII_IPV4), F.lit(0))) > 0)
+    )
+    assert residue.count() == 0
+
+
+def test_pii_counts_match_grafted_rows(spark):
+    rows = curation.pii_redact(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        m = r.doc_id % 5
+        if m == 0:
+            assert r.n_emails >= 1
+        elif m == 1:
+            assert r.n_phones >= 1
+        elif m == 2:
+            assert r.n_ips >= 1
+        else:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0)
+
+
+def test_chunks_tile_documents_with_overlap(spark):
+    """Per doc: chunk starts advance by exactly the stride, every chunk
+    is full-size except possibly trailing ones, and the windows cover
+    all n tokens (last chunk ends at the last token)."""
+    chunks = curation.chunk_windows(spark, SF_SMOKE).collect()
+    n_tokens = {
+        r.doc_id: r.n_tokens
+        for r in curation.repetition_stats(spark, SF_SMOKE).collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda r: r.chunk_idx)
+        n = n_tokens[doc_id]
+        assert [c.chunk_start for c in cs] == [
+            i * curation.CHUNK_STRIDE for i in range(len(cs))
+        ]
+        for c in cs:
+            expect = min(curation.CHUNK_TOKENS, n - c.chunk_start)
+            assert c.n_chunk_tokens == expect
+        last = cs[-1]
+        assert last.chunk_start + last.n_chunk_tokens == n  # full cover
+        assert last.chunk_start < n  # no empty trailing window
+
+
+def test_repetition_stats_bounds(spark):
+    rows = curation.repetition_stats(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_distinct <= r.n_tokens
+        assert 0 < r.top_token_share <= 1
+        assert r.top_token_share >= 1.0 / r.n_distinct
+        assert abs(r.distinct_ratio - r.n_distinct / r.n_tokens) < 1e-12
+
+
+def test_contamination_only_eval_docs_and_bounded(spark):
+    rows = curation.ngram_contamination(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_id % curation.EVAL_MOD == 0
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert abs(
+            r.contaminated_share - r.n_contaminated / r.n_grams
+        ) < 1e-12
+    # the synthetic word-soup corpus shares trigram mass by construction:
+    # a decontamination run that found zero overlap would be broken
+    assert any(r.n_contaminated > 0 for r in rows)
