@@ -198,17 +198,21 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(CMS_DEPTH)
         ]
     )
+    # buckets depend only on user_id, so reduce to per-user weights
+    # FIRST (map-side combinable count over |events| rows), then hash
+    # once per DISTINCT user: d md5s x |users| instead of d x |events|
+    # (66x fewer at sf0.1's 100k events / 1.5k users) — bit-identical
+    # cell counts by commutativity of the weighted sum
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("w"))
     # the sketch: d*w bounded cells, map-side combined — the key
     # universe never shuffles
     grid = (
-        ev.select(F.explode(cells).alias("c"))
+        per_user.select("w", F.explode(cells).alias("c"))
         .groupBy("c.d", "c.bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
     )
-    cand = (
-        ev.filter(F.col("user_id") < CMS_CANDIDATES)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+    cand = per_user.filter(F.col("user_id") < CMS_CANDIDATES).select(
+        "user_id", F.col("w").alias("exact_count")
     )
     probes = cand.select(
         "user_id",

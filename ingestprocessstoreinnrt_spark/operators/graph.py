@@ -58,16 +58,14 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-PR_TOPK vertices by damped PageRank after PR_ITERS exact
-    integer iterations: (node_id, node_kind, score_q, rank)."""
+def _pr_frames(spark: SparkSession, sf_dir: str):
+    """(ed, verts): the loop-invariant frames, materialized once.
+    localCheckpoint (vs cache) keeps each pass's plan SHALLOW so
+    whole-stage codegen compiles one iteration shape and reuses it —
+    the same lesson as the kmeans one-plan-shape fix (13.9 s -> ~4 s
+    first-run at sf0.1)."""
     edges = _edges(spark, sf_dir)
     out = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # one materialization each for the loop-invariant frames: every
-    # iteration re-reads them, and localCheckpoint (vs cache) keeps
-    # each pass's plan SHALLOW so whole-stage codegen compiles one
-    # iteration shape and reuses it — the same lesson as the kmeans
-    # one-plan-shape fix (13.9 s -> ~4 s first-run at sf0.1)
     ed = edges.join(out, "src").localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src").alias("node"))
@@ -75,29 +73,36 @@ def pagerank_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return ed, verts
 
+
+_PR_BASE = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
+
+
+def _pr_step(ed: DataFrame, verts: DataFrame, scores: DataFrame) -> DataFrame:
+    """One exact-integer damped iteration (lazy; caller checkpoints)."""
+    inbound = (
+        ed.join(scores, ed.src == scores.node)
+        .select("dst", F.expr("s DIV outdeg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("inb"))
+    )
+    return verts.join(inbound, verts.node == inbound.dst, "left").select(
+        "node",
+        (
+            F.lit(_PR_BASE).cast("long")
+            + F.expr(f"{PR_D_NUM} * coalesce(inb, 0L) DIV {PR_D_DEN}")
+        ).alias("s"),
+    )
+
+
+def pagerank_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOPK vertices by damped PageRank after PR_ITERS exact
+    integer iterations: (node_id, node_kind, score_q, rank)."""
+    ed, verts = _pr_frames(spark, sf_dir)
     scores = verts.withColumn("s", F.lit(PR_SCALE).cast("long"))
-    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // PR_D_DEN
     for _ in range(PR_ITERS):
-        inbound = (
-            ed.join(scores, ed.src == scores.node)
-            .select("dst", F.expr("s DIV outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inb"))
-        )
-        scores = (
-            verts.join(inbound, verts.node == inbound.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"{PR_D_NUM} * coalesce(inb, 0L) DIV {PR_D_DEN}"
-                    )
-                ).alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        scores = _pr_step(ed, verts, scores).localCheckpoint(eager=True)
 
     w = Window.orderBy(F.col("s").desc(), F.col("node").asc())
     return (
@@ -112,6 +117,39 @@ def pagerank_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def pagerank_converged(
+    spark: SparkSession, sf_dir: str, tol_q: int = 100, max_iters: int = 50
+) -> tuple[DataFrame, int]:
+    """Tolerance-driven variant: iterate the SAME exact-integer step
+    until no vertex's quantized score moves by more than `tol_q`
+    (default 100 = 1e-4 of the PR_SCALE mass unit), or max_iters.
+
+    Returns (scores, n_iters) where scores is (node, s) at the
+    converged depth — bit-identical to running the fixed-iteration
+    loop n_iters times (asserted in tests/test_graph.py), so the
+    unrolled-CTE oracle construction still applies at any depth.
+    Cost per pass: the same one co-located shuffle plus a
+    metadata-scale max-|delta| aggregate on the (small, checkpointed)
+    score frames; the convergence decision is the only driver-side
+    scalar, like kmeans' movement check."""
+    ed, verts = _pr_frames(spark, sf_dir)
+    scores = verts.withColumn("s", F.lit(PR_SCALE).cast("long"))
+    n = 0
+    while n < max_iters:
+        nxt = _pr_step(ed, verts, scores).localCheckpoint(eager=True)
+        n += 1
+        delta = (
+            nxt.alias("a")
+            .join(scores.alias("b"), "node")
+            .agg(F.max(F.abs(F.col("a.s") - F.col("b.s"))).alias("d"))
+            .collect()[0][0]
+        )
+        scores = nxt
+        if delta is not None and delta <= tol_q:
+            break
+    return scores, n
 
 
 def _pagerank_sql() -> str:

@@ -21,12 +21,14 @@ Design for 100 TB:
     reference's swallow-duplicate-key-errors approach
     (NyTaxiYellowTripStreaming.scala:298-313).
 
-Filesystem scope: the ledger/undo bookkeeping uses driver-local
-filesystem operations — correct for the local/NFS paths of this
-environment.  On an object store (s3a://...) this bookkeeping needs a
-transactional table format underneath (that consistency log is exactly
-what Delta/Iceberg provide); the DataFrame read/write calls themselves
-are already URI-agnostic.
+Filesystem scope: all ledger/undo bookkeeping lives behind the
+LocalFSTxnLog interface (is_applied/mark_applied, begin/
+snapshot_buckets/commit, rollback_incomplete) — driver-local
+filesystem operations, correct for the local/NFS paths of this
+environment.  On an object store (s3a://...) slot a transactional
+table format in its place; LocalFSTxnLog's docstring maps each method
+onto the Delta/Iceberg equivalent.  The DataFrame read/write calls
+themselves are already URI-agnostic.
 
 The reference's per-row insert-vs-update flag dance collapses into
 last-write-wins MERGE by key (deterministic: ties inside one batch are
@@ -44,6 +46,129 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+class LocalFSTxnLog:
+    """The upsert table's transaction log: an applied-batch ledger plus
+    a per-batch undo (bucket snapshot) log, as driver-local filesystem
+    operations.  This class is the ONLY place UpsertTable touches the
+    filesystem outside DataFrame reads/writes, so swapping the backend
+    swaps the consistency story without touching merge logic.
+
+    Mapping onto a transactional table format (the object-store path):
+      * is_applied/mark_applied  -> Delta's idempotent-write txn action
+        (`txnAppId`/`txnVersion`) or an Iceberg snapshot summary
+        property: commit metadata, atomic with the data commit.
+      * snapshot_buckets + rollback_incomplete -> unnecessary: the
+        format's snapshot isolation means a crashed write simply never
+        commits, and replay starts from the last committed snapshot
+        (what the undo log reconstructs by hand on plain parquet).
+      * dynamic partition overwrite -> `replaceWhere` (Delta) /
+        overwrite-by-filter (Iceberg), committed atomically.
+    On a local/NFS filesystem this implementation is correct as-is;
+    on s3a:// it is not (rename/list consistency), use a table format.
+
+    Protocol per batch key (see apply_batch):
+      begin(key) -> [record_fresh_table | snapshot_buckets] ->
+      <table write> -> commit(key); rollback_incomplete() at entry
+      undoes any batch that began but never committed.
+    """
+
+    def __init__(self, root: str):
+        self.ledger_dir = os.path.join(root, "_applied_batches")
+        self.pending_dir = os.path.join(root, "_pending")
+
+    # -- applied-batch ledger ----------------------------------------
+
+    def is_applied(self, key: str) -> bool:
+        return os.path.exists(os.path.join(self.ledger_dir, key))
+
+    def mark_applied(self, key: str) -> None:
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        tmp = os.path.join(self.ledger_dir, f".{key}.tmp")
+        with open(tmp, "w") as f:
+            f.write("")
+        os.rename(tmp, os.path.join(self.ledger_dir, key))
+
+    # -- per-batch undo log ------------------------------------------
+
+    def _pdir(self, key: str) -> str:
+        return os.path.join(self.pending_dir, key)
+
+    def begin(self, key: str) -> None:
+        """Open a fresh undo entry for the batch (discarding any stale
+        attempt's leftovers)."""
+        shutil.rmtree(self._pdir(key), ignore_errors=True)
+        os.makedirs(self._pdir(key), exist_ok=True)
+
+    def record_fresh_table(self, key: str) -> None:
+        """The batch is about to CREATE the table; undo = drop it."""
+        open(os.path.join(self._pdir(key), "_fresh_table"), "w").close()
+
+    def snapshot_buckets(
+        self, key: str, data_dir: str, buckets: list
+    ) -> None:
+        """Copy the affected bucket partitions into the undo entry
+        (absent buckets are recorded so rollback can delete ones the
+        write creates), then seal with the `_snapshot_complete`
+        sentinel — only a sealed snapshot may ever be restored."""
+        pdir = self._pdir(key)
+        for b in buckets:
+            src = os.path.join(data_dir, f"_bucket={b}")
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(pdir, f"_bucket={b}"))
+            else:
+                open(os.path.join(pdir, f"_absent_bucket={b}"), "w").close()
+        open(os.path.join(pdir, "_snapshot_complete"), "w").close()
+
+    def commit(self, key: str) -> None:
+        """Applied-marker first, then drop the undo entry: a crash
+        between the two replays as already_applied (marker wins)."""
+        self.mark_applied(key)
+        shutil.rmtree(self._pdir(key), ignore_errors=True)
+
+    def rollback_incomplete(self, data_dir: str) -> None:
+        """Undo any batch that wrote data but never committed (crash
+        window): restore the snapshotted buckets.
+
+        A snapshot is only trusted if it carries the
+        `_snapshot_complete` sentinel, written after the copy loop and
+        before the table write begins.  A pending dir without it means
+        the crash hit mid-snapshot — the live table was never touched,
+        and restoring the partial copy would LOSE rows — so it is
+        simply discarded."""
+        if not os.path.isdir(self.pending_dir):
+            return
+        for batch in os.listdir(self.pending_dir):
+            pdir = os.path.join(self.pending_dir, batch)
+            if self.is_applied(batch):
+                shutil.rmtree(pdir, ignore_errors=True)
+                continue
+            if os.path.exists(os.path.join(pdir, "_fresh_table")):
+                # the crashed batch CREATED the table; undo = drop it
+                shutil.rmtree(data_dir, ignore_errors=True)
+            elif not os.path.exists(
+                os.path.join(pdir, "_snapshot_complete")
+            ):
+                pass  # partial snapshot, table untouched: discard only
+            else:
+                for entry in os.listdir(pdir):
+                    if entry == "_snapshot_complete":
+                        continue
+                    if entry.startswith("_absent_bucket="):
+                        # the crashed write CREATED this bucket; undo =
+                        # remove it (snapshot-restore alone would leave
+                        # its half-applied rows to be double-merged)
+                        b = entry.split("=", 1)[1]
+                        shutil.rmtree(
+                            os.path.join(data_dir, f"_bucket={b}"),
+                            ignore_errors=True,
+                        )
+                        continue
+                    dst = os.path.join(data_dir, entry)
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.move(os.path.join(pdir, entry), dst)
+            shutil.rmtree(pdir, ignore_errors=True)
+
+
 class UpsertTable:
     def __init__(
         self,
@@ -56,8 +181,10 @@ class UpsertTable:
         self.path = path
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
-        self._ledger = os.path.join(path, "_applied_batches")
-        self._pending = os.path.join(path, "_pending")
+        self.txn_log = LocalFSTxnLog(path)
+        # layout aliases (tests and external tooling inspect these)
+        self._ledger = self.txn_log.ledger_dir
+        self._pending = self.txn_log.pending_dir
 
     # -- storage ------------------------------------------------------------
 
@@ -240,60 +367,13 @@ class UpsertTable:
         return f"{namespace}-{batch_id}" if namespace else str(batch_id)
 
     def already_applied(self, batch_id: int, namespace: str = "") -> bool:
-        return os.path.exists(
-            os.path.join(self._ledger, self._ledger_key(batch_id, namespace))
-        )
+        return self.txn_log.is_applied(self._ledger_key(batch_id, namespace))
 
     def mark_applied(self, batch_id: int, namespace: str = "") -> None:
-        os.makedirs(self._ledger, exist_ok=True)
-        key = self._ledger_key(batch_id, namespace)
-        tmp = os.path.join(self._ledger, f".{key}.tmp")
-        with open(tmp, "w") as f:
-            f.write("")
-        os.rename(tmp, os.path.join(self._ledger, key))
+        self.txn_log.mark_applied(self._ledger_key(batch_id, namespace))
 
     def _rollback_pending(self) -> None:
-        """Undo any batch that wrote data but never got its applied
-        marker (crash window): restore the snapshotted buckets.
-
-        A snapshot is only trusted if it carries the
-        `_snapshot_complete` sentinel, written after the copy loop and
-        before the table write begins.  A pending dir without it means
-        the crash hit mid-snapshot — the live table was never touched,
-        and restoring the partial copy would LOSE rows — so it is
-        simply discarded."""
-        if not os.path.isdir(self._pending):
-            return
-        for batch in os.listdir(self._pending):
-            pdir = os.path.join(self._pending, batch)
-            if os.path.exists(os.path.join(self._ledger, batch)):
-                shutil.rmtree(pdir, ignore_errors=True)
-                continue
-            if os.path.exists(os.path.join(pdir, "_fresh_table")):
-                # the crashed batch CREATED the table; undo = drop it
-                shutil.rmtree(self._data(), ignore_errors=True)
-            elif not os.path.exists(
-                os.path.join(pdir, "_snapshot_complete")
-            ):
-                pass  # partial snapshot, table untouched: discard only
-            else:
-                for entry in os.listdir(pdir):
-                    if entry == "_snapshot_complete":
-                        continue
-                    if entry.startswith("_absent_bucket="):
-                        # the crashed write CREATED this bucket; undo =
-                        # remove it (snapshot-restore alone would leave
-                        # its half-applied rows to be double-merged)
-                        b = entry.split("=", 1)[1]
-                        shutil.rmtree(
-                            os.path.join(self._data(), f"_bucket={b}"),
-                            ignore_errors=True,
-                        )
-                        continue
-                    dst = os.path.join(self._data(), entry)
-                    shutil.rmtree(dst, ignore_errors=True)
-                    shutil.move(os.path.join(pdir, entry), dst)
-            shutil.rmtree(pdir, ignore_errors=True)
+        self.txn_log.rollback_incomplete(self._data())
 
     def apply_batch(
         self,
@@ -342,33 +422,15 @@ class UpsertTable:
                         "return keys drawn from the batch or the current "
                         "subset it was given."
                     )
-            pdir = os.path.join(self._pending, key)
-            shutil.rmtree(pdir, ignore_errors=True)
-            os.makedirs(pdir, exist_ok=True)
-            for b in merged_buckets:
-                src = os.path.join(self._data(), f"_bucket={b}")
-                if os.path.isdir(src):
-                    shutil.copytree(src, os.path.join(pdir, f"_bucket={b}"))
-                else:
-                    # record that this bucket did NOT exist so rollback
-                    # can delete it if the write creates it then crashes
-                    open(
-                        os.path.join(pdir, f"_absent_bucket={b}"), "w"
-                    ).close()
-            # sentinel: the snapshot is complete and the table write is
-            # about to start — only now may rollback restore from it
-            open(os.path.join(pdir, "_snapshot_complete"), "w").close()
+            self.txn_log.begin(key)
+            self.txn_log.snapshot_buckets(key, self._data(), merged_buckets)
             self._write_prebucketed(merged)
-            self.mark_applied(batch_id, namespace)
-            shutil.rmtree(pdir, ignore_errors=True)
+            self.txn_log.commit(key)
             new_rows.unpersist()
         else:
             # first batch creates the table: undo log records that fact
             # so a crash before the marker drops the half-created table
-            pdir = os.path.join(self._pending, key)
-            shutil.rmtree(pdir, ignore_errors=True)
-            os.makedirs(pdir, exist_ok=True)
-            open(os.path.join(pdir, "_fresh_table"), "w").close()
+            self.txn_log.begin(key)
+            self.txn_log.record_fresh_table(key)
             self.upsert(new_rows, merge_fn)
-            self.mark_applied(batch_id, namespace)
-            shutil.rmtree(pdir, ignore_errors=True)
+            self.txn_log.commit(key)

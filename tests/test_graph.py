@@ -36,3 +36,44 @@ def test_pagerank_customers_absorb_rank(spark):
     rows = graph.pagerank_shipments(spark, SF_SMOKE).collect()
     top5 = sorted(rows, key=lambda r: r.rank)[:5]
     assert all(r.node_kind == "customer" for r in top5)
+
+
+def test_pagerank_converged_equals_fixed_depth(spark):
+    """The tolerance-driven variant lands on scores BIT-IDENTICAL to
+    running the fixed-iteration loop the same number of times, and the
+    stopping rule really holds at that depth (max |delta| <= tol) but
+    not one pass earlier."""
+    from pyspark.sql import functions as F
+
+    tol = 100
+    scores, n = graph.pagerank_converged(spark, SF_SMOKE, tol_q=tol)
+    assert 1 <= n < 50
+
+    ed, verts = graph._pr_frames(spark, SF_SMOKE)
+    fixed = verts.withColumn("s", F.lit(graph.PR_SCALE).cast("long"))
+    prev = None
+    for _ in range(n):
+        prev = fixed
+        fixed = graph._pr_step(ed, verts, fixed).localCheckpoint(
+            eager=True
+        )
+    got = {r.node: r.s for r in scores.collect()}
+    want = {r.node: r.s for r in fixed.collect()}
+    assert got == want
+
+    def max_delta(a, b):
+        return (
+            a.alias("a")
+            .join(b.alias("b"), "node")
+            .agg(F.max(F.abs(F.col("a.s") - F.col("b.s"))))
+            .collect()[0][0]
+        )
+
+    assert max_delta(fixed, prev) <= tol
+    if n > 1:
+        prev2 = verts.withColumn("s", F.lit(graph.PR_SCALE).cast("long"))
+        for _ in range(n - 2):
+            prev2 = graph._pr_step(ed, verts, prev2).localCheckpoint(
+                eager=True
+            )
+        assert max_delta(prev, prev2) > tol
