@@ -338,3 +338,35 @@ def test_multimodal_real_decode(spark):
     assert got[6].container == "unknown"
     assert got[6].decode_error == "unrecognized container"
     assert got[7].container == "wav" and got[7].decode_error is not None
+
+
+def test_multimodal_pixel_mean_with_pil(spark):
+    """Full pixel decode (lights up automatically if PIL appears in the
+    environment): a hand-crafted 2x2 24bpp BMP whose ITU-R 601 luma
+    mean is exactly 67.0."""
+    import pytest
+    import struct
+
+    if multimodal._probe_pil() is None:
+        pytest.skip("PIL not installed in this environment")
+
+    # bottom-up rows, BGR, 4-byte row padding
+    row0 = bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00"
+    row1 = bytes([70, 80, 90, 100, 110, 120]) + b"\x00\x00"
+    px = row0 + row1
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + dib
+        + px
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp), "image", "t")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.decode_media(media).collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    assert r.decode_error is None
+    assert r.pixel_mean is not None
+    assert abs(r.pixel_mean - 67.0) <= 1.0
