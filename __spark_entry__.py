@@ -28,6 +28,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     dedup,
     entity,
     funnel,
+    incremental,
     ml,
     multimodal,
     profile,
@@ -89,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality, funnel, curation):
+                timeseries, layout, quality, funnel, curation, incremental):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -100,6 +101,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality, funnel, curation):
+                timeseries, layout, quality, funnel, curation, incremental):
         out.update(mod.ORACLE)
     return _ordered(out)

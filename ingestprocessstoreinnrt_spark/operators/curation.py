@@ -23,7 +23,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
@@ -344,15 +344,133 @@ FROM j GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-pair counting (the first merge iteration of tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BPE_TOPK adjacent character pairs by corpus frequency — the
+    statistic byte-pair-encoding training maximizes on its first merge
+    step.  Word frequencies reduce FIRST (wordcount shape, map-side
+    combined: the pair explosion runs over the ~vocabulary, not the
+    corpus), then each word contributes its within-word pair
+    multiset weighted by its count."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    word_freq = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = word_freq.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BPE_TOPK)
+        .select("rank", "pair", "pair_count")
+    )
+
+
+_BPE_SQL = f"""
+WITH words AS (
+  SELECT unnest({_SQL_TOKS.replace("text", "lower(text)")}) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+wf AS (
+  SELECT word, COUNT(*) AS wc FROM words
+  WHERE length(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT wc, unnest(list_transform(
+    range(1, length(word)), i -> word[i : i + 1]
+  )) AS pair
+  FROM wf
+),
+ranked AS (
+  SELECT pair, SUM(wc)::BIGINT AS pair_count,
+    ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, pair ASC) AS rank
+  FROM pairs GROUP BY pair
+)
+SELECT rank::BIGINT AS rank, pair, pair_count
+FROM ranked WHERE rank <= {BPE_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# deterministic weighted source mixing
+# ---------------------------------------------------------------------------
+
+# Per-source acceptance out of 100: source "srcK" keeps (K % 5 + 1)*20
+# percent of its docs — a stand-in for the mixture weights a training
+# run assigns its data sources (web : books : code : ...).
+_MIX_PCT = "(CAST(substr(source, 4) AS {int}) % 5 + 1) * 20"
+
+
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated source mixing: doc_id's stable hash
+    mod 100 against the source's acceptance rate decides membership —
+    reproducible across runs/engines, no RNG, no shuffle to sample
+    (the gate is a scan-level filter; the per-source audit aggregate
+    is the only exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.expr(_MIX_PCT.format(int="INT"))
+    gate = (
+        F.pmod(stable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+        < pct
+    )
+    return (
+        docs.withColumn("accept_pct", pct.cast("long"))
+        .withColumn("picked", gate)
+        .groupBy("source", "accept_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("picked"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .select("source", "accept_pct", "n_total", "n_selected")
+    )
+
+
+_MIX_SQL = f"""
+WITH d AS (
+  SELECT source, {_MIX_PCT.format(int="INT")} AS accept_pct,
+    CASE WHEN {SQL_STABLE_HASH64.format(x="doc_id::VARCHAR")} % 100
+      < {_MIX_PCT.format(int="INT")} THEN 1 ELSE 0 END AS picked
+  FROM documents
+)
+SELECT source, accept_pct::BIGINT AS accept_pct,
+  COUNT(*)::BIGINT AS n_total, SUM(picked)::BIGINT AS n_selected
+FROM d GROUP BY source, accept_pct
+"""
+
+
 QUERIES = {
     "curation_pii_redact": pii_redact,
     "curation_chunk_windows": chunk_windows,
     "curation_repetition_stats": repetition_stats,
     "curation_ngram_contamination": ngram_contamination,
+    "curation_bpe_pairs": bpe_pair_counts,
+    "curation_mix_sources": mix_weighted_sources,
 }
 ORACLE = {
     "curation_pii_redact": _PII_SQL,
     "curation_chunk_windows": _CHUNK_SQL,
     "curation_repetition_stats": _REPETITION_SQL,
     "curation_ngram_contamination": _CONTAM_SQL,
+    "curation_bpe_pairs": _BPE_SQL,
+    "curation_mix_sources": _MIX_SQL,
 }

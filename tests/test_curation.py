@@ -93,3 +93,56 @@ def test_contamination_only_eval_docs_and_bounded(spark):
     # the synthetic word-soup corpus shares trigram mass by construction:
     # a decontamination run that found zero overlap would be broken
     assert any(r.n_contaminated > 0 for r in rows)
+
+
+def test_bpe_pairs_ranked_and_wellformed(spark):
+    rows = sorted(
+        curation.bpe_pair_counts(spark, SF_SMOKE).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, curation.BPE_TOPK + 1))
+    assert all(len(r.pair) == 2 for r in rows)
+    for a, b in zip(rows, rows[1:]):  # count desc, pair asc on ties
+        assert (a.pair_count, b.pair) >= (b.pair_count, a.pair) or (
+            a.pair_count > b.pair_count
+        )
+        assert a.pair_count >= b.pair_count
+
+
+def test_mix_sources_rates_and_gates(spark):
+    rows = curation.mix_weighted_sources(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        k = int(r.source[3:])
+        assert r.accept_pct == (k % 5 + 1) * 20
+        assert 0 <= r.n_selected <= r.n_total
+        # deterministic hash gate tracks the target rate
+        assert abs(r.n_selected / r.n_total - r.accept_pct / 100) < 0.25
+    # a 100%-rate source keeps everything
+    for r in rows:
+        if r.accept_pct == 100:
+            assert r.n_selected == r.n_total
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """The IVM invariant inside one engine: base+delta merged partials
+    == partials over the whole table, bit for bit (the driver oracle
+    proves the same thing cross-engine)."""
+    from ingestprocessstoreinnrt_spark.operators import incremental
+
+    orders = incremental.load_table(spark, SF_SMOKE, "orders")
+    full = {
+        r.o_custkey: (r.n_orders, r.qsum)
+        for r in incremental._partials(orders).collect()
+    }
+    merged = {
+        r.o_custkey: r
+        for r in incremental.incremental_customer_agg(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(full) == set(merged)
+    for k, (n, qsum) in full.items():
+        m = merged[k]
+        assert m.n_orders == n
+        assert m.avg_totalprice == qsum / 10000.0 / n
