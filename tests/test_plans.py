@@ -101,3 +101,50 @@ def test_scd2_is_single_window_pass_no_join(spark):
 
     plan = E.formatted_plan(cdc.scd2_history(spark, SF_ORACLE))
     assert "Join" not in plan  # lag/lead windows only — no self-join
+
+
+def test_contamination_gram_join_is_equi_no_cartesian(spark):
+    """Decontamination must probe eval grams against the train set with
+    a gram-keyed equi-join — a nested-loop/cartesian here means the
+    pairwise doc comparison came back."""
+    from ingestprocessstoreinnrt_spark.operators import curation
+
+    plan = E.formatted_plan(
+        curation.ngram_contamination(spark, SF_ORACLE)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_windows_is_narrow_no_exchange(spark):
+    """Chunking is a per-row transform: the plan must not shuffle
+    (generate/project only on top of the scan)."""
+    from ingestprocessstoreinnrt_spark.operators import curation
+
+    import re
+
+    plan = E.formatted_plan(curation.chunk_windows(spark, SF_ORACLE))
+    body = plan.split("== Physical Plan ==")[-1]
+    # fan_out may round-robin ONE repartition of the (small) input;
+    # nothing else may introduce an exchange (formatted plans print
+    # each node twice — tree + detail — so count distinct node ids)
+    assert len(set(re.findall(r"Exchange \(\d+\)", body))) <= 1
+    assert "SortMergeJoin" not in body and "HashJoin" not in body
+
+
+def test_bpe_pairs_aggregates_map_side(spark):
+    """Both wordcount-shaped aggregates must run partial+final."""
+    from ingestprocessstoreinnrt_spark.operators import curation
+
+    df = curation.bpe_pair_counts(spark, SF_ORACLE)
+    assert E.partial_aggregation_count(df) >= 2
+
+
+def test_incremental_agg_prunes_and_combines(spark):
+    from ingestprocessstoreinnrt_spark.operators import incremental
+
+    df = incremental.incremental_customer_agg(spark, SF_ORACLE)
+    # untouched orders columns never leave the scan
+    assert not E.scan_reads_column(df, "o_orderdate")
+    assert not E.scan_reads_column(df, "o_orderpriority")
+    assert E.partial_aggregation_count(df) >= 2
