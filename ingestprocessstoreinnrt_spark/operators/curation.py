@@ -79,6 +79,14 @@ def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     return docs.withColumn("txt", F.concat(F.col("text"), suffix))
 
 
+def redact(col):
+    """The redaction expression: email -> phone -> IPv4, in that fixed
+    order in both engines."""
+    red = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(red, PII_IPV4, "<IP>")
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc PII counts plus the redacted text's length and hash —
     the redacted string itself round-trips through the md5 fingerprint
@@ -87,9 +95,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load_table(spark, sf_dir, "documents"))
     )
     txt = F.col("txt")
-    red = F.regexp_replace(txt, PII_EMAIL, "<EMAIL>")
-    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
-    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = redact(txt)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(txt, F.lit(PII_EMAIL), F.lit(0)))
@@ -146,13 +152,9 @@ CHUNK_TOKENS = 64  # window size
 CHUNK_STRIDE = 48  # step -> 16-token overlap between neighbors
 
 
-def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode each document into overlapping fixed-token windows —
-    the step that turns a curated corpus into training sequences.
-    Output: (doc_id, chunk_idx, chunk_start, n_chunk_tokens,
-    chunk_hash); the hash is over the space-joined window so the
-    oracle proves the exact token content of every chunk."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+def chunk_frame(docs: DataFrame) -> DataFrame:
+    """Chunking core over any (doc_id, text) frame — see
+    chunk_windows."""
     toks = tokens(F.col("text"))
     d = docs.filter(F.trim(F.col("text")) != "").select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n")
@@ -176,7 +178,19 @@ def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_start",
         F.size("chunk").cast("long").alias("n_chunk_tokens"),
         stable_hash64(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
     )
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into overlapping fixed-token windows —
+    the step that turns a curated corpus into training sequences.
+    Output: (doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_hash); the hash is over the space-joined window so the
+    oracle proves the exact token content of every chunk."""
+    return chunk_frame(
+        fan_out(load_table(spark, sf_dir, "documents"))
+    ).drop("chunk_text")
 
 
 _SQL_TOKS = (

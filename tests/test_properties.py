@@ -117,3 +117,153 @@ def test_quantize_matches_reference_semantics(xs):
     got = [r.q for r in df.select(quantize(F.col("x")).alias("q")).collect()]
     want = [math.floor(x * 10000.0 + 0.5) for x in xs]
     assert got == want
+
+
+texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "x", "yy", "zzz"]),
+        min_size=0,
+        max_size=150,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(docs=texts)
+def test_chunking_tiles_any_corpus(docs):
+    """For arbitrary token streams: chunk starts advance by the stride,
+    every chunk is the exact slice of the original tokens, and
+    concatenating chunks minus overlaps reconstructs the document."""
+    from ingestprocessstoreinnrt_spark.operators import curation
+
+    spark = _get_spark()
+    frame = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    rows = curation.chunk_frame(frame).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(docs):
+        want = text.split() if text.strip() else []
+        cs = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_idx)
+        if not want:
+            assert cs == []
+            continue
+        for i, c in enumerate(cs):
+            assert c.chunk_start == i * curation.CHUNK_STRIDE
+            # each chunk is the EXACT slice of the original stream, so
+            # slice equality + end coverage imply full reconstruction
+            assert (
+                c.chunk_text.split()
+                == want[c.chunk_start : c.chunk_start + curation.CHUNK_TOKENS]
+            )
+        # coverage: last chunk reaches the last token
+        last = cs[-1]
+        assert last.chunk_start + last.n_chunk_tokens == len(want)
+
+
+pii_fragments = st.lists(
+    st.sampled_from(
+        [
+            "plain words here",
+            "user.name+tag@example-host.org",
+            "call 415-555-0134",
+            "10.0.3.77",
+            "not@an",  # no TLD -> not an email
+            "12-34",  # not a phone
+            "1.2.3",  # not an IPv4
+        ]
+    ),
+    min_size=0,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(xs=st.lists(pii_fragments, min_size=1, max_size=15))
+def test_pii_redaction_idempotent(xs):
+    """redact(redact(x)) == redact(x) for arbitrary mixes of PII and
+    near-PII — placeholders never re-match and partial patterns are
+    left alone (checked on the Spark/Java regex engine itself)."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.operators import curation
+
+    spark = _get_spark()
+    frame = spark.createDataFrame([(x,) for x in xs], "text string")
+    rows = frame.select(
+        curation.redact(F.col("text")).alias("once"),
+    ).select(
+        "once", curation.redact(F.col("once")).alias("twice")
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice
+
+
+events_with_ts_collisions = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=6),  # ts slot (collisions!)
+        st.sampled_from(["a", "b", "c"]),  # event_type
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=events_with_ts_collisions)
+def test_scd2_matches_bruteforce_under_collisions(rows):
+    """_scd2_from == a python reference (collapse same-ts to max
+    event_id, then change points) for arbitrary collision patterns."""
+    from ingestprocessstoreinnrt_spark.operators import cdc
+
+    spark = _get_spark()
+    data = [
+        (u, eid, typ, ts * 1_000_000)
+        for eid, (u, ts, typ) in enumerate(rows)
+    ]
+    frame = spark.createDataFrame(
+        data, "user_id long, event_id long, event_type string, ts_us long"
+    )
+    got = sorted(
+        (r.user_id, r.version, r.event_type, r.valid_from_us, r.valid_to_us)
+        for r in cdc._scd2_from(frame).collect()
+    )
+
+    # python reference
+    want = []
+    by_user: dict = {}
+    for u, eid, typ, ts in data:
+        by_user.setdefault(u, {})
+        cur = by_user[u].get(ts)
+        if cur is None or eid > cur[0]:
+            by_user[u][ts] = (eid, typ)  # last event_id wins per ts
+    for u, at_ts in by_user.items():
+        hist = sorted(at_ts.items())  # by ts
+        prev_typ, version = None, 0
+        changes = []
+        for ts, (_, typ) in hist:
+            if typ != prev_typ:
+                changes.append([ts, typ])
+            prev_typ = typ
+        for i, (ts, typ) in enumerate(changes):
+            version += 1
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            want.append((u, version, typ, ts, nxt))
+    assert got == sorted(want)
