@@ -879,12 +879,81 @@ FROM g
 """
 
 
+Z_THRESH = 2.5  # |z| gate for the outlier report
+
+
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection over event values — the
+    keyed anomaly gate a feature pipeline runs before training on
+    telemetry.  Mean and variance come from exact integer sufficient
+    statistics (n, sum q, sum q^2 with q = value quantized to 1e-4);
+    the variance subtraction, sqrt, and division are IEEE double ops
+    evaluated in one fixed expression order, so DuckDB lands on the
+    identical z bit for bit, and z is rounded to 6 dp for the gate and
+    the report (the cross-engine float pattern).  One map-side-combined
+    aggregate + one broadcastable stats join; nothing iterates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", quantize(F.col("value")).alias("q")
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    mean = F.col("sq").cast("double") / 10000.0 / F.col("n").cast("double")
+    msq = (
+        F.col("sqq").cast("double") / 100_000_000.0 / F.col("n").cast("double")
+    )
+    var = msq - mean * mean
+    z = F.round(
+        (F.col("value") - mean) / F.sqrt(var), 6
+    )
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") >= 3) & (var > 0))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > Z_THRESH)
+    )
+
+
+_ZSCORE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM events
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sqq
+  FROM ev GROUP BY user_id
+),
+j AS (
+  SELECT user_id, event_id, value,
+    sq::DOUBLE / 10000.0 / n::DOUBLE AS mean,
+    sqq::DOUBLE / 100000000.0 / n::DOUBLE
+      - (sq::DOUBLE / 10000.0 / n::DOUBLE)
+        * (sq::DOUBLE / 10000.0 / n::DOUBLE) AS var,
+    n
+  FROM ev JOIN stats USING (user_id)
+)
+SELECT user_id, event_id, value,
+  round((value - mean) / sqrt(var), 6) AS z
+FROM j
+WHERE n >= 3 AND var > 0 AND abs(round((value - mean) / sqrt(var), 6)) > {Z_THRESH}
+"""
+
+
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
     "ml_kmeans": kmeans_lloyd,  # exact Lloyd's, oracle-verified
     "ml_decision_tree": decision_tree_exact,  # exact CART, oracle-verified
     "ml_group_ols": group_ols_trend,
+    "ml_zscore_outliers": zscore_outliers,
 }
 
 ORACLE = {
@@ -893,4 +962,5 @@ ORACLE = {
     "ml_kmeans": _kmeans_sql(),
     "ml_decision_tree": _tree_sql(),
     "ml_group_ols": _OLS_SQL,
+    "ml_zscore_outliers": _ZSCORE_SQL,
 }

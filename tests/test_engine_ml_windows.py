@@ -258,3 +258,32 @@ def test_decision_tree_exact_structure(spark):
                     parent.pos_left if side == 0 else parent.pos - parent.pos_left
                 )
                 assert r.pos == expect_pos
+
+
+def test_zscore_outliers_flags_true_extremes(spark):
+    """Every reported row really exceeds the threshold against its
+    user's own mean/std computed brute-force, and no flagged user has
+    fewer than 3 events."""
+    import math
+
+    from tests.conftest import SF_SMOKE
+
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    ev = ml.load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "value"
+    )
+    by_user: dict = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.value))
+    got = ml.zscore_outliers(spark, SF_SMOKE).collect()
+    assert len(got) > 0
+    for r in got:
+        vals = [v for _, v in by_user[r.user_id]]
+        assert len(vals) >= 3
+        qs = [math.floor(v * 10000.0 + 0.5) for v in vals]
+        mean = sum(qs) / 10000.0 / len(qs)
+        var = sum(q * q for q in qs) / 1e8 / len(qs) - mean * mean
+        z = (r.value - mean) / math.sqrt(var)
+        assert abs(round(z, 6)) > ml.Z_THRESH
+        assert abs(round(z, 6) - r.z) < 1e-9

@@ -148,3 +148,55 @@ def test_incremental_agg_prunes_and_combines(spark):
     assert not E.scan_reads_column(df, "o_orderdate")
     assert not E.scan_reads_column(df, "o_orderpriority")
     assert E.partial_aggregation_count(df) >= 2
+
+
+def test_bucketed_join_shuffles_neither_side(spark, tmp_path):
+    """The scale story's standing claim — 'bucketing co-locates the
+    join' — demonstrated on Spark's own planner: orders and customer
+    saved bucketed by the join key produce a SortMergeJoin with NO
+    Exchange on either side (scan -> sort -> join), while the same
+    join over plain parquet shuffles both sides."""
+    import re
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.plans import explain as E
+    from tests.conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    cust = load_table(spark, SF_ORACLE, "customer")
+
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+    )
+    (
+        cust.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bkt = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            spark.table("orders_bkt").o_custkey
+            == spark.table("customer_bkt").c_custkey,
+        )
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+
+        def n_exchanges(df):
+            body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+            return len(set(re.findall(r"Exchange \(\d+\)", body)))
+
+        assert n_exchanges(bkt) == 0  # co-located: no shuffle at all
+        assert n_exchanges(plain) >= 2  # both sides shuffle without it
+        # and the co-located plan computes the same join
+        assert bkt.count() == plain.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
