@@ -472,7 +472,72 @@ FROM d GROUP BY source, accept_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence packing (contiguous concat-and-split, per source shard)
+# ---------------------------------------------------------------------------
+
+PACK_CAP = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing — the data-loader step after
+    chunking: documents are concatenated in a fixed order and split
+    every PACK_CAP tokens, so bin id = exclusive-prefix-sum DIV cap.
+    Packing runs PER SOURCE shard (the window partitions by source):
+    at 100 TB each shard packs independently on its own executor —
+    a global pack order would serialize the corpus through one
+    partition.  Output: one row per (source, bin) with its doc span
+    and token count; deterministic order (source, doc_id) makes the
+    assignment exactly reproducible cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / PACK_CAP
+        ).cast("long").alias("bin"),
+    )
+    return assigned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    len({_SQL_TOKS})::BIGINT AS n_tokens
+  FROM documents WHERE trim(text) <> ''
+),
+assigned AS (
+  SELECT doc_id, source, n_tokens,
+    (SUM(n_tokens) OVER (
+       PARTITION BY source ORDER BY doc_id
+       ROWS UNBOUNDED PRECEDING) - n_tokens) // {PACK_CAP} AS bin
+  FROM d
+)
+SELECT source, bin::BIGINT AS bin, COUNT(*)::BIGINT AS n_docs,
+  SUM(n_tokens)::BIGINT AS n_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM assigned GROUP BY source, bin
+"""
+
+
 QUERIES = {
+    "curation_pack_sequences": pack_sequences,
     "curation_pii_redact": pii_redact,
     "curation_chunk_windows": chunk_windows,
     "curation_repetition_stats": repetition_stats,
@@ -481,6 +546,7 @@ QUERIES = {
     "curation_mix_sources": mix_weighted_sources,
 }
 ORACLE = {
+    "curation_pack_sequences": _PACK_SQL,
     "curation_pii_redact": _PII_SQL,
     "curation_chunk_windows": _CHUNK_SQL,
     "curation_repetition_stats": _REPETITION_SQL,

@@ -947,6 +947,39 @@ WHERE n >= 3 AND var > 0 AND abs(round((value - mean) / sqrt(var), 6)) > {Z_THRE
 """
 
 
+def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights over the embedding labels —
+    the reweighting a trainer applies to a skewed label distribution:
+    w(label) = n_total / (n_classes * n_label), rounded to 6 dp.  One
+    map-side-combined count plus a single-row broadcast of the
+    totals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("k")
+    )
+    return counts.join(F.broadcast(totals)).select(
+        "label",
+        "n",
+        F.round(
+            F.col("n_total").cast("double")
+            / (F.col("k").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("weight"),
+    )
+
+
+_CLASSW_SQL = """
+WITH c AS (SELECT label, COUNT(*)::BIGINT AS n FROM embeddings GROUP BY label),
+t AS (SELECT SUM(n) AS n_total, COUNT(*) AS k FROM c)
+SELECT label, n,
+  round(n_total::DOUBLE / (k::DOUBLE * n::DOUBLE), 6) AS weight
+FROM c, t
+"""
+
+
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
@@ -954,6 +987,7 @@ QUERIES = {
     "ml_decision_tree": decision_tree_exact,  # exact CART, oracle-verified
     "ml_group_ols": group_ols_trend,
     "ml_zscore_outliers": zscore_outliers,
+    "ml_class_weights": class_weights,
 }
 
 ORACLE = {
@@ -963,4 +997,5 @@ ORACLE = {
     "ml_decision_tree": _tree_sql(),
     "ml_group_ols": _OLS_SQL,
     "ml_zscore_outliers": _ZSCORE_SQL,
+    "ml_class_weights": _CLASSW_SQL,
 }

@@ -146,3 +146,42 @@ def test_incremental_merge_equals_full_recompute(spark):
         m = merged[k]
         assert m.n_orders == n
         assert m.avg_totalprice == qsum / 10000.0 / n
+
+
+def test_pack_sequences_conserves_tokens_and_orders_bins(spark):
+    """Packing conserves the shard's token mass, bins are contiguous
+    per source, and every bin except possibly the last holds >= the
+    cap's worth of starting offset (contiguous concat-and-split)."""
+    rows = curation.pack_sequences(spark, SF_SMOKE).collect()
+    stats = {
+        r.doc_id: r.n_tokens
+        for r in curation.repetition_stats(spark, SF_SMOKE).collect()
+    }
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    total_packed = sum(r.n_tokens for r in rows)
+    assert total_packed == sum(stats.values())
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [b.bin for b in bins] == list(range(len(bins)))
+        for b in bins:
+            assert b.first_doc <= b.last_doc
+            assert b.n_docs >= 1
+        # doc ranges never overlap across consecutive bins
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_doc < b.first_doc
+
+
+def test_class_weights_inverse_frequency(spark):
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    rows = ml.class_weights(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    total = sum(r.n for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert abs(r.weight - round(total / (k * r.n), 6)) < 1e-9
+    # weighted mass balances: sum(n * w) == total (within rounding)
+    assert abs(sum(r.n * r.weight for r in rows) - total) < 1e-2 * total
