@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ingestprocessstoreinnrt_spark.catalog import load_table
 from ingestprocessstoreinnrt_spark.operators import (
+    curation,
     dedup,
     layout,
     similarity,
@@ -130,6 +131,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(
         f"[10] z-order: {z.count()} orders keyed for 2-D pruning "
         f"(see tests/test_layout.py for the file-skip demonstration)"
+    )
+
+    # 11. curation tail: redact -> chunk -> pack -> decontaminate
+    pii = curation.pii_redact(spark, sf_dir)
+    n_pii = pii.filter(
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+    ).count()
+    packs = curation.pack_sequences(spark, sf_dir)
+    n_bins = packs.count()
+    contam = curation.ngram_contamination(spark, sf_dir)
+    worst = contam.agg(F.max("contaminated_share")).collect()[0][0]
+    print(
+        f"[11] curation: {n_pii} docs redacted, "
+        f"{curation.chunk_windows(spark, sf_dir).count()} training "
+        f"chunks packed into {n_bins} {curation.PACK_CAP}-token bins; "
+        f"worst eval-doc trigram contamination {worst:.1%}"
     )
 
     spark.stop()
