@@ -208,11 +208,81 @@ FROM s JOIN e ON s.g = e.g
 """
 
 
+# ---------------------------------------------------------------------------
+# sample-based quantile estimation (the KMV idea applied to quantiles)
+# ---------------------------------------------------------------------------
+
+SQ_K = 512  # deterministic sample size
+SQ_QUANTS = (50, 90, 99)
+
+
+def sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate value quantiles from the deterministic k-min hash
+    sample: rows whose event_id hash ranks among the SQ_K smallest form
+    a uniform sample that is a SET PROPERTY of the data (independent of
+    partitioning and order, like KMV), so the estimate has an exact
+    DuckDB twin.  Nearest-rank pick from the value-sorted sample — no
+    interpolation arithmetic to drift cross-engine.
+
+    Scale shape: the sample is a global top-k by hash
+    (TakeOrdered: per-partition k-min + driver merge of |parts| x k
+    longs — same movement as KMV); the quantile pick runs on k rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        stable_hash64(F.col("event_id").cast("string")).alias("h"),
+    )
+    samp = ev.orderBy("h").limit(SQ_K).select("value")
+    from pyspark.sql import Window
+
+    ranked = samp.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value"))
+    ).join(F.broadcast(samp.agg(F.count(F.lit(1)).alias("k_eff"))))
+    quants = F.explode(
+        F.array(*[F.lit(q) for q in SQ_QUANTS])
+    ).alias("quantile")
+    return (
+        ranked.select("rn", "value", "k_eff", quants)
+        .filter(
+            F.col("rn")
+            == F.floor(
+                F.col("quantile") / 100.0 * (F.col("k_eff") - 1)
+            ).cast("int")
+            + 1
+        )
+        .select(
+            F.col("quantile").cast("long").alias("quantile"),
+            F.col("value").alias("est_value"),
+            F.col("k_eff").cast("long").alias("k_eff"),
+        )
+    )
+
+
+_SQ_HASH = SQL_STABLE_HASH64.format(x="event_id::VARCHAR")
+_SQ_SQL = f"""
+WITH samp AS (
+  SELECT value FROM events ORDER BY {_SQ_HASH} LIMIT {SQ_K}
+),
+ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+    COUNT(*) OVER () AS k_eff
+  FROM samp
+),
+q AS (SELECT unnest([{", ".join(str(q) for q in SQ_QUANTS)}]) AS quantile)
+SELECT quantile::BIGINT AS quantile, value AS est_value,
+  k_eff::BIGINT AS k_eff
+FROM ranked, q
+WHERE rn = FLOOR(quantile / 100.0 * (k_eff - 1))::INT + 1
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": kmv_distinct_customers,
     "sketch_kmv_by_group": kmv_distinct_by_group,
+    "sketch_sample_quantiles": sample_quantiles,
 }
 ORACLE = {
     "sketch_kmv_distinct": _KMV_SQL,
     "sketch_kmv_by_group": _KMV_GROUP_SQL,
+    "sketch_sample_quantiles": _SQ_SQL,
 }

@@ -370,3 +370,31 @@ def test_multimodal_pixel_mean_with_pil(spark):
     assert r.decode_error is None
     assert r.pixel_mean is not None
     assert abs(r.pixel_mean - 67.0) <= 1.0
+
+
+def test_sample_quantiles_track_exact(spark):
+    """Monotone estimates whose error vs the exact nearest-rank
+    quantile stays inside the k-sample band (~2/sqrt(k) of the value
+    spread at these quantiles)."""
+    from ingestprocessstoreinnrt_spark.operators import sketch
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.quantile: r
+        for r in sketch.sample_quantiles(spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(sketch.SQ_QUANTS)
+    assert all(r.k_eff == sketch.SQ_K for r in rows.values())
+    ests = [rows[q].est_value for q in sorted(rows)]
+    assert ests == sorted(ests)  # p50 <= p90 <= p99
+
+    vals = sorted(
+        r.value
+        for r in sketch.load_table(spark, SF_SMOKE, "events")
+        .select("value")
+        .collect()
+    )
+    spread = vals[-1] - vals[0]
+    for q, r in rows.items():
+        exact = vals[int(q / 100.0 * (len(vals) - 1))]
+        assert abs(r.est_value - exact) <= 0.15 * spread, (q, r, exact)
