@@ -200,3 +200,25 @@ def test_bucketed_join_shuffles_neither_side(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_newest_ops_have_clean_plans(spark):
+    """pack/zscore/mix: no cartesian anywhere; sample_quantiles: the
+    sample is a TakeOrdered (per-partition k-min + driver merge, the
+    KMV movement), and its only nested-loop join is the single-row
+    k_eff broadcast (metadata-scale by construction, like
+    quantile_bins' boundary ride-in)."""
+    from ingestprocessstoreinnrt_spark.operators import curation, ml, sketch
+
+    for df in (
+        curation.pack_sequences(spark, SF_ORACLE),
+        ml.zscore_outliers(spark, SF_ORACLE),
+        curation.mix_weighted_sources(spark, SF_ORACLE),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body
+        assert "BroadcastNestedLoopJoin" not in body
+
+    q = E.formatted_plan(sketch.sample_quantiles(spark, SF_ORACLE))
+    assert "TakeOrdered" in q
+    assert "CartesianProduct" not in q
