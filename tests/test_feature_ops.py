@@ -152,3 +152,96 @@ def test_funnel_matches_bruteforce(spark):
             n[depth] += 1
     assert got == dict(zip(funnel.FUNNEL_STAGES, n))
     assert n[0] >= n[1] >= n[2] > 0  # funnel narrows, never empties here
+
+
+def test_watermarked_rolling_features_equal_batch_out_of_order(
+    spark, tmp_path
+):
+    """The watermark-buffered stream replayed over SHUFFLED chunks
+    (events deliberately out of event-time order across micro-batches)
+    emits features bit-identical to the batch RANGE frame — no
+    ordering contract needed.  Two far-future sentinel rows advance
+    the watermark past every real event so all keys flush."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ingestprocessstoreinnrt_spark.streaming import features
+
+    ev = windows.load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    pdf = ev.orderBy("ts_us", "event_id").toPandas()
+    # disorder bounded by the watermark: 6 sequential time blocks;
+    # each block's trailing 24h of rows is DEFERRED into the next
+    # micro-batch (cross-batch event-time regression, < the 48h
+    # watermark delay so nothing is droppably late), and every chunk
+    # is fully shuffled internally
+    import numpy as np
+
+    d = str(tmp_path / "chunks")
+    os.makedirs(d)
+    t0, t1 = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+    n_blocks, day_us = 6, 86_400_000_000
+    block = (t1 - t0) // n_blocks + 1
+    chunks = [
+        pdf[(pdf["ts_us"] >= t0 + i * block) & (pdf["ts_us"] < t0 + (i + 1) * block)]
+        for i in range(n_blocks)
+    ]
+    rng = np.random.RandomState(7)
+    carried = chunks[0].iloc[0:0]
+    for i, c in enumerate(chunks):
+        hi = int(c["ts_us"].max()) if len(c) else 0
+        tail = c[c["ts_us"] > hi - day_us] if i < n_blocks - 1 else c.iloc[0:0]
+        keep = c.drop(tail.index)
+        out = (
+            keep
+            if carried.empty
+            else __import__("pandas").concat([carried, keep])
+        )
+        out = out.iloc[rng.permutation(len(out))]  # in-batch shuffle
+        if len(out):
+            pq.write_table(pa.Table.from_pandas(out), f"{d}/c{i}.parquet")
+        carried = tail
+    far = t1 + 10**12  # >> watermark delay
+    for j, name in enumerate(("zz_flush1", "zz_flush2")):
+        sent = pdf.iloc[:1].copy()
+        sent["user_id"] = -1
+        sent["event_id"] = -(j + 1)
+        sent["ts_us"] = far + j
+        pq.write_table(pa.Table.from_pandas(sent), f"{d}/{name}.parquet")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        .drop("ts_us")
+    )
+    q = (
+        features.rolling_features_stream_watermarked(src, delay="48 hours")
+        .writeStream.format("memory")
+        .queryName("rollfeat_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.event_id: (r.user_id, r.n_24h, r.value_24h)
+        for r in spark.sql(
+            "SELECT * FROM rollfeat_wm WHERE user_id >= 0"
+        ).collect()
+    }
+    batch = {
+        r.event_id: (r.user_id, r.n_24h, r.value_24h)
+        for r in windows.rolling_24h(spark, SF_SMOKE).collect()
+    }
+    assert len(streamed) == len(batch) > 0
+    assert streamed == batch
