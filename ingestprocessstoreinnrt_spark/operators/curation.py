@@ -359,6 +359,81 @@ FROM j GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# URL extraction / boilerplate stripping
+# ---------------------------------------------------------------------------
+
+URL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
+_URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc URL inventory + boilerplate strip: count URLs, extract
+    the first domain, and hash the URL-stripped text (byte-exact strip
+    proof, like pii_redact).  The synthetic corpus has no URLs, so 2
+    of every 4 docs get a deterministic doc_id-keyed URL grafted
+    in-query — the extraction/strip expressions are the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" see https://ex"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(" via http://cdn"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example-site.com"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    txt = F.concat(F.col("text"), url)
+    stripped = F.regexp_replace(txt, URL_RE, "")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.regexp_extract(txt, _URL_DOMAIN_RE, 1).alias("first_domain"),
+        F.length(stripped).cast("long").alias("stripped_len"),
+        stable_hash64(stripped).alias("stripped_hash"),
+    )
+
+
+_URL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text ||
+    CASE doc_id % 4
+      WHEN 0 THEN ' see https://ex' || (doc_id % 7)::VARCHAR
+                  || '.example.org/p/' || doc_id::VARCHAR
+      WHEN 1 THEN ' via http://cdn' || (doc_id % 5)::VARCHAR
+                  || '.example-site.com'
+      ELSE ''
+    END AS txt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, txt,
+    regexp_replace(txt, '{URL_RE}', '', 'g') AS stripped
+  FROM d
+)
+SELECT doc_id,
+  len(regexp_extract_all(txt, '{URL_RE}'))::BIGINT AS n_urls,
+  COALESCE(regexp_extract(txt, '{_URL_DOMAIN_RE}', 1), '')
+    AS first_domain,
+  length(stripped)::BIGINT AS stripped_len,
+  {SQL_STABLE_HASH64.format(x="stripped")} AS stripped_hash
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
 # BPE-pair counting (the first merge iteration of tokenizer training)
 # ---------------------------------------------------------------------------
 
@@ -543,6 +618,7 @@ QUERIES = {
     "curation_repetition_stats": repetition_stats,
     "curation_ngram_contamination": ngram_contamination,
     "curation_bpe_pairs": bpe_pair_counts,
+    "curation_url_strip": url_strip,
     "curation_mix_sources": mix_weighted_sources,
 }
 ORACLE = {
@@ -552,5 +628,6 @@ ORACLE = {
     "curation_repetition_stats": _REPETITION_SQL,
     "curation_ngram_contamination": _CONTAM_SQL,
     "curation_bpe_pairs": _BPE_SQL,
+    "curation_url_strip": _URL_SQL,
     "curation_mix_sources": _MIX_SQL,
 }

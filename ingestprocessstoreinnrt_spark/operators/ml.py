@@ -980,6 +980,52 @@ FROM c, t
 """
 
 
+HIST_BINS = 20
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event_type: bounds
+    from ONE metadata-scale aggregate broadcast onto the scan, bin
+    assignment a pure per-row expression (floor((v-lo)/width), top
+    edge clamped), counts map-side combined.  The feature-distribution
+    profile a pipeline renders before choosing normalizations."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / float(HIST_BINS)
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            bin_.cast("long").alias("bin"),
+            (F.col("lo") + bin_ * width).alias("bin_lo"),
+        )
+        .groupBy("event_type", "bin", "bin_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type", "bin", F.round("bin_lo", 6).alias("bin_lo"), "n"
+        )
+    )
+
+
+_HIST_SQL = f"""
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+a AS (
+  SELECT event_type,
+    LEAST(FLOOR((value - lo) / ((hi - lo) / {float(HIST_BINS)}))::INT,
+          {HIST_BINS - 1}) AS bin,
+    lo, (hi - lo) / {float(HIST_BINS)} AS width
+  FROM events, b
+)
+SELECT event_type, bin::BIGINT AS bin,
+  round(lo + bin * width, 6) AS bin_lo, COUNT(*)::BIGINT AS n
+FROM a GROUP BY event_type, bin, lo + bin * width
+"""
+
+
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
@@ -988,6 +1034,7 @@ QUERIES = {
     "ml_group_ols": group_ols_trend,
     "ml_zscore_outliers": zscore_outliers,
     "ml_class_weights": class_weights,
+    "ml_value_histogram": value_histogram,
 }
 
 ORACLE = {
@@ -998,4 +1045,5 @@ ORACLE = {
     "ml_group_ols": _OLS_SQL,
     "ml_zscore_outliers": _ZSCORE_SQL,
     "ml_class_weights": _CLASSW_SQL,
+    "ml_value_histogram": _HIST_SQL,
 }

@@ -185,3 +185,44 @@ def test_class_weights_inverse_frequency(spark):
         assert abs(r.weight - round(total / (k * r.n), 6)) < 1e-9
     # weighted mass balances: sum(n * w) == total (within rounding)
     assert abs(sum(r.n * r.weight for r in rows) - total) < 1e-2 * total
+
+
+def test_url_strip_removes_all_urls(spark):
+    """Stripped text re-scanned with the URL pattern yields zero
+    matches, and grafted docs report the expected domain."""
+    rows = curation.url_strip(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        m = r.doc_id % 4
+        if m == 0:
+            assert r.n_urls >= 1
+            assert r.first_domain.endswith(".example.org")
+        elif m == 1:
+            assert r.n_urls >= 1
+            assert r.first_domain.endswith(".example-site.com")
+        else:
+            assert r.n_urls == 0 and r.first_domain == ""
+
+
+def test_value_histogram_partitions_counts(spark):
+    """Bin counts per event_type sum to the type's row count; bins are
+    within range; bin_lo is monotone in bin."""
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    rows = ml.value_histogram(spark, SF_SMOKE).collect()
+    ev = ml.load_table(spark, SF_SMOKE, "events")
+    want = {
+        r.event_type: r.c
+        for r in ev.groupBy("event_type").agg(
+            curation.F.count(curation.F.lit(1)).alias("c")
+        ).collect()
+    }
+    by_type: dict = {}
+    for r in rows:
+        assert 0 <= r.bin < ml.HIST_BINS
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert sum(r.n for r in rs) == want[et]
+        rs.sort(key=lambda r: r.bin)
+        for a, b in zip(rs, rs[1:]):
+            assert a.bin_lo < b.bin_lo
