@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ingestprocessstoreinnrt_spark.operators import (
     asof,
+    basket,
     bi,
     cdc,
     curation,
@@ -90,7 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality, funnel, curation, incremental):
+                timeseries, layout, quality, funnel, curation, incremental,
+                basket):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -101,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
-                timeseries, layout, quality, funnel, curation, incremental):
+                timeseries, layout, quality, funnel, curation, incremental,
+                basket):
         out.update(mod.ORACLE)
     return _ordered(out)

@@ -1,0 +1,252 @@
+"""Market-basket co-occurrence analytics and triangle counting over the
+part↔order bipartite projection — the "what sells together" family the
+reference's BI layer gestures at with its group-by batteries
+(nyTaxi impala queries, SURVEY 2.5) but never takes to pair grain.
+
+Two operators share one pair-generation kernel:
+
+  * basket_pair_lift — association pairs (p1, p2) with support and
+    lift, the apriori primitives.  Scale shape: item counts are
+    aggregated FIRST and items below min support are pruned BEFORE the
+    pair self-join (support is anti-monotone — a pair can't beat the
+    support its rarer item has), so the quadratic step runs on the
+    survivor set only.  Pair expansion is an equi-join on the order
+    key (co-partitioned, never cartesian) and is bounded by basket
+    size squared; the TPC-H-ish baskets here cap at 13 items, and at
+    100 TB a `F.slice` cap on exploded baskets bounds pathological
+    carts the same way.  Lift ranking crosses engines via the proven
+    round-to-6dp + id tie-break pattern (functions.scalars notes).
+  * graph_triangles — triangle participation per part over the
+    support-thresholded co-purchase graph.  Canonical orientation
+    (p1 < p2 on every edge) makes each triangle (a<b<c) countable
+    exactly once by the textbook two-equi-join plan: wedges
+    (a,b)x(a,c) with b<c, closed against the edge set on (b,c).  No
+    cartesian anywhere (plan-tested); at 100 TB you additionally
+    orient edges low-degree -> high-degree so wedge fan-out is
+    bounded by the graph's degeneracy, and the joins bucket on the
+    wedge pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+MIN_ITEM_ORDERS = 2  # apriori item prune: item must appear in >= 2 orders
+MIN_PAIR_ORDERS = 2  # pair support threshold (edges of the co-graph)
+BASKET_TOPK = 100
+TRI_TOPK = 20
+
+
+def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) memberships — the bipartite incidence."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+def _pair_counts(items: DataFrame) -> DataFrame:
+    """(p1 < p2, pair_orders) — co-occurrence counts AFTER the apriori
+    item prune.  The self-join is an equi-join on the order key; both
+    sides arrive partitioned by `o` from the distinct above, so the
+    pair expansion is a local basket-squared walk, not a shuffle."""
+    item_n = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_ord"))
+    kept = items.join(
+        item_n.filter(F.col("n_ord") >= MIN_ITEM_ORDERS).select("p"), "p"
+    )
+    a = kept.select(F.col("o"), F.col("p").alias("p1"))
+    b = kept.select(F.col("o"), F.col("p").alias("p2"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+    )
+
+
+_ITEMS_SQL = (
+    "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem"
+)
+_PAIRS_SQL = f"""
+items AS ({_ITEMS_SQL}),
+item_n AS (SELECT p, COUNT(*) AS n_ord FROM items GROUP BY p),
+kept AS (
+  SELECT o, p FROM items JOIN item_n USING (p)
+  WHERE n_ord >= {MIN_ITEM_ORDERS}
+),
+pc AS (
+  SELECT a.p AS p1, b.p AS p2, COUNT(*)::BIGINT AS pair_orders
+  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+)"""
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top association pairs by (support, lift): (p1, p2, pair_orders,
+    p1_orders, p2_orders, lift_q, rank).  lift = pair_orders * N /
+    (p1_orders * p2_orders), quantized to 6 dp for the cross-engine
+    rank; N = total orders with >= 1 item."""
+    items = _order_items(spark, sf_dir)
+    item_n = items.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ord")
+    )
+    n_orders = items.agg(
+        F.countDistinct("o").cast("long").alias("n_orders")
+    )
+    pc = _pair_counts(items).filter(
+        F.col("pair_orders") >= MIN_PAIR_ORDERS
+    )
+    enriched = (
+        pc.join(
+            F.broadcast(item_n.withColumnRenamed("n_ord", "p1_orders")),
+            pc.p1 == F.col("p"),
+        )
+        .drop("p")
+        .join(
+            F.broadcast(
+                item_n.withColumnRenamed("n_ord", "p2_orders")
+            ).withColumnRenamed("p", "pp"),
+            F.col("p2") == F.col("pp"),
+        )
+        .drop("pp")
+        .join(F.broadcast(n_orders))
+    )
+    lift_q = F.round(
+        F.col("pair_orders").cast("double")
+        * F.col("n_orders").cast("double")
+        / F.col("p1_orders").cast("double")
+        / F.col("p2_orders").cast("double"),
+        6,
+    )
+    keys = [
+        F.col("pair_orders").desc(),
+        F.col("lift_q").desc(),
+        F.col("p1").asc(),
+        F.col("p2").asc(),
+    ]
+    # orderBy+limit compiles to TakeOrdered (per-partition top-k, tiny
+    # merge) so the huge pair frame never converges on one partition;
+    # the single-partition row_number window then ranks only K rows.
+    top = enriched.withColumn("lift_q", lift_q).orderBy(*keys).limit(
+        BASKET_TOPK
+    )
+    return (
+        top.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
+        .select(
+            "p1", "p2", "pair_orders", "p1_orders", "p2_orders",
+            "lift_q", "rank",
+        )
+    )
+
+
+_BASKET_SQL = f"""
+WITH {_PAIRS_SQL},
+item_tot AS (SELECT p, COUNT(*)::BIGINT AS n_ord FROM
+  ({_ITEMS_SQL}) GROUP BY p),
+n AS (SELECT COUNT(DISTINCT o)::BIGINT AS n_orders FROM ({_ITEMS_SQL}))
+SELECT p1, p2, pair_orders, p1_orders, p2_orders, lift_q, rank
+FROM (
+  SELECT p1, p2, pair_orders,
+    i1.n_ord AS p1_orders, i2.n_ord AS p2_orders,
+    ROUND(pair_orders::DOUBLE * n_orders::DOUBLE
+          / i1.n_ord::DOUBLE / i2.n_ord::DOUBLE, 6) AS lift_q,
+    ROW_NUMBER() OVER (
+      ORDER BY pair_orders DESC,
+        ROUND(pair_orders::DOUBLE * n_orders::DOUBLE
+              / i1.n_ord::DOUBLE / i2.n_ord::DOUBLE, 6) DESC,
+        p1 ASC, p2 ASC
+    )::BIGINT AS rank
+  FROM pc
+  JOIN item_tot i1 ON pc.p1 = i1.p
+  JOIN item_tot i2 ON pc.p2 = i2.p
+  CROSS JOIN n
+  WHERE pair_orders >= {MIN_PAIR_ORDERS}
+) r
+WHERE rank <= {BASKET_TOPK}
+"""
+
+
+def triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edges, canonically oriented
+    p1 < p2."""
+    return (
+        _pair_counts(_order_items(spark, sf_dir))
+        .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
+        .select("p1", "p2")
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation over the co-purchase graph:
+    (part_id, n_triangles, total_triangles, rank), top TRI_TOPK parts.
+
+    Each triangle a<b<c is found exactly once: wedge join on the
+    lowest vertex (e1=(a,b), e2=(a,c), b<c), closed by an equi-join
+    against the edge set on (b,c).  localCheckpoint materializes the
+    edge set once so the three-way self-join reuses one scan."""
+    e = triangle_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = e.select(F.col("p1").alias("a2"), F.col("p2").alias("c"))
+    wedges = e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c")))
+    tri = wedges.join(
+        e.select(F.col("p1").alias("b"), F.col("p2").alias("c")),
+        ["b", "c"],
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    total = tri.agg(
+        F.count(F.lit(1)).cast("long").alias("total_triangles")
+    )
+    keys = [F.col("n_triangles").desc(), F.col("part_id").asc()]
+    top = per_node.join(F.broadcast(total)).orderBy(*keys).limit(TRI_TOPK)
+    return (
+        top.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
+        .select("part_id", "n_triangles", "total_triangles", "rank")
+    )
+
+
+_TRI_SQL = f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1
+  JOIN e e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+  JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+),
+per_node AS (
+  SELECT part_id, COUNT(*)::BIGINT AS n_triangles FROM (
+    SELECT unnest([a, b, c]) AS part_id FROM tri
+  ) GROUP BY part_id
+),
+total AS (SELECT COUNT(*)::BIGINT AS total_triangles FROM tri)
+SELECT part_id, n_triangles, total_triangles, rank FROM (
+  SELECT part_id, n_triangles, total_triangles,
+    ROW_NUMBER() OVER (
+      ORDER BY n_triangles DESC, part_id ASC
+    )::BIGINT AS rank
+  FROM per_node CROSS JOIN total
+) r
+WHERE rank <= {TRI_TOPK}
+"""
+
+
+QUERIES = {
+    "bi_basket_lift": basket_pair_lift,
+    "graph_triangles": graph_triangles,
+}
+ORACLE = {
+    "bi_basket_lift": _BASKET_SQL,
+    "graph_triangles": _TRI_SQL,
+}
