@@ -611,6 +611,75 @@ FROM assigned GROUP BY source, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic train/validation/test split
+# ---------------------------------------------------------------------------
+#
+# The split every training pipeline needs, done the only way that is
+# reproducible at 100 TB: a HASH GATE on the stable document id, not
+# rand() (whose draw depends on partitioning and retry history) and not
+# a global shuffle+limit (whose assignment moves when the corpus
+# grows).  h(doc_id) % 10 -> 0-7 train / 8 validation / 9 test.  The
+# gate is a set property of each row alone: adding documents never
+# reassigns existing ones (stable membership under corpus growth), any
+# executor can evaluate it without coordination, and the same document
+# always lands in the same split across reruns and engines — which is
+# what makes the DuckDB twin exact.
+
+SPLIT_BUCKETS = 10
+SPLIT_TRAIN_MAX = 7  # buckets 0-7 train (80%), 8 val, 9 test
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split corpus accounting: (split_name, n_docs, n_chars,
+    n_sources, n_langs, share).  share = n_docs / corpus, one double
+    division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = stable_hash64(F.col("doc_id").cast("string")) % SPLIT_BUCKETS
+    tagged = docs.withColumn(
+        "split_name",
+        F.when(bucket <= SPLIT_TRAIN_MAX, "train")
+        .when(bucket == SPLIT_TRAIN_MAX + 1, "validation")
+        .otherwise("test"),
+    )
+    per = tagged.groupBy("split_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return per.join(F.broadcast(total)).select(
+        "split_name", "n_docs", "n_chars", "n_sources", "n_langs",
+        (F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+        .alias("share"),
+    )
+
+
+_SPLIT_HASH = SQL_STABLE_HASH64.format(x="doc_id::VARCHAR")
+_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT *, CASE
+    WHEN {_SPLIT_HASH} % {SPLIT_BUCKETS} <= {SPLIT_TRAIN_MAX} THEN 'train'
+    WHEN {_SPLIT_HASH} % {SPLIT_BUCKETS} = {SPLIT_TRAIN_MAX + 1}
+      THEN 'validation'
+    ELSE 'test' END AS split_name
+  FROM documents
+),
+per AS (
+  SELECT split_name, COUNT(*)::BIGINT AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+    COUNT(DISTINCT source)::BIGINT AS n_sources,
+    COUNT(DISTINCT lang)::BIGINT AS n_langs
+  FROM tagged GROUP BY split_name
+),
+t AS (SELECT COUNT(*)::BIGINT AS n_total FROM documents)
+SELECT split_name, n_docs, n_chars, n_sources, n_langs,
+  n_docs::DOUBLE / n_total::DOUBLE AS share
+FROM per CROSS JOIN t
+"""
+
+
 QUERIES = {
     "curation_pack_sequences": pack_sequences,
     "curation_pii_redact": pii_redact,
@@ -620,6 +689,7 @@ QUERIES = {
     "curation_bpe_pairs": bpe_pair_counts,
     "curation_url_strip": url_strip,
     "curation_mix_sources": mix_weighted_sources,
+    "curation_train_split": train_test_split,
 }
 ORACLE = {
     "curation_pack_sequences": _PACK_SQL,
@@ -630,4 +700,5 @@ ORACLE = {
     "curation_bpe_pairs": _BPE_SQL,
     "curation_url_strip": _URL_SQL,
     "curation_mix_sources": _MIX_SQL,
+    "curation_train_split": _SPLIT_SQL,
 }

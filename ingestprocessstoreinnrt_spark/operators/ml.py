@@ -1026,6 +1026,109 @@ FROM a GROUP BY event_type, bin, lo + bin * width
 """
 
 
+# ---------------------------------------------------------------------------
+# AUC-ROC via exact rank statistics
+# ---------------------------------------------------------------------------
+#
+# The Mann-Whitney identity makes AUC a pure counting problem:
+# AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with R_pos the sum
+# of average ranks of the positives.  Everything up to the final single
+# division is EXACT integers: grouping by distinct score gives
+# (n_g, pos_g) per score; the average rank of a tie group is
+# before + (n_g+1)/2, so 2*R_pos = sum(pos_g * (2*before + n_g + 1))
+# stays integral (the factor-2 trick) and order-independent.
+#
+# Scale shape: the prefix count `before` is a TWO-LEVEL prefix sum, not
+# a global-order window (which would serialize the corpus through one
+# partition): scores group into coarse buckets (floor(s)); per-bucket
+# totals make a metadata-scale frame whose cumulative offsets broadcast
+# back, and the fine window runs PARTITIONED by bucket.  This is the
+# textbook distributed ranking construction — model scores at 100 TB
+# bucket on score decile the same way.
+
+AUC_POS_TYPE = "purchase"
+
+
+def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact AUC of `value` as a score for event_type ==
+    'purchase': (n_pos, n_neg, n_scores, auc); ties handled by the
+    average-rank (trapezoidal) convention."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(F.col("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(
+                (F.col("event_type") == AUC_POS_TYPE).cast("long")
+            ).cast("long").alias("pos_g"),
+        )
+        .withColumn("b", F.floor("s").cast("long"))
+    )
+    bt = g.groupBy("b").agg(F.sum("n_g").alias("t"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.withColumn(
+        "o", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+    ).select("b", "o")
+    wl = (
+        Window.partitionBy("b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.join(F.broadcast(off), "b").withColumn(
+        "before",
+        F.col("o") + F.coalesce(F.sum("n_g").over(wl), F.lit(0)),
+    )
+    agg = ranked.agg(
+        F.sum("pos_g").cast("long").alias("n_pos"),
+        F.sum(F.col("n_g") - F.col("pos_g")).cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.sum(
+            F.col("pos_g") * (2 * F.col("before") + F.col("n_g") + 1)
+        ).cast("long").alias("two_r_pos"),
+    )
+    auc = (
+        F.col("two_r_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double") / (
+        2 * F.col("n_pos") * F.col("n_neg")
+    ).cast("double")
+    return agg.select("n_pos", "n_neg", "n_scores", auc.alias("auc"))
+
+
+_AUC_SQL = f"""
+WITH g AS (
+  SELECT value AS s, COUNT(*)::BIGINT AS n_g,
+    CAST(SUM(CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 ELSE 0 END)
+         AS BIGINT) AS pos_g,
+    FLOOR(value)::BIGINT AS b
+  FROM events GROUP BY value
+),
+off AS (
+  SELECT b, COALESCE(SUM(t) OVER (
+    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0)::BIGINT AS o
+  FROM (SELECT b, SUM(n_g) AS t FROM g GROUP BY b)
+),
+ranked AS (
+  SELECT g.*, o + COALESCE(SUM(n_g) OVER (
+    PARTITION BY g.b ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS before
+  FROM g JOIN off ON g.b = off.b
+),
+a AS (
+  SELECT CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+    CAST(SUM(n_g - pos_g) AS BIGINT) AS n_neg,
+    COUNT(*)::BIGINT AS n_scores,
+    CAST(SUM(pos_g * (2 * before + n_g + 1)) AS BIGINT) AS two_r_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg, n_scores,
+  (two_r_pos - n_pos * (n_pos + 1))::DOUBLE
+    / (2 * n_pos * n_neg)::DOUBLE AS auc
+FROM a
+"""
+
+
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
@@ -1035,6 +1138,7 @@ QUERIES = {
     "ml_zscore_outliers": zscore_outliers,
     "ml_class_weights": class_weights,
     "ml_value_histogram": value_histogram,
+    "ml_auc": auc_rank,
 }
 
 ORACLE = {
@@ -1046,4 +1150,5 @@ ORACLE = {
     "ml_zscore_outliers": _ZSCORE_SQL,
     "ml_class_weights": _CLASSW_SQL,
     "ml_value_histogram": _HIST_SQL,
+    "ml_auc": _AUC_SQL,
 }

@@ -276,13 +276,145 @@ WHERE rn = FLOOR(quantile / 100.0 * (k_eff - 1))::INT + 1
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog — made bit-exactly oracle-checkable after all
+# ---------------------------------------------------------------------------
+#
+# The module docstring's original objection to HLL was that register
+# LAYOUTS differ per engine.  That objection disappears once the
+# registers are computed from the shared stable_hash64 primitive with
+# integer-only math: bucket j = h % m, remainder w = h DIV m (50 bits),
+# rho(w) = 51 - bitlength(w) via the string-identical `bin()` both
+# engines expose (bin(0) = '0' in both, handled by CASE).  The harmonic
+# sum Σ 2^-M[j] is then EXACT: each term 2^-r is scaled by 2^51 to the
+# integer 2^(51-r) (shiftleft), so the register sum is an
+# order-independent BIGINT (max 1024·2^51 = 2^61 < 2^63) and the
+# Flajolet alpha_m·m²/Z estimate is ONE double division by that exact
+# integer.  The small-range branch (E <= 2.5m with empty registers)
+# uses linear counting m·ln(m/z) — ln matches libm bit-for-bit in both
+# engines given identical double inputs (measured; the historical
+# mismatch was Spark's decimal literal division, avoided by explicit
+# DOUBLE casts).
+#
+# Scale shape — the reason HLL exists: the whole column reduces to m
+# registers via ONE map-side-combinable (j, max rho) aggregate; a 100 TB
+# column moves 1024 longs per partition, and register maxes merge
+# associatively at any tree depth.  Two probe columns ride one query to
+# exercise both estimator branches: event_id (10k distinct -> raw HLL)
+# and user_id (150 distinct -> linear counting).
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+_HLL_W_BITS = 60 - HLL_P  # remainder width -> rho in [1, 51]
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^51, precomputed in ONE host multiply chain and inlined
+# as the same literal into both engines' expressions
+_HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_W_BITS + 1)
+_HLL_LC_GATE = 2.5 * HLL_M  # small-range correction threshold
+
+
+def _hll_frame(df: DataFrame, col: str) -> DataFrame:
+    """One-row HLL summary for a column: registers, exact harmonic sum,
+    estimate, and the exact count alongside for observed error."""
+    h = stable_hash64(F.col(col).cast("string"))
+    rho = F.when(
+        F.expr(f"h DIV {HLL_M}") == 0, F.lit(_HLL_W_BITS + 1)
+    ).otherwise(
+        F.lit(_HLL_W_BITS + 1)
+        - F.length(F.bin(F.expr(f"h DIV {HLL_M}")))
+    )
+    regs = (
+        df.select(h.alias("h"))
+        .select((F.col("h") % HLL_M).alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("r"))
+    )
+    s = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("hit_registers"),
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({_HLL_W_BITS + 1} - r as int))")
+        ).cast("long").alias("s_present"),
+    )
+    exact = df.agg(
+        F.countDistinct(col).cast("long").alias("exact_distinct")
+    )
+    zero = F.lit(HLL_M).cast("long") - F.col("hit_registers")
+    s_total = (
+        F.col("s_present")
+        + zero * F.lit(1 << (_HLL_W_BITS + 1)).cast("long")
+    )
+    raw = F.lit(_HLL_NUMER) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LC_GATE)) & (zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
+    ).otherwise(raw)
+    return s.crossJoin(exact).select(
+        F.lit(col).alias("column_name"),
+        "hit_registers",
+        zero.alias("zero_registers"),
+        s_total.alias("register_sum"),
+        est.alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(p=10) over two events columns spanning both estimator
+    branches; (column_name, hit_registers, zero_registers,
+    register_sum, est_distinct, exact_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return _hll_frame(ev, "event_id").unionByName(
+        _hll_frame(ev, "user_id")
+    )
+
+
+def _hll_col_sql(col: str) -> str:
+    hsh = SQL_STABLE_HASH64.format(x=f"{col}::VARCHAR")
+    w = f"(h // {HLL_M})"
+    rb = _HLL_W_BITS + 1
+    return f"""
+SELECT '{col}' AS column_name, hit_registers,
+  ({HLL_M}::BIGINT - hit_registers) AS zero_registers,
+  (s_present + ({HLL_M}::BIGINT - hit_registers)
+    * {1 << rb}::BIGINT) AS register_sum,
+  CASE WHEN ({_HLL_NUMER!r} / (s_present
+          + ({HLL_M}::BIGINT - hit_registers) * {1 << rb}::BIGINT)::DOUBLE
+        ) <= {_HLL_LC_GATE!r}
+        AND ({HLL_M}::BIGINT - hit_registers) > 0
+    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+          / ({HLL_M}::BIGINT - hit_registers)::DOUBLE)
+    ELSE {_HLL_NUMER!r} / (s_present
+          + ({HLL_M}::BIGINT - hit_registers) * {1 << rb}::BIGINT)::DOUBLE
+  END AS est_distinct,
+  (SELECT COUNT(DISTINCT {col})::BIGINT FROM events) AS exact_distinct
+FROM (
+  SELECT COUNT(*)::BIGINT AS hit_registers,
+    CAST(SUM(1::BIGINT << ({rb} - r)) AS BIGINT) AS s_present
+  FROM (
+    SELECT j, MAX(rho) AS r FROM (
+      SELECT h % {HLL_M} AS j,
+        CASE WHEN {w} = 0 THEN {rb}
+             ELSE {rb} - length(bin({w})) END AS rho
+      FROM (SELECT {hsh} AS h FROM events)
+    ) GROUP BY j
+  )
+)"""
+
+
+_HLL_SQL = (
+    _hll_col_sql("event_id") + "\nUNION ALL BY NAME\n" + _hll_col_sql("user_id")
+)
+
+
 QUERIES = {
     "sketch_kmv_distinct": kmv_distinct_customers,
     "sketch_kmv_by_group": kmv_distinct_by_group,
     "sketch_sample_quantiles": sample_quantiles,
+    "sketch_hll_distinct": hll_distinct,
 }
 ORACLE = {
     "sketch_kmv_distinct": _KMV_SQL,
     "sketch_kmv_by_group": _KMV_GROUP_SQL,
     "sketch_sample_quantiles": _SQ_SQL,
+    "sketch_hll_distinct": _HLL_SQL,
 }

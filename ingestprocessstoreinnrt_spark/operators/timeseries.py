@@ -156,11 +156,121 @@ FROM binned GROUP BY bin
 """
 
 
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of resample_ffill: empty grid hours get
+    the straight line between the bracketing OBSERVED hours' averages
+    instead of a carried-forward value — the fill sequence models
+    usually want for slowly-varying signals.
+
+    (user_id, hour_us, n_events, interp_value).  Exactness: the node
+    values are deterministic davg aggregates; the interpolation itself
+    is per-row IEEE double arithmetic on identical inputs written in
+    the same operation order in both engines, so it is bit-stable (the
+    functions.scalars preamble's rule).  Scale shape matches
+    resample_ffill: grid rows never leave their key's partition; the
+    bracketing observation is found with two per-key window passes
+    (last-not-null backward, first-not-null forward), no self-join.
+    Grid endpoints are observed hours by construction, so the
+    interpolation denominator is never null and only interior gaps
+    divide.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < RESAMPLE_USERS)
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+            "value",
+        )
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"), davg("value", "avg_v")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("h"))
+    j = (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .withColumn("t0", F.last(obs_h, ignorenulls=True).over(wb))
+        .withColumn("v0", F.last("avg_v", ignorenulls=True).over(wb))
+        .withColumn("t1", F.first(obs_h, ignorenulls=True).over(wf))
+        .withColumn("v1", F.first("avg_v", ignorenulls=True).over(wf))
+    )
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        F.col("h") - F.col("t0")
+    ) / (F.col("t1") - F.col("t0"))
+    return j.select(
+        "user_id",
+        (F.col("h") * HOUR_US).alias("hour_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .otherwise(interp)
+        .alias("interp_value"),
+    )
+
+
+_INTERP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {HOUR_US} AS h, value FROM events
+  WHERE user_id < {RESAMPLE_USERS}
+),
+hourly AS (
+  SELECT user_id, h, COUNT(*) AS n_events, {sql_davg("value", "avg_v")}
+  FROM ev GROUP BY user_id, h
+),
+grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM (
+    SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY user_id
+  )
+),
+j AS (
+  SELECT g.user_id, g.h, n_events, avg_v,
+    last_value(CASE WHEN avg_v IS NOT NULL THEN g.h END IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+    last_value(avg_v IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+    first_value(CASE WHEN avg_v IS NOT NULL THEN g.h END IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+    first_value(avg_v IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+  FROM grid g LEFT JOIN hourly USING (user_id, h)
+)
+SELECT user_id, h * {HOUR_US} AS hour_us,
+  COALESCE(n_events, 0) AS n_events,
+  CASE WHEN avg_v IS NOT NULL THEN avg_v
+       ELSE v0 + (v1 - v0) * (h - t0) / (t1 - t0)
+  END AS interp_value
+FROM j
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": resample_ffill,
     "ml_quantile_bins": quantile_bins,
+    "ts_interpolate_linear": resample_interpolate,
 }
 ORACLE = {
     "ts_resample_ffill": _RESAMPLE_SQL,
     "ml_quantile_bins": _bins_sql(),
+    "ts_interpolate_linear": _INTERP_SQL,
 }

@@ -226,3 +226,43 @@ def test_value_histogram_partitions_counts(spark):
         rs.sort(key=lambda r: r.bin)
         for a, b in zip(rs, rs[1:]):
             assert a.bin_lo < b.bin_lo
+
+
+def test_train_split_partitions_and_stability(spark):
+    """Splits are disjoint-exhaustive (counts sum to corpus, shares to
+    1.0) and hash-gate STABLE: halving the corpus never reassigns a
+    surviving document's split."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.functions.scalars import stable_hash64
+    from ingestprocessstoreinnrt_spark.operators import curation
+    from tests.conftest import SF_ORACLE
+
+    rows = curation.train_test_split(spark, SF_ORACLE).collect()
+    total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    shares = {r.split_name: r.share for r in rows}
+    assert set(shares) == {"train", "validation", "test"}
+    assert shares["train"] > shares["validation"]
+    assert shares["train"] > shares["test"]
+
+    def members(df):
+        b = stable_hash64(F.col("doc_id").cast("string")) % (
+            curation.SPLIT_BUCKETS
+        )
+        tag = (
+            F.when(b <= curation.SPLIT_TRAIN_MAX, "train")
+            .when(b == curation.SPLIT_TRAIN_MAX + 1, "validation")
+            .otherwise("test")
+        )
+        return {
+            (r.doc_id, r.s)
+            for r in df.select("doc_id", tag.alias("s")).collect()
+        }
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    full = members(docs)
+    half = members(docs.filter(F.col("doc_id") % 2 == 0))
+    assert half <= full  # growth/shrink never reassigns

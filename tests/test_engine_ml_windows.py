@@ -287,3 +287,66 @@ def test_zscore_outliers_flags_true_extremes(spark):
         z = (r.value - mean) / math.sqrt(var)
         assert abs(round(z, 6)) > ml.Z_THRESH
         assert abs(round(z, 6) - r.z) < 1e-9
+
+
+def test_auc_matches_rank_brute_force(spark):
+    """Exact tie-corrected AUC equals the O(n log n) average-rank
+    computation on collected data, and degenerate invariants hold."""
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from tests.conftest import SF_SMOKE
+
+    r = ml.auc_rank(spark, SF_SMOKE).collect()[0]
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("value", "event_type")
+        .collect()
+    )
+    scored = sorted(
+        (x.value, 1 if x.event_type == ml.AUC_POS_TYPE else 0)
+        for x in rows
+    )
+    # average ranks with ties
+    ranks: dict = {}
+    i = 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        ranks[scored[i][0]] = avg
+        i = j
+    n_pos = sum(l for _, l in scored)
+    n_neg = len(scored) - n_pos
+    r_pos = sum(ranks[v] for v, l in scored if l)
+    want = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert r.n_pos == n_pos and r.n_neg == n_neg
+    assert abs(r.auc - want) < 1e-12
+    assert 0.0 <= r.auc <= 1.0
+    # a label-independent score must sit near chance level
+    assert abs(r.auc - 0.5) < 0.05
+
+
+def test_auc_fine_window_is_bucket_partitioned(spark):
+    """The prefix-sum window over the big grouped frame must be
+    PARTITIONED (two-level construction) — only the metadata-scale
+    bucket-offset window may be global."""
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from tests.conftest import SF_ORACLE
+
+    plan = (
+        ml.auc_rank(spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    # physical Window prints: Window [funcs], [partition], [order] —
+    # the fine n_g prefix sum must carry a partition spec (bucket col)
+    assert re.search(r"Window \[sum\(n_g[^\n]*\], \[b#\d+L?\], \[s#", plan)
+    # and exactly the one metadata-scale offset window is global (a
+    # partitioned Window prints TWO trailing bracket groups; a global
+    # one only prints the order spec)
+    globals_ = [
+        l for l in plan.splitlines()
+        if "Window [" in l and not re.search(r"\], \[[^\]]*\], \[", l)
+    ]
+    assert len(globals_) == 1 and "sum(t" in globals_[0]

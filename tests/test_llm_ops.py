@@ -398,3 +398,99 @@ def test_sample_quantiles_track_exact(spark):
     for q, r in rows.items():
         exact = vals[int(q / 100.0 * (len(vals) - 1))]
         assert abs(r.est_value - exact) <= 0.15 * spread, (q, r, exact)
+
+
+def test_hll_error_bands_and_branches(spark):
+    """HLL(p=10) lands inside the ~1.04/sqrt(m) theory band on the
+    raw branch and the linear-counting band on the small branch, and
+    the two probe columns really exercise BOTH branches."""
+    from ingestprocessstoreinnrt_spark.operators import sketch
+
+    rows = {
+        r.column_name: r
+        for r in sketch.hll_distinct(spark, SF_ORACLE).collect()
+    }
+    big, small = rows["event_id"], rows["user_id"]
+    # raw branch: every register hit, no correction possible
+    assert big.zero_registers == 0
+    err = abs(big.est_distinct - big.exact_distinct) / big.exact_distinct
+    assert err < 4 * 1.04 / (sketch.HLL_M ** 0.5)  # ~4 sigma
+    # linear-counting branch: most registers empty
+    assert small.zero_registers > sketch.HLL_M // 2
+    serr = abs(small.est_distinct - small.exact_distinct) / max(
+        small.exact_distinct, 1
+    )
+    assert serr < 0.10
+    for r in rows.values():
+        assert 0 <= r.hit_registers <= sketch.HLL_M
+        assert r.hit_registers + r.zero_registers == sketch.HLL_M
+
+
+def test_hll_is_partition_invariant_and_mergeable(spark):
+    """Registers are (j, max rho) — a set property: repartitioning
+    can't move the estimate, and the sketch of a union equals the
+    elementwise max of the parts' registers (the merge HLL ships)."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import sketch
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    a = sketch._hll_frame(ev.repartition(3), "event_id").collect()[0]
+    b = sketch._hll_frame(ev.repartition(17), "event_id").collect()[0]
+    assert a == b
+
+    def regs(df):
+        from ingestprocessstoreinnrt_spark.functions.scalars import (
+            stable_hash64,
+        )
+
+        h = stable_hash64(F.col("event_id").cast("string"))
+        rho = F.when(
+            F.expr(f"h DIV {sketch.HLL_M}") == 0,
+            F.lit(sketch._HLL_W_BITS + 1),
+        ).otherwise(
+            F.lit(sketch._HLL_W_BITS + 1)
+            - F.length(F.bin(F.expr(f"h DIV {sketch.HLL_M}")))
+        )
+        out = (
+            df.select(h.alias("h"))
+            .select((F.col("h") % sketch.HLL_M).alias("j"), rho.alias("rho"))
+            .groupBy("j")
+            .agg(F.max("rho").alias("r"))
+        )
+        return {row.j: row.r for row in out.collect()}
+
+    odd = regs(ev.filter(F.col("event_id") % 2 == 1))
+    even = regs(ev.filter(F.col("event_id") % 2 == 0))
+    merged = {
+        j: max(odd.get(j, 0), even.get(j, 0)) for j in set(odd) | set(even)
+    }
+    assert merged == regs(ev)
+
+
+def test_bigram_lm_matches_brute_force(spark):
+    """Distributed bigram counts equal a Python replay of the same
+    tokenization, and conditional probabilities are coherent."""
+    from ingestprocessstoreinnrt_spark.operators import textops
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        textops.bigram_lm(spark, SF_SMOKE).collect(), key=lambda r: r.rank
+    )
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    pairs: dict = {}
+    prefix: dict = {}
+    for d in docs:
+        toks = d.text.strip().lower().split()
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            prefix[a] = prefix.get(a, 0) + 1
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : textops.BIGRAM_TOPK
+    ]
+    assert [((r.w1, r.w2), r.n_pair) for r in got] == want
+    for r in got:
+        assert r.n_prefix == prefix[r.w1]
+        assert 0.0 < r.p_cond <= 1.0
+        assert abs(r.p_cond - r.n_pair / r.n_prefix) < 1e-15

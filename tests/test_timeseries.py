@@ -56,3 +56,34 @@ def test_quantile_bins_partition_orders(spark):
         assert 0.05 * total < r.n_orders < 0.15 * total
     for a, b in zip(rows, rows[1:]):  # value ranges strictly ordered
         assert a.max_price <= b.min_price
+
+
+def test_interpolate_matches_python_linear(spark):
+    """Grid rows with events reproduce the hourly average; interior
+    gaps sit exactly on the Python-computed straight line between the
+    bracketing observed hours."""
+    from ingestprocessstoreinnrt_spark.operators import timeseries as ts
+    from tests.conftest import SF_SMOKE
+
+    rows = ts.resample_interpolate(spark, SF_SMOKE).collect()
+    ffill = {
+        (r.user_id, r.hour_us): r
+        for r in ts.resample_ffill(spark, SF_SMOKE).collect()
+    }
+    assert set((r.user_id, r.hour_us) for r in rows) == set(ffill)
+
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r.hour_us)
+        obs = [(i, r) for i, r in enumerate(rs) if r.n_events > 0]
+        assert obs and obs[0][0] == 0 and obs[-1][0] == len(rs) - 1
+        for (i0, a), (i1, b) in zip(obs, obs[1:]):
+            for k in range(i0 + 1, i1):
+                t = (k - i0) / (i1 - i0)
+                want = a.interp_value + (b.interp_value - a.interp_value) * t
+                assert abs(rs[k].interp_value - want) < 1e-9, (u, k)
+        # observed hours agree with the ffill twin's carried value
+        for _, r in obs:
+            assert ffill[(u, r.hour_us)].avg_value == r.interp_value
