@@ -29,7 +29,7 @@ decimal-sum determinism contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -419,6 +419,160 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto / revenue-concentration analysis
+# ---------------------------------------------------------------------------
+#
+# "What share of customers produces 50/80/90% of revenue" — the
+# concentration question every BI deck asks.  Exactness: per-customer
+# revenue is the quantized BIGINT sum (functions.scalars contract), the
+# cumulative sums stay integral, and each threshold test is the integer
+# cross-multiplication 100*cum_rev >= t*total — no float compare
+# anywhere; only the two reported ratios divide, once, at the end.
+#
+# Scale shape: customers rank by revenue DESC via the same two-level
+# prefix sum as ml_auc — revenue range splits into 1000 coarse buckets
+# (floor on per-row IEEE math so both engines bucket identically),
+# per-bucket totals make a metadata-scale frame whose cumulative
+# offsets broadcast back, and the fine cumulative window runs
+# PARTITIONED by bucket.  No global-order window touches the
+# per-customer frame.
+
+PARETO_THRESHOLDS = (50, 80, 90)
+PARETO_BUCKETS = 1000
+
+
+def pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold_pct, n_customers, pct_customers, cum_share): the
+    smallest top-revenue customer count whose cumulative revenue
+    reaches each threshold."""
+    from ..functions.scalars import quantize
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(quantize(F.col("o_totalprice"))).cast("long").alias("rev_q")
+    )
+    stats = rev.agg(
+        F.min("rev_q").alias("lo"),
+        F.max("rev_q").alias("hi"),
+        F.sum("rev_q").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    nb = float(PARETO_BUCKETS)
+    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(nb)
+    bucketed = rev.join(F.broadcast(stats)).withColumn(
+        "b",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("hi") - F.col("rev_q")).cast("double") / width
+                ),
+                F.lit(PARETO_BUCKETS - 1).cast("long"),
+            )
+        ),
+    )
+    bt = bucketed.groupBy("b").agg(
+        F.sum("rev_q").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "b",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long").alias("orev"),
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).cast("long").alias("ocnt"),
+    )
+    wl = (
+        Window.partitionBy("b")
+        .orderBy(F.col("rev_q").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(off), "b")
+        .withColumn("cum_rev", F.col("orev") + F.sum("rev_q").over(wl))
+        .withColumn(
+            "rnk", F.col("ocnt") + F.row_number().over(
+                Window.partitionBy("b").orderBy(
+                    F.col("rev_q").desc(), F.col("o_custkey").asc()
+                )
+            )
+        )
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in PARETO_THRESHOLDS])
+    ).alias("threshold_pct")
+    hits = ranked.select("cum_rev", "rnk", "tot", "n_cust", thr).filter(
+        100 * F.col("cum_rev") >= F.col("threshold_pct") * F.col("tot")
+    )
+    return (
+        hits.groupBy("threshold_pct")
+        .agg(
+            F.min("rnk").cast("long").alias("n_customers"),
+            F.min_by("cum_rev", "rnk").cast("long").alias("cum_rev_at"),
+            F.first("tot").alias("tot"),
+            F.first("n_cust").alias("n_cust"),
+        )
+        .select(
+            F.col("threshold_pct").cast("long").alias("threshold_pct"),
+            "n_customers",
+            (F.col("n_customers").cast("double")
+             / F.col("n_cust").cast("double")).alias("pct_customers"),
+            (F.col("cum_rev_at").cast("double")
+             / F.col("tot").cast("double")).alias("cum_share"),
+        )
+    )
+
+
+_PARETO_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+         AS BIGINT) AS rev_q
+  FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT MIN(rev_q) AS lo, MAX(rev_q) AS hi,
+    CAST(SUM(rev_q) AS BIGINT) AS tot, COUNT(*)::BIGINT AS n_cust
+  FROM rev
+),
+bucketed AS (
+  SELECT rev.*, stats.*,
+    CASE WHEN hi = lo THEN 0
+         ELSE LEAST(FLOOR((hi - rev_q)::DOUBLE
+                    / ((hi - lo)::DOUBLE / {float(PARETO_BUCKETS)!r})),
+                    {PARETO_BUCKETS - 1})
+    END::BIGINT AS b
+  FROM rev CROSS JOIN stats
+),
+off AS (
+  SELECT b,
+    COALESCE(SUM(t) OVER (ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS orev,
+    COALESCE(SUM(n) OVER (ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS ocnt
+  FROM (SELECT b, SUM(rev_q) AS t, COUNT(*) AS n FROM bucketed GROUP BY b)
+),
+ranked AS (
+  SELECT bucketed.*, orev + SUM(rev_q) OVER (
+      PARTITION BY bucketed.b ORDER BY rev_q DESC, o_custkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+    ocnt + ROW_NUMBER() OVER (
+      PARTITION BY bucketed.b ORDER BY rev_q DESC, o_custkey ASC) AS rnk
+  FROM bucketed JOIN off ON bucketed.b = off.b
+),
+hits AS (
+  SELECT threshold_pct, cum_rev, rnk, tot, n_cust
+  FROM ranked, (SELECT unnest([{", ".join(str(t) for t in PARETO_THRESHOLDS)}])
+                AS threshold_pct)
+  WHERE 100 * cum_rev >= threshold_pct * tot
+)
+SELECT threshold_pct::BIGINT AS threshold_pct,
+  MIN(rnk)::BIGINT AS n_customers,
+  MIN(rnk)::DOUBLE / ANY_VALUE(n_cust)::DOUBLE AS pct_customers,
+  MIN_BY(cum_rev, rnk)::DOUBLE / ANY_VALUE(tot)::DOUBLE AS cum_share
+FROM hits GROUP BY threshold_pct
+"""
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
     "bi_rollup_levels": pricing_rollup_levels,
@@ -431,6 +585,7 @@ QUERIES = {
     "bi_point_lookup": point_lookup,
     "bi_enrich_join": enrich_join,
     "bi_dict_enrich": dict_enrich,
+    "bi_pareto_share": pareto_share,
 }
 
 ORACLE = {
@@ -445,4 +600,5 @@ ORACLE = {
     "bi_point_lookup": _POINT_LOOKUP_SQL,
     "bi_enrich_join": _ENRICH_JOIN_SQL,
     "bi_dict_enrich": _DICT_ENRICH_SQL,
+    "bi_pareto_share": _PARETO_SQL,
 }

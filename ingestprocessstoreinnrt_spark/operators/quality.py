@@ -142,11 +142,95 @@ def _audit_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# robust (MAD) outlier screen
+# ---------------------------------------------------------------------------
+#
+# Median-absolute-deviation outliers per event_type — the robust
+# alternative to the z-score gate (ml.zscore_outliers): mean/std are
+# themselves dragged by the outliers they're meant to find; median/MAD
+# have a 50% breakdown point.  Cross-engine exactness rides the
+# bi_percentiles precedent (Spark percentile() and DuckDB quantile_cont
+# interpolate identically); the 1.4826 normal-consistency constant is
+# inlined as the same literal and the fence arithmetic is fixed-order
+# per-row IEEE.
+#
+# Scale shape: two grouped percentile aggregates (map-side partials of
+# the percentile sketch buffer), each result broadcast back onto the
+# scan — never a global sort.  Exact medians at 100 TB would use
+# percentile_approx with documented error instead; the operator's join
+# shape is unchanged.
+
+MAD_K = 1.4826  # consistency constant for normal data
+MAD_FENCE = 3.0
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, med, mad, n_outliers, outlier_share): values
+    with |x - median| > 3 * 1.4826 * MAD flagged per type."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    fence = F.lit(MAD_FENCE) * (F.lit(MAD_K) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("adev") > fence).cast("long"))
+            .cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n", "med", "mad", "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n").cast("double"))
+            .alias("outlier_share"),
+        )
+    )
+
+
+_MAD_SQL = f"""
+WITH ev AS (SELECT event_type, value FROM events),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM ev GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, value, med, ABS(value - med) AS adev
+  FROM ev JOIN med ON ev.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, COUNT(*)::BIGINT AS n,
+  ANY_VALUE(med) AS med, ANY_VALUE(mad.mad) AS mad,
+  CAST(SUM(CASE WHEN adev > {MAD_FENCE!r} * ({MAD_K!r} * mad.mad)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(SUM(CASE WHEN adev > {MAD_FENCE!r} * ({MAD_K!r} * mad.mad)
+           THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+    / COUNT(*)::DOUBLE AS outlier_share
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+"""
+
+
 QUERIES = {
     "quality_column_profile": column_profile,
     "quality_referential_audit": referential_audit,
+    "quality_mad_outliers": mad_outliers,
 }
 ORACLE = {
     "quality_column_profile": _profile_sql(),
     "quality_referential_audit": _audit_sql(),
+    "quality_mad_outliers": _MAD_SQL,
 }

@@ -22,6 +22,7 @@ from ..functions.text import (
     lang_scores,
     quality_stats,
     token_count,
+    tokens,
 )
 
 # ---------------------------------------------------------------------------
@@ -539,6 +540,87 @@ FROM b LEFT JOIN a USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram language-model counts
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOPK = 100
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top corpus bigrams with conditional probabilities — the count
+    tables an n-gram LM (or a perplexity-based quality filter) trains
+    from: (w1, w2, n_pair, n_prefix, p_cond, rank).
+
+    Adjacency is materialized row-locally: the token array is zipped
+    with its own 1-shift (slice+zip_with), so bigram generation is a
+    NARROW explode — no window, no shuffle until the wordcount-shaped
+    (w1, w2) aggregate, which map-side combines.  DuckDB twin uses
+    lockstep unnest over the same two slices.  p_cond = n_pair /
+    n_prefix is one double division of exact integers; ranking is
+    count-desc with lexical tie-breaks through TakeOrdered."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(tokens(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.expr(
+                "explode(zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))) AS bg"
+            )
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    prefix = pc.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("n_prefix")
+    )
+    keys = [F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    top = pc.join(prefix, "w1").orderBy(*keys).limit(BIGRAM_TOPK)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+    ).select(
+        "w1", "w2", "n_pair", "n_prefix",
+        (F.col("n_pair").cast("double") / F.col("n_prefix").cast("double"))
+        .alias("p_cond"),
+        "rank",
+    )
+
+
+_BIGRAM_SQL = f"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+),
+bg AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM d
+),
+pc AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n_pair FROM bg GROUP BY w1, w2
+),
+prefix AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_prefix FROM pc GROUP BY w1
+)
+SELECT w1, w2, n_pair, n_prefix,
+  n_pair::DOUBLE / n_prefix::DOUBLE AS p_cond, rank
+FROM (
+  SELECT pc.w1, pc.w2, n_pair, n_prefix,
+    ROW_NUMBER() OVER (
+      ORDER BY n_pair DESC, pc.w1 ASC, pc.w2 ASC
+    )::BIGINT AS rank
+  FROM pc JOIN prefix ON pc.w1 = prefix.w1
+) r
+WHERE rank <= {BIGRAM_TOPK}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -548,6 +630,7 @@ QUERIES = {
     "pipeline_curated_corpus": curated_corpus,
     "sample_stratified": sample_balanced_corpus,
     "sample_weighted": weighted_sample,
+    "text_bigram_lm": bigram_lm,
 }
 
 ORACLE = {
@@ -559,4 +642,5 @@ ORACLE = {
     "pipeline_curated_corpus": _curated_sql(),
     "sample_stratified": _sample_sql(),
     "sample_weighted": _weighted_sql(),
+    "text_bigram_lm": _BIGRAM_SQL,
 }

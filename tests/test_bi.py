@@ -51,3 +51,43 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_is_flagged(spark):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
+
+
+def test_pareto_share_matches_brute_force(spark):
+    """Thresholds are monotone and each n_customers is MINIMAL: the
+    top-(n-1) customers by revenue don't reach the threshold, top-n
+    do — checked against a driver-side exact replay."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.functions.scalars import quantize
+    from ingestprocessstoreinnrt_spark.operators import bi
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.threshold_pct: r
+        for r in bi.pareto_share(spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == sorted(bi.PARETO_THRESHOLDS)
+    rev = sorted(
+        (
+            r.rev_q
+            for r in load_table(spark, SF_SMOKE, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(quantize(F.col("o_totalprice"))).alias("rev_q"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    tot = sum(rev)
+    prev_n = 0
+    for t in sorted(rows):
+        r = rows[t]
+        assert r.n_customers >= prev_n
+        prev_n = r.n_customers
+        top = sum(rev[: r.n_customers])
+        assert 100 * top >= t * tot
+        if r.n_customers > 1:
+            assert 100 * sum(rev[: r.n_customers - 1]) < t * tot
+        assert abs(r.cum_share - top / tot) < 1e-12
+        assert abs(r.pct_customers - r.n_customers / len(rev)) < 1e-12

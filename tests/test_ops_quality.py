@@ -124,3 +124,35 @@ def test_compaction_lock_refuses_concurrent_run(spark, tmp_path):
     # lock released after a successful run
     assert compact.compact_parquet_dir(spark, src, target_bytes=10**9) == 1
     assert not os.path.exists(lock)
+
+
+def test_mad_outliers_match_python_statistics(spark):
+    """Median/MAD and the outlier census agree with a pure-Python
+    replay (statistics.median interpolates the same way percentile
+    does on even counts)."""
+    import statistics
+
+    from ingestprocessstoreinnrt_spark.operators import quality
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.event_type: r
+        for r in quality.mad_outliers(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_type: dict = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    assert set(rows) == set(by_type)
+    for t, vals in by_type.items():
+        r = rows[t]
+        med = statistics.median(vals)
+        adev = [abs(v - med) for v in vals]
+        mad = statistics.median(adev)
+        assert r.n == len(vals)
+        assert abs(r.med - med) < 1e-9
+        assert abs(r.mad - mad) < 1e-9
+        fence = quality.MAD_FENCE * (quality.MAD_K * r.mad)
+        n_out = sum(1 for a in adev if a > fence)
+        assert r.n_outliers == n_out
+        assert 0.0 <= r.outlier_share < 0.5  # robust gate can't flag half
