@@ -53,7 +53,13 @@ def _pair_counts(items: DataFrame) -> DataFrame:
     """(p1 < p2, pair_orders) — co-occurrence counts AFTER the apriori
     item prune.  The self-join is an equi-join on the order key; both
     sides arrive partitioned by `o` from the distinct above, so the
-    pair expansion is a local basket-squared walk, not a shuffle."""
+    pair expansion is a local basket-squared walk, not a shuffle.
+
+    cache(): basket_pair_lift and graph_triangles build the IDENTICAL
+    plan here, so Spark's cache manager hands both one entry — pairs
+    are generated once per session (the _token_frame pattern from
+    dedup).  At warehouse scale this frame is a materialized table
+    bucketed on p1."""
     item_n = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_ord"))
     kept = items.join(
         item_n.filter(F.col("n_ord") >= MIN_ITEM_ORDERS).select("p"), "p"
@@ -65,6 +71,7 @@ def _pair_counts(items: DataFrame) -> DataFrame:
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        .cache()
     )
 
 

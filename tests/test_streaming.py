@@ -478,3 +478,58 @@ def test_continuous_hourly_rollup_via_upsert(spark, tmp_path):
         for r in hourly(static).collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_agg_equals_batch_query(spark, workdir):
+    """Streaming twin of operators/incremental.py: orders arrive in 4
+    micro-batches, each batch's per-customer PARTIALS merge into the
+    upsert table; the derived (n_orders, avg) table ends bit-identical
+    to the oracled incremental_customer_agg batch query — the IVM
+    monoid survives the trip through foreachBatch."""
+    from ingestprocessstoreinnrt_spark.operators import incremental
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    src_dir = workdir + "/orders_stream"
+    # 4 deterministic chunks as separate parquet files
+    orders.withColumn(
+        "chunk", F.pmod(F.col("o_orderkey"), F.lit(4))
+    ).write.partitionBy("chunk").parquet(src_dir)
+
+    schema = orders.schema
+    table = UpsertTable(
+        spark, workdir + "/partials", ["o_custkey"], num_buckets=4
+    )
+
+    def merge(cur, new):
+        return (
+            cur.unionByName(new)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("qsum").alias("qsum"),
+            )
+        )
+
+    for c in range(4):
+        stream = spark.readStream.schema(schema).parquet(
+            f"{src_dir}/chunk={c}"
+        )
+        pipelines.upsert_aggregate_stream(
+            stream,
+            table,
+            incremental._partials,
+            merge,
+            checkpoint=f"{workdir}/ckpt{c}",
+        ).awaitTermination(120)
+
+    got = table.read().select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (
+            F.col("qsum").cast("double")
+            / F.lit(10000.0)
+            / F.col("n_orders").cast("double")
+        ).alias("avg_totalprice"),
+    )
+    want = incremental.incremental_customer_agg(spark, SF_ORACLE)
+    assert _rows(got, "o_custkey") == _rows(want, "o_custkey")
