@@ -23,6 +23,7 @@ from ingestprocessstoreinnrt_spark.operators import (
     cdc,
     curation,
     graph,
+    jsonops,
     layout,
     sketch,
     timeseries,
@@ -92,7 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
                 timeseries, layout, quality, funnel, curation, incremental,
-                basket):
+                basket, jsonops):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -104,6 +105,6 @@ def oracle_sql() -> dict[str, str]:
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
                 timeseries, layout, quality, funnel, curation, incremental,
-                basket):
+                basket, jsonops):
         out.update(mod.ORACLE)
     return _ordered(out)
