@@ -621,6 +621,105 @@ WHERE rank <= {BIGRAM_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# per-document surprisal under the corpus bigram LM (perplexity filter)
+# ---------------------------------------------------------------------------
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram surprisal -ln P(w2|w1) under the
+    corpus's own bigram model — the CCNet-style perplexity signal that
+    flags boilerplate (low surprisal) and gibberish (high): (doc_id,
+    n_bigrams, avg_surprisal).
+
+    Exactness: P = n_pair/n_prefix is one division of exact integers
+    (identical bits cross-engine), ln matches libm bitwise, and the
+    per-bigram surprisal is quantized to 1e-9 BIGINTs before the
+    per-doc sum — the dsum discipline, so the parallel sum is
+    order-free.  Self-scoring means every doc bigram exists in the
+    count table: no smoothing branch.
+
+    Scale shape: the count tables are wordcount aggregates; scoring is
+    ONE equi-join keyed by (w1, w2) — both sides bucket on the bigram
+    at 100 TB — and a final doc-keyed aggregate.  Nothing quadratic,
+    no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))) AS bg"
+            ),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    prefix = pc.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("n_prefix")
+    )
+    model = pc.join(prefix, "w1")
+    term_q = F.floor(
+        -F.log(
+            F.col("n_pair").cast("double") / F.col("n_prefix").cast("double")
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(term_q).cast("long").alias("sq"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sq").cast("double")
+                / F.lit(1e9)
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+_SURPRISAL_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+),
+bg AS (
+  SELECT doc_id, unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM d
+),
+pc AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n_pair FROM bg GROUP BY w1, w2
+),
+prefix AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_prefix FROM pc GROUP BY w1
+),
+model AS (SELECT pc.w1, pc.w2, n_pair, n_prefix
+          FROM pc JOIN prefix ON pc.w1 = prefix.w1)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+  CAST(SUM(CAST(FLOOR(-ln(n_pair::DOUBLE / n_prefix::DOUBLE) * 1e9 + 0.5)
+                AS BIGINT)) AS BIGINT)::DOUBLE / 1e9 / COUNT(*)::DOUBLE
+    AS avg_surprisal
+FROM bg JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -631,6 +730,7 @@ QUERIES = {
     "sample_stratified": sample_balanced_corpus,
     "sample_weighted": weighted_sample,
     "text_bigram_lm": bigram_lm,
+    "text_bigram_surprisal": bigram_surprisal,
 }
 
 ORACLE = {
@@ -643,4 +743,5 @@ ORACLE = {
     "sample_stratified": _sample_sql(),
     "sample_weighted": _weighted_sql(),
     "text_bigram_lm": _BIGRAM_SQL,
+    "text_bigram_surprisal": _SURPRISAL_SQL,
 }

@@ -494,3 +494,41 @@ def test_bigram_lm_matches_brute_force(spark):
         assert r.n_prefix == prefix[r.w1]
         assert 0.0 < r.p_cond <= 1.0
         assert abs(r.p_cond - r.n_pair / r.n_prefix) < 1e-15
+
+
+def test_bigram_surprisal_matches_python_model(spark):
+    """Per-doc surprisal equals a Python replay of the self-trained
+    bigram model (same quantization), and repetition lowers it."""
+    import math
+
+    from ingestprocessstoreinnrt_spark.operators import textops
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: r
+        for r in textops.bigram_surprisal(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    pairs: dict = {}
+    prefix: dict = {}
+    toks_by_doc = {}
+    for d in docs:
+        toks = d.text.strip().lower().split()
+        if len(toks) < 2:
+            continue
+        toks_by_doc[d.doc_id] = toks
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            prefix[a] = prefix.get(a, 0) + 1
+    assert set(got) == set(toks_by_doc)
+    for doc_id, toks in toks_by_doc.items():
+        sq = 0
+        n = 0
+        for a, b in zip(toks, toks[1:]):
+            p = pairs[(a, b)] / prefix[a]
+            sq += math.floor(-math.log(p) * 1e9 + 0.5)
+            n += 1
+        r = got[doc_id]
+        assert r.n_bigrams == n
+        assert abs(r.avg_surprisal - sq / 1e9 / n) < 1e-12
+        assert r.avg_surprisal >= 0.0
