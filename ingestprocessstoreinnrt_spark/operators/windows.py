@@ -245,12 +245,91 @@ WINDOW w AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling distinct actives (DAU / trailing-7-day WAU)
+# ---------------------------------------------------------------------------
+#
+# Sliding-window DISTINCT counts don't decompose like sums — a user
+# active on 3 of the 7 days must count once — so the textbook RANGE
+# frame is useless and a naive per-day self-join over the window is
+# quadratic.  The distributed shape that works at 100 TB: deduplicate
+# to (user, day) grain first (the big shrink), then EXPLODE each
+# active-day into the <=7 trailing windows it can serve, dedupe
+# (user, window_day), and count — a bounded 7x fan-out of the already
+# tiny grain table, two map-side-combinable aggregates, no self-join,
+# no global window.
+
+DAY_US = 86_400_000_000
+WAU_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day_us, dau, wau_7d) for every day in the data's range: users
+    active that day, and distinct users active in the trailing 7-day
+    window ending that day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day")
+    )
+    grain = ev.distinct()  # (user, active-day)
+    span = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dau = grain.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    contrib = (
+        grain.join(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.col("day") + WAU_DAYS - 1, F.col("d1")),
+                )
+            ).alias("wday"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.count(F.lit(1)).cast("long").alias("wau_7d")
+    )
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            (F.col("day") * DAY_US).alias("day_us"), "dau", "wau_7d"
+        )
+    )
+
+
+_ACTIVE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+grain AS (SELECT DISTINCT user_id, day FROM ev),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+dau AS (
+  SELECT day, COUNT(DISTINCT user_id)::BIGINT AS dau FROM grain GROUP BY day
+),
+contrib AS (
+  SELECT DISTINCT user_id, unnest(range(day, LEAST(day + {WAU_DAYS}, d1 + 1)))
+    AS wday
+  FROM grain CROSS JOIN span
+),
+wau AS (
+  SELECT wday, COUNT(*)::BIGINT AS wau_7d FROM contrib GROUP BY wday
+)
+SELECT day * {DAY_US} AS day_us, dau, wau_7d
+FROM dau JOIN wau ON dau.day = wau.wday
+"""
+
+
 QUERIES = {
     "win_user_sessions": user_sessions,
     "win_tumbling_hourly": tumbling_hourly,
     "win_hopping_quarter": hopping_quarter,
     "win_user_event_ranks": user_event_ranks,
     "win_rolling_24h": rolling_24h,
+    "win_active_users": rolling_active_users,
 }
 
 ORACLE = {
@@ -259,4 +338,5 @@ ORACLE = {
     "win_hopping_quarter": _HOPPING_SQL,
     "win_user_event_ranks": _RANKS_SQL,
     "win_rolling_24h": _ROLLING_SQL,
+    "win_active_users": _ACTIVE_SQL,
 }

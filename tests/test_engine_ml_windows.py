@@ -350,3 +350,28 @@ def test_auc_fine_window_is_bucket_partitioned(spark):
         if "Window [" in l and not re.search(r"\], \[[^\]]*\], \[", l)
     ]
     assert len(globals_) == 1 and "sum(t" in globals_[0]
+
+
+def test_rolling_active_users_matches_brute_force(spark):
+    """DAU/WAU against a Python set replay: wau_7d(d) == |union of
+    active sets over [d-6, d]|, dau(d) == |active set of d|."""
+    from ingestprocessstoreinnrt_spark.operators import windows as W
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.day_us // W.DAY_US: r
+        for r in W.rolling_active_users(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    active: dict = {}
+    for e in ev:
+        day = (e.ts.timestamp() * 1_000_000) // W.DAY_US
+        active.setdefault(int(day), set()).add(e.user_id)
+    assert set(rows) == set(active)
+    for d, r in rows.items():
+        assert r.dau == len(active[d])
+        window = set()
+        for k in range(W.WAU_DAYS):
+            window |= active.get(d - k, set())
+        assert r.wau_7d == len(window), d
+        assert r.wau_7d >= r.dau
