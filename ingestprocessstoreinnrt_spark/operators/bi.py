@@ -573,6 +573,85 @@ FROM hits GROUP BY threshold_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# shipping-priority (TPC-H Q3 shape): the canonical 3-way join
+# ---------------------------------------------------------------------------
+#
+# customer ⋈ orders ⋈ lineitem with segment/date filters and a top-10
+# revenue ranking — the join-ordering benchmark query.  The plan we
+# want (and assert in tests): both date filters PUSHED into the
+# parquet scans, the filtered customer dim BROADCAST onto orders, and
+# the orders->lineitem join left as shuffle (both sides big; at 100 TB
+# they bucket on the order key and the exchange disappears — the
+# test_bucketed_join_shuffles_neither_side recipe).  Revenue uses the
+# quantized-sum contract; ranking is TakeOrdered.
+
+SHIP_SEGMENT = "BUILDING"
+SHIP_PIVOT = "1998-06-01"
+SHIP_TOPK = 10
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped-revenue orders for one market segment:
+    (o_orderkey, revenue, o_orderdate_us, o_orderpriority)."""
+    from ..functions.scalars import quantize
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == SHIP_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < SHIP_PIVOT
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > SHIP_PIVOT
+    )
+    rev = quantize(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    keys_sql = [
+        F.col("revenue").desc(), F.col("o_orderkey").asc(),
+    ]
+    return (
+        joined.groupBy(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        .agg(
+            (F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue")
+        )
+        .orderBy(*keys_sql)
+        .limit(SHIP_TOPK)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+
+
+_SHIP_SQL = f"""
+SELECT o_orderkey,
+  CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 10000.0
+                      + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SHIP_SEGMENT}'
+  AND o_orderdate < '{SHIP_PIVOT}'
+  AND l_shipdate > '{SHIP_PIVOT}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {SHIP_TOPK}
+"""
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
     "bi_rollup_levels": pricing_rollup_levels,
@@ -586,6 +665,7 @@ QUERIES = {
     "bi_enrich_join": enrich_join,
     "bi_dict_enrich": dict_enrich,
     "bi_pareto_share": pareto_share,
+    "bi_shipping_priority": shipping_priority,
 }
 
 ORACLE = {
@@ -601,4 +681,5 @@ ORACLE = {
     "bi_enrich_join": _ENRICH_JOIN_SQL,
     "bi_dict_enrich": _DICT_ENRICH_SQL,
     "bi_pareto_share": _PARETO_SQL,
+    "bi_shipping_priority": _SHIP_SQL,
 }

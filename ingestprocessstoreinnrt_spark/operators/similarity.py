@@ -391,11 +391,105 @@ FROM s, (SELECT unnest(range(0, {EMB_DIM})) AS i) t
 """
 
 
+# ---------------------------------------------------------------------------
+# kNN label-accuracy evaluation (embedding-quality probe)
+# ---------------------------------------------------------------------------
+
+KNN_PROBE_MOD = 25  # vec_id % 25 == 0 -> deterministic ~4% probe set
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy on a deterministic probe
+    sample: (label, n_probes, n_correct, accuracy) — the standard
+    embedding-quality check a training pipeline runs after computing
+    or distilling an embedding column.
+
+    Exact by construction: cosine rounds to 6 dp and the neighbor is
+    argmin over (cos DESC, vec_id ASC) — the module-wide rank recipe —
+    so the chosen neighbor is identical cross-engine.  Scale shape:
+    the probe set is a broadcast (|probes| = |corpus|/MOD, bounded by
+    the modulus, same as sim_topk_cosine's serving shape); cost is one
+    corpus scan x |probes| codegen dot products, linear in the corpus.
+    For all-pairs eval at 100 TB you'd route through the IVF lists
+    (sim_ann_ivf) and accept measured recall instead."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", norm2(F.col("embedding"))
+    )
+    probes = emb.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("embedding").alias("pv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cos = F.round(
+        dot(F.col("pv"), F.col("embedding"))
+        / (F.col("pnrm") * F.col("nrm")),
+        6,
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    nn = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid", "plabel", F.col("label").alias("nlabel"),
+            "vec_id", cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        nn.groupBy(F.col("plabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(
+                (F.col("nlabel") == F.col("plabel")).cast("long")
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label", "n_probes", "n_correct",
+            (F.col("n_correct").cast("double")
+             / F.col("n_probes").cast("double")).alias("accuracy"),
+        )
+    )
+
+
+_KNN_SQL = f"""
+WITH probes AS (
+  SELECT vec_id AS pid, label AS plabel, embedding AS pv
+  FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = 0
+),
+scored AS (
+  SELECT pid, plabel, e.label AS nlabel, e.vec_id,
+    round(
+      list_dot_product(pv::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(pv::DOUBLE[], pv::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM embeddings e JOIN probes ON e.vec_id <> probes.pid
+),
+nn AS (
+  SELECT pid, plabel, nlabel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY pid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT plabel AS label, COUNT(*)::BIGINT AS n_probes,
+  CAST(SUM(CASE WHEN nlabel = plabel THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  CAST(SUM(CASE WHEN nlabel = plabel THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+    / COUNT(*)::DOUBLE AS accuracy
+FROM nn GROUP BY plabel
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": ann_topk_cosine,
     "sim_ann_lsh": ann_lsh_topk,
     "sim_ann_ivf": ann_ivf_topk,
     "emb_quantize_int8": emb_quantize_int8,
+    "ml_knn_eval": knn_label_eval,
 }
 
 ORACLE = {
@@ -403,4 +497,5 @@ ORACLE = {
     "sim_ann_lsh": _ann_lsh_sql(),
     "sim_ann_ivf": _ann_ivf_sql(),
     "emb_quantize_int8": _quant_sql(),
+    "ml_knn_eval": _KNN_SQL,
 }

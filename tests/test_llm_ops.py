@@ -532,3 +532,39 @@ def test_bigram_surprisal_matches_python_model(spark):
         assert r.n_bigrams == n
         assert abs(r.avg_surprisal - sq / 1e9 / n) < 1e-12
         assert r.avg_surprisal >= 0.0
+
+
+def test_knn_eval_matches_brute_force(spark):
+    """LOO 1-NN replay in numpy with the same 6dp-round + id
+    tie-break chooses identical neighbors."""
+    import numpy as np
+
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+
+    rows = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    per_label: dict = {}
+    for pid in vecs:
+        if pid % sim.KNN_PROBE_MOD:
+            continue
+        best = None
+        pv = vecs[pid]
+        pn = np.sqrt((pv * pv).sum())
+        for vid, v in vecs.items():
+            if vid == pid:
+                continue
+            c = round(float(pv @ v / (pn * np.sqrt((v * v).sum()))), 6)
+            k = (-c, vid)
+            if best is None or k < best[0]:
+                best = (k, vid)
+        nlabel = labels[best[1]]
+        st = per_label.setdefault(labels[pid], [0, 0])
+        st[0] += 1
+        st[1] += int(nlabel == labels[pid])
+    got = {
+        r.label: (r.n_probes, r.n_correct)
+        for r in sim.knn_label_eval(spark, SF_ORACLE).collect()
+    }
+    want = {lb: (n, c) for lb, (n, c) in per_label.items()}
+    assert got == want

@@ -222,3 +222,17 @@ def test_newest_ops_have_clean_plans(spark):
     q = E.formatted_plan(sketch.sample_quantiles(spark, SF_ORACLE))
     assert "TakeOrdered" in q
     assert "CartesianProduct" not in q
+
+
+def test_shipping_priority_plan_shape(spark):
+    """TPC-H Q3 shape: date filters pushed to both fact scans, the
+    filtered customer dim broadcast, top-k as TakeOrdered."""
+    df = bi.shipping_priority(spark, SF_ORACLE)
+    assert E.has_pushed_filter(df, "o_orderdate")
+    assert E.has_pushed_filter(df, "l_shipdate")
+    assert E.uses_broadcast_join(df)
+    assert E.uses_top_k(df)
+    rows = df.collect()
+    assert len(rows) <= bi.SHIP_TOPK
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
