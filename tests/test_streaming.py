@@ -533,3 +533,58 @@ def test_streaming_incremental_agg_equals_batch_query(spark, workdir):
     )
     want = incremental.incremental_customer_agg(spark, SF_ORACLE)
     assert _rows(got, "o_custkey") == _rows(want, "o_custkey")
+
+
+def test_streaming_hll_registers_merge_to_batch_sketch(spark, workdir):
+    """HLL is a streaming-native sketch: per micro-batch register
+    partials merge into the upsert table with MAX — after 4 arbitrary
+    batches the (j, r) register table is identical to the batch
+    sketch, hence so is the estimate.  This is the cross-batch twin
+    of the partition-invariance property."""
+    from ingestprocessstoreinnrt_spark.functions.scalars import stable_hash64
+    from ingestprocessstoreinnrt_spark.operators import sketch
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_id")
+    src_dir = workdir + "/ev_stream"
+    ev.withColumn(
+        "chunk", F.pmod(F.col("event_id"), F.lit(4))
+    ).write.partitionBy("chunk").parquet(src_dir)
+
+    def registers(df):
+        h = stable_hash64(F.col("event_id").cast("string"))
+        rho = F.when(
+            F.expr(f"h DIV {sketch.HLL_M}") == 0,
+            F.lit(sketch._HLL_W_BITS + 1),
+        ).otherwise(
+            F.lit(sketch._HLL_W_BITS + 1)
+            - F.length(F.bin(F.expr(f"h DIV {sketch.HLL_M}")))
+        )
+        return (
+            df.select(h.alias("h"))
+            .select((F.col("h") % sketch.HLL_M).alias("j"), rho.alias("rho"))
+            .groupBy("j")
+            .agg(F.max("rho").alias("r"))
+        )
+
+    table = UpsertTable(spark, workdir + "/regs", ["j"], num_buckets=4)
+
+    def merge(cur, new):
+        return (
+            cur.unionByName(new)
+            .groupBy("j")
+            .agg(F.max("r").alias("r"))
+        )
+
+    schema = ev.schema
+    for c in range(4):
+        stream = spark.readStream.schema(schema).parquet(
+            f"{src_dir}/chunk={c}"
+        )
+        pipelines.upsert_aggregate_stream(
+            stream, table, registers, merge,
+            checkpoint=f"{workdir}/hckpt{c}",
+        ).awaitTermination(120)
+
+    streamed = {(r.j, r.r) for r in table.read().select("j", "r").collect()}
+    batch = {(r.j, r.r) for r in registers(ev).collect()}
+    assert streamed == batch
