@@ -249,11 +249,44 @@ WHERE rank <= {TRI_TOPK}
 """
 
 
+def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph: (degree, n_nodes) —
+    the power-law shape check run before sizing any pairwise stage
+    (skew in this histogram is what the salt guards defend against).
+    Reuses the cached pair frame; degrees come from one explode of
+    each edge into both endpoints + two tiny aggregates."""
+    e = _pair_counts(_order_items(spark, sf_dir)).filter(
+        F.col("pair_orders") >= MIN_PAIR_ORDERS
+    )
+    deg = (
+        e.select(F.explode(F.array("p1", "p2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+_DEGREE_SQL = f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS degree FROM (
+    SELECT unnest([p1, p2]) AS node FROM e
+  ) GROUP BY node
+)
+SELECT degree, COUNT(*)::BIGINT AS n_nodes FROM deg GROUP BY degree
+"""
+
+
 QUERIES = {
     "bi_basket_lift": basket_pair_lift,
     "graph_triangles": graph_triangles,
+    "graph_degree_stats": degree_stats,
 }
 ORACLE = {
     "bi_basket_lift": _BASKET_SQL,
     "graph_triangles": _TRI_SQL,
+    "graph_degree_stats": _DEGREE_SQL,
 }

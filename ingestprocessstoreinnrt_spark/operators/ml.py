@@ -1129,6 +1129,104 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# covariance matrix of the embedding column (PCA / whitening prep)
+# ---------------------------------------------------------------------------
+#
+# The d x d second-moment statistics PCA, whitening, and Mahalanobis
+# gates start from.  The distributed part is ONE narrow pass: each
+# vector explodes into its upper-triangle component pairs (d(d+1)/2
+# terms, no join, no shuffle until the (i,j)-keyed aggregate, which
+# map-side combines to d(d+1)/2 cells regardless of corpus size).
+# Per-term products quantize to 1e-9 BIGINTs so the parallel sums are
+# order-free; cov = E[xy] - E[x]E[y] is then fixed-order double
+# arithmetic on exact inputs.  The eigen-step on the resulting 64x64
+# matrix is driver/metadata-scale by construction.
+
+COV_SCALE = 1e9
+
+
+def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance cells of the embedding components:
+    (i, j, n_vecs, cov)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("i", "xi"),
+        F.col("embedding").alias("e2"),
+    )
+    pairs = ex.select(
+        "i", "xi", F.posexplode("e2").alias("j", "xj")
+    ).filter(F.col("i") <= F.col("j"))
+    q = F.floor(
+        F.col("xi").cast("double") * F.col("xj").cast("double")
+        * F.lit(COV_SCALE) + F.lit(0.5)
+    ).cast("long")
+    sxy = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(q).cast("long").alias("sxy_q"),
+    )
+    means = (
+        emb.select(F.posexplode("embedding").alias("i", "xi"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("xi").cast("double") * F.lit(COV_SCALE)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("sx_q")
+        )
+    )
+    mj = means.select(
+        F.col("i").alias("j"), F.col("sx_q").alias("sy_q")
+    )
+    ex_mean = lambda c: (  # noqa: E731 — shared fixed-order expression
+        F.col(c).cast("double") / F.lit(COV_SCALE)
+        / F.col("n_vecs").cast("double")
+    )
+    return (
+        sxy.join(F.broadcast(means), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "n_vecs",
+            (ex_mean("sxy_q") - ex_mean("sx_q") * ex_mean("sy_q"))
+            .alias("cov"),
+        )
+    )
+
+
+_COV_SQL = f"""
+WITH g AS (SELECT embedding AS e FROM embeddings),
+pairs AS (
+  SELECT i, j,
+    CAST(FLOOR(e[i + 1]::DOUBLE * e[j + 1]::DOUBLE * {COV_SCALE!r} + 0.5)
+         AS BIGINT) AS q
+  FROM g, unnest(range(0, len(e))) u(i), unnest(range(0, len(e))) v(j)
+  WHERE i <= j
+),
+sxy AS (
+  SELECT i, j, COUNT(*)::BIGINT AS n_vecs,
+    CAST(SUM(q) AS BIGINT) AS sxy_q
+  FROM pairs GROUP BY i, j
+),
+m AS (
+  SELECT i,
+    CAST(SUM(CAST(FLOOR(e[i + 1]::DOUBLE * {COV_SCALE!r} + 0.5) AS BIGINT))
+         AS BIGINT) AS sx_q
+  FROM g, unnest(range(0, len(e))) u(i) GROUP BY i
+)
+SELECT sxy.i::BIGINT AS i, sxy.j::BIGINT AS j, n_vecs,
+  (sxy_q::DOUBLE / {COV_SCALE!r} / n_vecs::DOUBLE)
+  - (mi.sx_q::DOUBLE / {COV_SCALE!r} / n_vecs::DOUBLE)
+    * (mj.sx_q::DOUBLE / {COV_SCALE!r} / n_vecs::DOUBLE) AS cov
+FROM sxy
+JOIN m mi ON sxy.i = mi.i
+JOIN m mj ON sxy.j = mj.i
+"""
+
+
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
@@ -1139,6 +1237,7 @@ QUERIES = {
     "ml_class_weights": class_weights,
     "ml_value_histogram": value_histogram,
     "ml_auc": auc_rank,
+    "ml_covariance_matrix": covariance_matrix,
 }
 
 ORACLE = {
@@ -1151,4 +1250,5 @@ ORACLE = {
     "ml_class_weights": _CLASSW_SQL,
     "ml_value_histogram": _HIST_SQL,
     "ml_auc": _AUC_SQL,
+    "ml_covariance_matrix": _COV_SQL,
 }

@@ -112,3 +112,15 @@ def test_basket_plans_have_no_cartesian_and_take_ordered(spark):
     tri = basket.graph_triangles(spark, SF_ORACLE)
     tplan = tri._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in tplan
+
+
+def test_degree_stats_mass_conservation(spark):
+    """Σ degree*n_nodes == 2*|edges| (handshake lemma) and node count
+    matches the edge endpoints."""
+    import ingestprocessstoreinnrt_spark.operators.basket as B
+
+    rows = B.degree_stats(spark, SF_ORACLE).collect()
+    edges = B.triangle_edges(spark, SF_ORACLE).collect()
+    nodes = {x for e in edges for x in (e.p1, e.p2)}
+    assert sum(r.degree * r.n_nodes for r in rows) == 2 * len(edges)
+    assert sum(r.n_nodes for r in rows) == len(nodes)

@@ -375,3 +375,26 @@ def test_rolling_active_users_matches_brute_force(spark):
             window |= active.get(d - k, set())
         assert r.wau_7d == len(window), d
         assert r.wau_7d >= r.dau
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """Quantized covariance cells track numpy's exact covariance to
+    the quantization tolerance, diagonal is nonnegative, and the
+    upper triangle is complete."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    rows = ml.covariance_matrix(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    n, d = X.shape
+    want = (X.T @ X) / n - np.outer(X.mean(axis=0), X.mean(axis=0))
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r.n_vecs == n
+        assert r.i <= r.j
+        # 1e-9 per-term quantization -> bounded absolute drift
+        assert abs(r.cov - want[r.i, r.j]) < 1e-6, (r.i, r.j)
+        if r.i == r.j:
+            assert r.cov >= -1e-12
