@@ -110,6 +110,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
 """
 
 
+# --- SCD2 point-in-time ("AS OF") lookup -----------------------------------
+#
+# The read side SCD2 exists for: every user's state at one instant,
+# answered by a single range predicate over the history — no event
+# rescan, no window.  At 100 TB the history table is bucketed by
+# user_id and the [from, to) predicate prunes row groups via footer
+# stats on valid_from_us (the layout the z-order writer demonstrates).
+
+ASOF_PIVOT_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+
+
+def scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, version, valid_from_us): each user's
+    SCD2 state as of ASOF_PIVOT_US; users whose history starts later
+    are absent (no state yet)."""
+    h = scd2_history(spark, sf_dir)
+    return h.filter(
+        (F.col("valid_from_us") <= ASOF_PIVOT_US)
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("valid_to_us") > ASOF_PIVOT_US)
+        )
+    ).select("user_id", "event_type", "version", "valid_from_us")
+
+
+_ASOF_SCD2_SQL = f"""
+WITH hist AS ({_SCD2_SQL})
+SELECT user_id, event_type, version, valid_from_us
+FROM hist
+WHERE valid_from_us <= {ASOF_PIVOT_US}
+  AND (valid_to_us IS NULL OR valid_to_us > {ASOF_PIVOT_US})
+"""
+
+
 # --- snapshot diff (batch CDC) ---------------------------------------------
 #
 # Two deterministic snapshots derived from orders stand in for
@@ -269,11 +303,13 @@ GROUP BY user_id
 
 QUERIES = {
     "cdc_scd2_history": scd2_history,
+    "cdc_scd2_asof": scd2_asof,
     "cdc_snapshot_diff": snapshot_diff,
     "sketch_cms_heavy_hitters": cms_heavy_hitters,
 }
 ORACLE = {
     "cdc_scd2_history": _SCD2_SQL,
+    "cdc_scd2_asof": _ASOF_SCD2_SQL,
     "cdc_snapshot_diff": _DIFF_SQL,
     "sketch_cms_heavy_hitters": _cms_sql(),
 }

@@ -323,6 +323,81 @@ FROM dau JOIN wau ON dau.day = wau.wday
 """
 
 
+# ---------------------------------------------------------------------------
+# longest per-user activity streak (gaps-and-islands)
+# ---------------------------------------------------------------------------
+#
+# The gaps-and-islands classic: consecutive active DAYS share the same
+# (day - row_number) anchor, so islands fall out of one partitioned
+# window pass over the tiny (user, day) grain — no self-join, no
+# recursion.  Every window here partitions by user; nothing global.
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_active_days, n_streaks, longest_streak,
+    streak_start_day_us): the longest run of consecutive active days
+    per user (ties -> earliest start)."""
+    grain = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = grain.withColumn(
+        "anchor", F.col("day") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day").asc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wr))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max(F.when(F.col("rn") == 1, F.col("len"))).alias(
+                "longest_streak"
+            ),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("start_day") * DAY_US)
+            ).alias("streak_start_day_us"),
+        )
+    )
+
+
+_STREAKS_SQL = f"""
+WITH grain AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM grain
+),
+runs AS (
+  SELECT user_id, anchor, COUNT(*)::BIGINT AS len, MIN(day) AS start_day
+  FROM islands GROUP BY user_id, anchor
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY len DESC, start_day ASC
+  ) AS rn FROM runs
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+  COUNT(*)::BIGINT AS n_streaks,
+  MAX(CASE WHEN rn = 1 THEN len END) AS longest_streak,
+  MAX(CASE WHEN rn = 1 THEN start_day * {DAY_US} END)
+    AS streak_start_day_us
+FROM ranked GROUP BY user_id
+"""
+
+
 QUERIES = {
     "win_user_sessions": user_sessions,
     "win_tumbling_hourly": tumbling_hourly,
@@ -330,6 +405,7 @@ QUERIES = {
     "win_user_event_ranks": user_event_ranks,
     "win_rolling_24h": rolling_24h,
     "win_active_users": rolling_active_users,
+    "win_activity_streaks": activity_streaks,
 }
 
 ORACLE = {
@@ -339,4 +415,5 @@ ORACLE = {
     "win_user_event_ranks": _RANKS_SQL,
     "win_rolling_24h": _ROLLING_SQL,
     "win_active_users": _ACTIVE_SQL,
+    "win_activity_streaks": _STREAKS_SQL,
 }

@@ -108,3 +108,27 @@ def test_cms_never_underestimates(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.est_count >= r.exact_count
+
+
+def test_scd2_asof_is_unique_and_consistent_with_history(spark):
+    """Exactly one AS-OF state per user whose history has begun, and
+    it equals the row a direct range probe of the history returns."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.operators import cdc
+    from tests.conftest import SF_ORACLE
+
+    asof = {r.user_id: r for r in cdc.scd2_asof(spark, SF_ORACLE).collect()}
+    assert len(asof) == len(set(asof))
+    hist = cdc.scd2_history(spark, SF_ORACLE).collect()
+    started = {
+        h.user_id for h in hist if h.valid_from_us <= cdc.ASOF_PIVOT_US
+    }
+    assert set(asof) == started
+    for h in hist:
+        covers = h.valid_from_us <= cdc.ASOF_PIVOT_US and (
+            h.valid_to_us is None or h.valid_to_us > cdc.ASOF_PIVOT_US
+        )
+        if covers:
+            a = asof[h.user_id]
+            assert (a.event_type, a.version) == (h.event_type, h.version)

@@ -398,3 +398,37 @@ def test_covariance_matrix_matches_numpy(spark):
         assert abs(r.cov - want[r.i, r.j]) < 1e-6, (r.i, r.j)
         if r.i == r.j:
             assert r.cov >= -1e-12
+
+
+def test_activity_streaks_match_brute_force(spark):
+    """Longest-run replay over Python day sets (ties -> earliest)."""
+    from ingestprocessstoreinnrt_spark.operators import windows as W
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.user_id: r
+        for r in W.activity_streaks(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days: dict = {}
+    for e in ev:
+        d = int((e.ts.timestamp() * 1_000_000) // W.DAY_US)
+        days.setdefault(e.user_id, set()).add(d)
+    assert set(rows) == set(days)
+    for u, ds in days.items():
+        sd = sorted(ds)
+        runs = []
+        start = prev = sd[0]
+        for d in sd[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                runs.append((start, prev - start + 1))
+                start = prev = d
+        runs.append((start, prev - start + 1))
+        best = max(runs, key=lambda t: (t[1], -t[0]))
+        r = rows[u]
+        assert r.n_active_days == len(ds)
+        assert r.n_streaks == len(runs)
+        assert r.longest_streak == best[1]
+        assert r.streak_start_day_us == best[0] * W.DAY_US
