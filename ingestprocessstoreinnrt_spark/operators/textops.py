@@ -547,6 +547,29 @@ FROM b LEFT JOIN a USING (lang)
 BIGRAM_TOPK = 100
 
 
+def _bigram_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — the shared, cached bigram explode both LM
+    operators build on (identical plan -> one cache-manager entry,
+    the _token_frame pattern): tokenization and the narrow slice+zip
+    adjacency run once per session."""
+    return (
+        docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))) AS bg"
+            ),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .cache()
+    )
+
+
 def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top corpus bigrams with conditional probabilities — the count
     tables an n-gram LM (or a perplexity-based quality filter) trains
@@ -561,18 +584,8 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-desc with lexical tie-breaks through TakeOrdered."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    bg = (
-        docs.select(tokens(F.lower(F.col("text"))).alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            F.expr(
-                "explode(zip_with(slice(toks, 1, size(toks) - 1),"
-                " slice(toks, 2, size(toks) - 1),"
-                " (a, b) -> struct(a AS w1, b AS w2))) AS bg"
-            )
-        )
-        .select("bg.w1", "bg.w2")
+    bg = _bigram_frame(load_table(spark, sf_dir, "documents")).select(
+        "w1", "w2"
     )
     pc = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_pair")
@@ -643,23 +656,8 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE equi-join keyed by (w1, w2) — both sides bucket on the bigram
     at 100 TB — and a final doc-keyed aggregate.  Nothing quadratic,
     no windows."""
-    docs = load_table(spark, sf_dir, "documents")
-    bg = (
-        docs.select(
-            "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
-        )
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.expr(
-                "explode(zip_with(slice(toks, 1, size(toks) - 1),"
-                " slice(toks, 2, size(toks) - 1),"
-                " (a, b) -> struct(a AS w1, b AS w2))) AS bg"
-            ),
-        )
-        .select("doc_id", "bg.w1", "bg.w2")
-    )
-    pc = bg.groupBy("w1", "w2").agg(
+    bg = _bigram_frame(load_table(spark, sf_dir, "documents"))
+    pc = bg.select("w1", "w2").groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_pair")
     )
     prefix = pc.groupBy("w1").agg(
