@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.scalars import davg, dict_lookup, dsum, sql_davg, sql_dsum
+from ..functions.scalars import (
+    davg,
+    dict_lookup,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_expr,
+)
 
 # ---------------------------------------------------------------------------
 # A4 — hash group-by rollup: 2 keys, battery of aggregates (TPC-H Q1 shape)
@@ -652,6 +659,96 @@ LIMIT {SHIP_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# semi-join and anti-join shapes (TPC-H Q4 / Q22 analogs)
+# ---------------------------------------------------------------------------
+#
+# The two join shapes the surface didn't yet exercise as queries:
+# EXISTS (LeftSemi — dedup-free, never multiplies rows) and NOT EXISTS
+# (LeftAnti).  Both plan as hash joins on the key — at 100 TB they
+# bucket on the order/customer key like any equi-join, and Spark's
+# semi/anti variants stop probing on first match instead of
+# materializing the pairs.
+
+
+def priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders per priority that have AT LEAST ONE
+    returned lineitem — (o_orderpriority, n_orders).  EXISTS, not
+    join+distinct: the semi-join can't double-count an order with
+    several returned lines."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
+IDLE_SINCE = "2000-01-01"
+
+
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (churn shape): well-funded customers with NO
+    recent orders — per market segment, the count and quantized total
+    balance of customers above the global average balance whose last
+    order predates IDLE_SINCE (anti-join against the date-filtered
+    orders; the filter pushes into the scan so the anti side shrinks
+    before the join).  The average is one broadcast scalar."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(
+        dsum("c_acctbal", "s"), F.count(F.lit(1)).alias("n")
+    ).select((F.col("s") / F.col("n")).alias("avg_bal"))
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= IDLE_SINCE
+    ).select("o_custkey")
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(
+            recent, rich.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_idle"),
+            dsum("c_acctbal", "total_balance"),
+        )
+    )
+
+
+_ANTI_SQL = f"""
+WITH a AS (
+  SELECT {sql_dsum_expr("c_acctbal")} / COUNT(*) AS avg_bal
+  FROM customer
+)
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_idle,
+  {sql_dsum("c_acctbal", "total_balance")}
+FROM customer CROSS JOIN a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= '{IDLE_SINCE}'
+  )
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
     "bi_rollup_levels": pricing_rollup_levels,
@@ -666,6 +763,8 @@ QUERIES = {
     "bi_dict_enrich": dict_enrich,
     "bi_pareto_share": pareto_share,
     "bi_shipping_priority": shipping_priority,
+    "bi_priority_semijoin": priority_semijoin,
+    "bi_idle_customers": idle_customers,
 }
 
 ORACLE = {
@@ -682,4 +781,6 @@ ORACLE = {
     "bi_dict_enrich": _DICT_ENRICH_SQL,
     "bi_pareto_share": _PARETO_SQL,
     "bi_shipping_priority": _SHIP_SQL,
+    "bi_priority_semijoin": _SEMI_SQL,
+    "bi_idle_customers": _ANTI_SQL,
 }

@@ -236,3 +236,21 @@ def test_shipping_priority_plan_shape(spark):
     assert len(rows) <= bi.SHIP_TOPK
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_semijoin_and_antijoin_plan_shapes(spark):
+    """The EXISTS query must plan as LeftSemi (never join+distinct),
+    the churn query as LeftAnti with the date filter pushed into the
+    orders scan."""
+    semi = bi.priority_semijoin(spark, SF_ORACLE)
+    splan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in splan
+    anti = bi.idle_customers(spark, SF_ORACLE)
+    aplan = anti._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in aplan
+    assert E.has_pushed_filter(anti, "o_orderdate")
+    # semi-join can't multiply rows: per-priority counts bound by orders
+    total = sum(r.n_orders for r in semi.collect())
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+
+    assert total <= load_table(spark, SF_ORACLE, "orders").count()
