@@ -395,7 +395,14 @@ FROM s, (SELECT unnest(range(0, {EMB_DIM})) AS i) t
 # kNN label-accuracy evaluation (embedding-quality probe)
 # ---------------------------------------------------------------------------
 
-KNN_PROBE_MOD = 25  # vec_id % 25 == 0 -> deterministic ~4% probe set
+KNN_PROBE_MOD = 25  # vec_id % 25 == 0 -> deterministic probe gate
+# Probe PANEL is capped, not proportional: without the cap the eval
+# does |corpus|/MOD x |corpus| dot products — quadratic in the corpus
+# (measured 8.3x on the 10x sf1 sweep).  A fixed panel keeps the eval
+# one bounded broadcast x one scan at any scale; 200 probes bounds the
+# accuracy estimate's own sampling error at ~3.5% (binomial).
+KNN_MAX_PROBES = 200
+_KNN_ID_CAP = KNN_PROBE_MOD * KNN_MAX_PROBES
 
 
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,7 +422,10 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
         "nrm", norm2(F.col("embedding"))
     )
-    probes = emb.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+    probes = emb.filter(
+        (F.col("vec_id") % KNN_PROBE_MOD == 0)
+        & (F.col("vec_id") < _KNN_ID_CAP)
+    ).select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("embedding").alias("pv"),
@@ -457,7 +467,8 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_SQL = f"""
 WITH probes AS (
   SELECT vec_id AS pid, label AS plabel, embedding AS pv
-  FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = 0
+  FROM embeddings
+  WHERE vec_id % {KNN_PROBE_MOD} = 0 AND vec_id < {_KNN_ID_CAP}
 ),
 scored AS (
   SELECT pid, plabel, e.label AS nlabel, e.vec_id,

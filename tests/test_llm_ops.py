@@ -546,7 +546,7 @@ def test_knn_eval_matches_brute_force(spark):
     labels = {r.vec_id: r.label for r in rows}
     per_label: dict = {}
     for pid in vecs:
-        if pid % sim.KNN_PROBE_MOD:
+        if pid % sim.KNN_PROBE_MOD or pid >= sim._KNN_ID_CAP:
             continue
         best = None
         pv = vecs[pid]
