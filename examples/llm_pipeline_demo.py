@@ -149,6 +149,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"worst eval-doc trigram contamination {worst:.1%}"
     )
 
+    # 12. perplexity gate + split + cardinality audit (late-round ops)
+    sup = textops.bigram_surprisal(spark, sf_dir)
+    lo = sup.orderBy(F.col("avg_surprisal").asc()).first()
+    splits = {
+        r.split_name: r.n_docs
+        for r in curation.train_test_split(spark, sf_dir).collect()
+    }
+    hll = {
+        r.column_name: (r.est_distinct, r.exact_distinct)
+        for r in sketch.hll_distinct(spark, sf_dir).collect()
+    }
+    print(
+        f"[12] surprisal gate: most-boilerplate doc {lo.doc_id} at "
+        f"{lo.avg_surprisal:.2f} nats/bigram; split "
+        f"{splits.get('train', 0)}/{splits.get('validation', 0)}"
+        f"/{splits.get('test', 0)} train/val/test; HLL "
+        + ", ".join(
+            f"{c}~{int(e)} (exact {x})" for c, (e, x) in sorted(hll.items())
+        )
+    )
+
     spark.stop()
     print("llm pipeline demo complete")
 
