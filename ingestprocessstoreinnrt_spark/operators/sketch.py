@@ -313,9 +313,11 @@ _HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_W_BITS + 1)
 _HLL_LC_GATE = 2.5 * HLL_M  # small-range correction threshold
 
 
-def _hll_frame(df: DataFrame, col: str) -> DataFrame:
-    """One-row HLL summary for a column: registers, exact harmonic sum,
-    estimate, and the exact count alongside for observed error."""
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(j, r) register frame for a column — the mergeable core: the
+    registers of a union are the elementwise MAX of the parts'
+    registers (tested deterministically and property-based, and used
+    as the streaming merge)."""
     h = stable_hash64(F.col(col).cast("string"))
     rho = F.when(
         F.expr(f"h DIV {HLL_M}") == 0, F.lit(_HLL_W_BITS + 1)
@@ -323,12 +325,18 @@ def _hll_frame(df: DataFrame, col: str) -> DataFrame:
         F.lit(_HLL_W_BITS + 1)
         - F.length(F.bin(F.expr(f"h DIV {HLL_M}")))
     )
-    regs = (
+    return (
         df.select(h.alias("h"))
         .select((F.col("h") % HLL_M).alias("j"), rho.alias("rho"))
         .groupBy("j")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def _hll_frame(df: DataFrame, col: str) -> DataFrame:
+    """One-row HLL summary for a column: registers, exact harmonic sum,
+    estimate, and the exact count alongside for observed error."""
+    regs = hll_registers(df, col)
     s = regs.agg(
         F.count(F.lit(1)).cast("long").alias("hit_registers"),
         F.sum(

@@ -333,17 +333,8 @@ FROM dau JOIN wau ON dau.day = wau.wday
 # recursion.  Every window here partitions by user; nothing global.
 
 
-def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, n_active_days, n_streaks, longest_streak,
-    streak_start_day_us): the longest run of consecutive active days
-    per user (ties -> earliest start)."""
-    grain = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day")
-        )
-        .distinct()
-    )
+def streaks_of(grain: DataFrame) -> DataFrame:
+    """Gaps-and-islands core over any distinct (user_id, day) frame."""
     w = Window.partitionBy("user_id").orderBy("day")
     islands = grain.withColumn(
         "anchor", F.col("day") - F.row_number().over(w)
@@ -368,6 +359,19 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("rn") == 1, F.col("start_day") * DAY_US)
             ).alias("streak_start_day_us"),
         )
+    )
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_active_days, n_streaks, longest_streak,
+    streak_start_day_us): the longest run of consecutive active days
+    per user (ties -> earliest start)."""
+    return streaks_of(
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day")
+        )
+        .distinct()
     )
 
 

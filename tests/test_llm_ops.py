@@ -441,24 +441,7 @@ def test_hll_is_partition_invariant_and_mergeable(spark):
     assert a == b
 
     def regs(df):
-        from ingestprocessstoreinnrt_spark.functions.scalars import (
-            stable_hash64,
-        )
-
-        h = stable_hash64(F.col("event_id").cast("string"))
-        rho = F.when(
-            F.expr(f"h DIV {sketch.HLL_M}") == 0,
-            F.lit(sketch._HLL_W_BITS + 1),
-        ).otherwise(
-            F.lit(sketch._HLL_W_BITS + 1)
-            - F.length(F.bin(F.expr(f"h DIV {sketch.HLL_M}")))
-        )
-        out = (
-            df.select(h.alias("h"))
-            .select((F.col("h") % sketch.HLL_M).alias("j"), rho.alias("rho"))
-            .groupBy("j")
-            .agg(F.max("rho").alias("r"))
-        )
+        out = sketch.hll_registers(df, "event_id")
         return {row.j: row.r for row in out.collect()}
 
     odd = regs(ev.filter(F.col("event_id") % 2 == 1))

@@ -267,3 +267,88 @@ def test_scd2_matches_bruteforce_under_collisions(rows):
             nxt = changes[i + 1][0] if i + 1 < len(changes) else None
             want.append((u, version, typ, ts, nxt))
     assert got == sorted(want)
+
+
+day_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),     # user_id
+        st.integers(min_value=0, max_value=40),    # day
+    ),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pairs=day_sets)
+def test_streaks_property(pairs):
+    """Gaps-and-islands over ARBITRARY (user, day) sets matches the
+    linear-scan reference: longest run, run count, active days."""
+    from ingestprocessstoreinnrt_spark.operators import windows as W
+
+    spark = _get_spark()
+    grain = spark.createDataFrame(pairs, "user_id long, day long")
+    got = {r.user_id: r for r in W.streaks_of(grain).collect()}
+    by_user: dict = {}
+    for u, d in pairs:
+        by_user.setdefault(u, set()).add(d)
+    assert set(got) == set(by_user)
+    for u, ds in by_user.items():
+        sd = sorted(ds)
+        runs = []
+        start = prev = sd[0]
+        for d in sd[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                runs.append((start, prev - start + 1))
+                start = prev = d
+        runs.append((start, prev - start + 1))
+        best = max(runs, key=lambda t: (t[1], -t[0]))
+        r = got[u]
+        assert r.n_active_days == len(ds)
+        assert r.n_streaks == len(runs)
+        assert r.longest_streak == best[1]
+        assert r.streak_start_day_us == best[0] * W.DAY_US
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=80, unique=True,
+    ),
+    cut=st.integers(min_value=0, max_value=10_000),
+)
+def test_hll_register_merge_property(ids, cut):
+    """For ANY two-way split of an id set, the elementwise MAX of the
+    parts' HLL registers equals the whole set's registers — the merge
+    law that makes the sketch shardable and streamable."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.operators import sketch
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+
+    def regs(frame):
+        return {
+            r.j: r.r
+            for r in sketch.hll_registers(frame, "event_id").collect()
+        }
+
+    lo = regs(df.filter(F.col("event_id") <= cut))
+    hi = regs(df.filter(F.col("event_id") > cut))
+    merged = {
+        j: max(lo.get(j, 0), hi.get(j, 0)) for j in set(lo) | set(hi)
+    }
+    assert merged == regs(df)

@@ -541,7 +541,6 @@ def test_streaming_hll_registers_merge_to_batch_sketch(spark, workdir):
     batches the (j, r) register table is identical to the batch
     sketch, hence so is the estimate.  This is the cross-batch twin
     of the partition-invariance property."""
-    from ingestprocessstoreinnrt_spark.functions.scalars import stable_hash64
     from ingestprocessstoreinnrt_spark.operators import sketch
 
     ev = load_table(spark, SF_ORACLE, "events").select("event_id")
@@ -550,21 +549,7 @@ def test_streaming_hll_registers_merge_to_batch_sketch(spark, workdir):
         "chunk", F.pmod(F.col("event_id"), F.lit(4))
     ).write.partitionBy("chunk").parquet(src_dir)
 
-    def registers(df):
-        h = stable_hash64(F.col("event_id").cast("string"))
-        rho = F.when(
-            F.expr(f"h DIV {sketch.HLL_M}") == 0,
-            F.lit(sketch._HLL_W_BITS + 1),
-        ).otherwise(
-            F.lit(sketch._HLL_W_BITS + 1)
-            - F.length(F.bin(F.expr(f"h DIV {sketch.HLL_M}")))
-        )
-        return (
-            df.select(h.alias("h"))
-            .select((F.col("h") % sketch.HLL_M).alias("j"), rho.alias("rho"))
-            .groupBy("j")
-            .agg(F.max("rho").alias("r"))
-        )
+    registers = lambda df: sketch.hll_registers(df, "event_id")  # noqa: E731
 
     table = UpsertTable(spark, workdir + "/regs", ["j"], num_buckets=4)
 
