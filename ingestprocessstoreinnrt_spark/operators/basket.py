@@ -300,13 +300,130 @@ SELECT degree, COUNT(*)::BIGINT AS n_nodes FROM deg GROUP BY degree
 """
 
 
+# ---------------------------------------------------------------------------
+# neighbor-set Jaccard similarity — link prediction on the co-graph
+# ---------------------------------------------------------------------------
+#
+# Jaccard(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the thresholded
+# co-purchase graph: the classic link-prediction / item-similarity
+# score.  Common-neighbor counts come from the same wedge equi-join the
+# triangle census uses (pivot on the shared neighbor, b < c dedupes),
+# NOT from materializing neighbor sets — so the quadratic term is
+# bounded by Σ degree² like any wedge walk, and at 100 TB the
+# low-degree->high-degree orientation bounds it by graph degeneracy.
+# Union size needs no set algebra: |N(u) ∪ N(v)| = deg(u) + deg(v) -
+# common, all integers.  Only pairs with >= 1 common neighbor can score
+# > 0, so the wedge frame IS the candidate set.
+
+JACCARD_TOPK = 50
+
+
+def jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by neighbor-set Jaccard: (p1, p2, common,
+    degree1, degree2, jaccard_q, rank)."""
+    e = (
+        _pair_counts(_order_items(spark, sf_dir))
+        .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.union(e.select(F.col("p2"), F.col("p1"))).toDF("a", "n")
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    w1 = adj.select(F.col("n").alias("pivot"), F.col("a").alias("b"))
+    w2 = adj.select(F.col("n").alias("pivot2"), F.col("a").alias("c"))
+    common = (
+        w1.join(
+            w2,
+            (F.col("pivot") == F.col("pivot2")) & (F.col("b") < F.col("c")),
+        )
+        .groupBy("b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    scored = (
+        common.join(
+            F.broadcast(deg.withColumnRenamed("deg", "degree1")),
+            common.b == deg.a,
+        )
+        .drop("a")
+        .join(
+            F.broadcast(
+                deg.withColumnRenamed("deg", "degree2")
+            ).withColumnRenamed("a", "a2"),
+            F.col("c") == F.col("a2"),
+        )
+        .drop("a2")
+        .withColumn(
+            "jaccard_q",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("degree1") + F.col("degree2") - F.col("common"))
+                .cast("double"),
+                6,
+            ),
+        )
+    )
+    keys = [
+        F.col("jaccard_q").desc(),
+        F.col("common").desc(),
+        F.col("b").asc(),
+        F.col("c").asc(),
+    ]
+    top = scored.orderBy(*keys).limit(JACCARD_TOPK)
+    return (
+        top.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
+        .select(
+            F.col("b").alias("p1"),
+            F.col("c").alias("p2"),
+            "common",
+            "degree1",
+            "degree2",
+            "jaccard_q",
+            "rank",
+        )
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+adj AS (
+  SELECT p1 AS a, p2 AS n FROM e UNION ALL SELECT p2, p1 FROM e
+),
+deg AS (SELECT a, COUNT(*)::BIGINT AS deg FROM adj GROUP BY a),
+common AS (
+  SELECT w1.a AS b, w2.a AS c, COUNT(*)::BIGINT AS common
+  FROM adj w1 JOIN adj w2 ON w1.n = w2.n AND w1.a < w2.a
+  GROUP BY 1, 2
+)
+SELECT b AS p1, c AS p2, common, degree1, degree2, jaccard_q, rank
+FROM (
+  SELECT b, c, common, d1.deg AS degree1, d2.deg AS degree2,
+    ROUND(common::DOUBLE
+          / (d1.deg + d2.deg - common)::DOUBLE, 6) AS jaccard_q,
+    ROW_NUMBER() OVER (
+      ORDER BY ROUND(common::DOUBLE
+                     / (d1.deg + d2.deg - common)::DOUBLE, 6) DESC,
+        common DESC, b ASC, c ASC
+    )::BIGINT AS rank
+  FROM common
+  JOIN deg d1 ON common.b = d1.a
+  JOIN deg d2 ON common.c = d2.a
+) r
+WHERE rank <= {JACCARD_TOPK}
+"""
+
+
 QUERIES = {
     "bi_basket_lift": basket_pair_lift,
     "graph_triangles": graph_triangles,
     "graph_degree_stats": degree_stats,
+    "graph_jaccard_neighbors": jaccard_neighbors,
 }
 ORACLE = {
     "bi_basket_lift": _BASKET_SQL,
     "graph_triangles": _TRI_SQL,
     "graph_degree_stats": _DEGREE_SQL,
+    "graph_jaccard_neighbors": _JACCARD_SQL,
 }

@@ -749,6 +749,222 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# market-share (TPC-H Q8 shape): conditional share within a multi-dim join
+# ---------------------------------------------------------------------------
+#
+# "What fraction of PROMO-part revenue sold to ASIA customers came from
+# suppliers in NATION_7, per order year" — the nested-aggregate ratio
+# query.  Plan shape (the point of Q8): every dimension path collapses
+# to a broadcast — part filtered to one type, customer⋈nation⋈region
+# filtered to one region, supplier⋈nation projected to a flag — so the
+# only big exchange is lineitem⋈orders on the order key (bucketable at
+# warehouse scale).  The share is a conditional quantized sum over the
+# same groups as the total: one aggregate, no second pass, and the
+# division happens once per year row.
+
+SHARE_PART_TYPE = "PROMO"
+SHARE_MKT_REGION = "ASIA"
+SHARE_SUPP_NATION = "NATION_7"
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_year, target_rev, total_rev, mkt_share) — NATION_7 suppliers'
+    share of PROMO revenue from ASIA customers per year."""
+    from ..functions.scalars import quantize
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == SHARE_PART_TYPE
+    ).select("p_partkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == SHARE_MKT_REGION
+    )
+    mkt_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name").alias("sn")),
+            F.col("s_nationkey") == F.col("sn.n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            (F.col("sn.n_name") == SHARE_SUPP_NATION).alias("is_target"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_q = quantize(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("is_target"), rev_q).otherwise(F.lit(0)))
+            .cast("long").alias("target_q"),
+            F.sum(rev_q).cast("long").alias("total_q"),
+        )
+        .select(
+            "o_year",
+            (F.col("target_q").cast("double") / F.lit(10000.0))
+            .alias("target_rev"),
+            (F.col("total_q").cast("double") / F.lit(10000.0))
+            .alias("total_rev"),
+            (F.col("target_q").cast("double")
+             / F.col("total_q").cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+_MARKET_SHARE_SQL = f"""
+WITH j AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+    CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5)
+         AS BIGINT) AS rev_q,
+    (sn.n_name = '{SHARE_SUPP_NATION}') AS is_target
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE p_type = '{SHARE_PART_TYPE}' AND r_name = '{SHARE_MKT_REGION}'
+)
+SELECT o_year,
+  CAST(SUM(CASE WHEN is_target THEN rev_q ELSE 0 END) AS DOUBLE) / 10000.0
+    AS target_rev,
+  CAST(SUM(rev_q) AS DOUBLE) / 10000.0 AS total_rev,
+  CAST(SUM(CASE WHEN is_target THEN rev_q ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(rev_q) AS DOUBLE) AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-supplier (TPC-H Q15 shape): argmax-of-aggregate with exact ties
+# ---------------------------------------------------------------------------
+#
+# Highest-revenue supplier(s) for one quarter.  The classic formulation
+# is a view + `WHERE total = (SELECT MAX(total) FROM view)`; here the
+# per-supplier revenue aggregates once, the max reduces to ONE broadcast
+# row, and the equality filter runs map-side — no second scan, no sort.
+# Ties are exact because revenue stays a quantized BIGINT until the
+# final projection (float argmax ties are undecidable cross-engine;
+# integer ones aren't).
+
+TOP_SUPP_START = "1996-01-01"
+TOP_SUPP_END = "1996-04-01"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue) — supplier(s) achieving the
+    max quarterly revenue (all of them, on exact-integer ties)."""
+    from ..functions.scalars import quantize
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= TOP_SUPP_START)
+        & (F.col("l_shipdate") < TOP_SUPP_END)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            quantize(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).cast("long").alias("rev_q")
+    )
+    best = rev.agg(F.max("rev_q").alias("best_q"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("rev_q") == F.col("best_q"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            (F.col("rev_q").cast("double") / F.lit(10000.0))
+            .alias("total_revenue"),
+        )
+    )
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 10000.0
+                        + 0.5) AS BIGINT)) AS BIGINT) AS rev_q
+  FROM lineitem
+  WHERE l_shipdate >= '{TOP_SUPP_START}' AND l_shipdate < '{TOP_SUPP_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_q AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_q = (SELECT MAX(rev_q) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot / crosstab — wide conditional aggregation
+# ---------------------------------------------------------------------------
+#
+# Order count and quantized revenue per priority, pivoted to one column
+# pair per order status — the crosstab shape every BI tool exports.
+# `.pivot()` with an EXPLICIT value list: Catalyst then plans a single
+# aggregate with |values|x|aggs| conditional branches (one scan, one
+# shuffle of |priorities| rows) instead of a values-discovery job plus
+# the pivot — and the output schema is fixed, which is what makes the
+# query safe to ship at 100 TB (no surprise-wide rows from a dirty
+# status column).
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_f, rev_f, n_o, rev_o, n_p, rev_p)."""
+    from ..functions.scalars import quantize
+
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(quantize(F.col("o_totalprice"))).cast("double")
+             / F.lit(10000.0)).alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            c
+            for s in PIVOT_STATUSES
+            for c in (
+                F.col(f"{s}_n").alias(f"n_{s.lower()}"),
+                F.col(f"{s}_rev").alias(f"rev_{s.lower()}"),
+            )
+        ],
+    )
+
+
+_STATUS_PIVOT_SQL = "SELECT o_orderpriority, " + ", ".join(
+    f"COUNT(*) FILTER (o_orderstatus = '{s}')::BIGINT AS n_{s.lower()}, "
+    f"CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT))"
+    f" FILTER (o_orderstatus = '{s}') AS DOUBLE) / 10000.0 AS rev_{s.lower()}"
+    for s in PIVOT_STATUSES
+) + " FROM orders GROUP BY o_orderpriority"
+
+
 QUERIES = {
     "bi_pricing_rollup": pricing_rollup,
     "bi_rollup_levels": pricing_rollup_levels,
@@ -765,6 +981,9 @@ QUERIES = {
     "bi_shipping_priority": shipping_priority,
     "bi_priority_semijoin": priority_semijoin,
     "bi_idle_customers": idle_customers,
+    "bi_market_share": market_share,
+    "bi_top_supplier": top_supplier,
+    "bi_status_pivot": status_pivot,
 }
 
 ORACLE = {
@@ -783,4 +1002,7 @@ ORACLE = {
     "bi_shipping_priority": _SHIP_SQL,
     "bi_priority_semijoin": _SEMI_SQL,
     "bi_idle_customers": _ANTI_SQL,
+    "bi_market_share": _MARKET_SHARE_SQL,
+    "bi_top_supplier": _TOP_SUPPLIER_SQL,
+    "bi_status_pivot": _STATUS_PIVOT_SQL,
 }

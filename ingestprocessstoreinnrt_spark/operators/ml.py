@@ -1227,6 +1227,156 @@ JOIN m mj ON sxy.j = mj.i
 """
 
 
+# ---------------------------------------------------------------------------
+# Naive Bayes — exact count-based classifier with Laplace smoothing
+# ---------------------------------------------------------------------------
+#
+# Train a categorical NB model on the event log (class = event_type;
+# features = hour-of-day quadrant, day-of-week, value bucket), score
+# every event in-sample, and report the confusion matrix — the
+# classifier whose "training" is literally a group-by, which is why it
+# belongs in a SQL engine.  Exactness follows the bigram-surprisal
+# discipline: every probability is a single division of exact integer
+# counts (identical bits cross-engine), ln matches libm bitwise on
+# identical inputs, and each log-term is quantized to a 1e-9 BIGINT
+# before the per-(event, class) sum, so the score is an integer and
+# argmax ties are decidable (tie-break on class name).
+#
+# Scale shape: the model IS three tiny group-by frames (classes x
+# feature values) + the priors — kilobytes, broadcast everywhere.
+# Scoring expands each event by |classes| (a bounded constant) and
+# resolves each feature with a broadcast left join; the argmax is one
+# per-event window over |classes| rows; the confusion matrix is a
+# final |classes|^2 aggregate.  One scan, no big shuffle beyond the
+# event-keyed argmax (which co-partitions with the expansion).
+
+NB_VAL_BUCKET = 50.0
+NB_VAL_MAX_BIN = 9
+
+
+def _nb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("actual"),
+        F.expr("hour(ts) div 6").cast("long").alias("f_hour"),
+        F.dayofweek("ts").cast("long").alias("f_dow"),
+        F.least(
+            F.floor(F.col("value") / F.lit(NB_VAL_BUCKET)),
+            F.lit(NB_VAL_MAX_BIN).cast("long"),
+        ).alias("f_val"),
+    )
+
+
+def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(actual, predicted, n_events) — in-sample confusion matrix of a
+    Laplace-smoothed categorical NB predicting event_type."""
+    feats = _nb_features(spark, sf_dir).cache()
+    classes = feats.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    totals = feats.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+
+    def _lnq(num, den):
+        return F.floor(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+
+    scored = feats.join(F.broadcast(classes)).join(F.broadcast(totals))
+    score = _lnq(F.col("n_c"), F.col("n_total"))
+    for f in ("f_hour", "f_dow", "f_val"):
+        cnts = feats.groupBy(
+            F.col("actual").alias("cls"), F.col(f).alias(f"{f}_v")
+        ).agg(F.count(F.lit(1)).cast("long").alias(f"{f}_cnt"))
+        card = feats.agg(
+            F.countDistinct(f).cast("long").alias(f"{f}_card")
+        )
+        scored = (
+            scored.join(
+                F.broadcast(cnts),
+                (scored.cls == cnts.cls) & (F.col(f) == F.col(f"{f}_v")),
+                "left",
+            )
+            .drop(cnts.cls)
+            .drop(f"{f}_v")
+            .join(F.broadcast(card))
+        )
+        score = score + _lnq(
+            F.coalesce(F.col(f"{f}_cnt"), F.lit(0)) + F.lit(1),
+            F.col("n_c") + F.col(f"{f}_card"),
+        )
+    ranked = scored.withColumn("score_q", score).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_id").orderBy(
+                F.col("score_q").desc(), F.col("cls").asc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("actual", F.col("cls").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+_NB_SQL = f"""
+WITH feats AS (
+  SELECT event_id, event_type AS actual,
+    (hour(ts) // 6)::BIGINT AS f_hour,
+    (dayofweek(ts) + 1)::BIGINT AS f_dow,
+    CAST(LEAST(FLOOR(value / {NB_VAL_BUCKET!r}), {NB_VAL_MAX_BIN})
+         AS BIGINT) AS f_val
+  FROM events
+),
+classes AS (
+  SELECT actual AS cls, COUNT(*)::BIGINT AS n_c FROM feats GROUP BY 1
+),
+totals AS (SELECT COUNT(*)::BIGINT AS n_total FROM feats),
+hc AS (SELECT actual AS cls, f_hour AS v, COUNT(*)::BIGINT AS cnt
+       FROM feats GROUP BY 1, 2),
+dc AS (SELECT actual AS cls, f_dow AS v, COUNT(*)::BIGINT AS cnt
+       FROM feats GROUP BY 1, 2),
+vc AS (SELECT actual AS cls, f_val AS v, COUNT(*)::BIGINT AS cnt
+       FROM feats GROUP BY 1, 2),
+cards AS (
+  SELECT COUNT(DISTINCT f_hour)::BIGINT AS h_card,
+    COUNT(DISTINCT f_dow)::BIGINT AS d_card,
+    COUNT(DISTINCT f_val)::BIGINT AS v_card
+  FROM feats
+),
+scored AS (
+  SELECT f.event_id, f.actual, c.cls,
+    CAST(FLOOR(ln(n_c::DOUBLE / n_total::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ln((COALESCE(hc.cnt, 0) + 1)::DOUBLE
+                    / (n_c + h_card)::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ln((COALESCE(dc.cnt, 0) + 1)::DOUBLE
+                    / (n_c + d_card)::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ln((COALESCE(vc.cnt, 0) + 1)::DOUBLE
+                    / (n_c + v_card)::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+      AS score_q
+  FROM feats f
+  CROSS JOIN classes c
+  CROSS JOIN totals
+  CROSS JOIN cards
+  LEFT JOIN hc ON hc.cls = c.cls AND hc.v = f.f_hour
+  LEFT JOIN dc ON dc.cls = c.cls AND dc.v = f.f_dow
+  LEFT JOIN vc ON vc.cls = c.cls AND vc.v = f.f_val
+),
+pred AS (
+  SELECT actual, cls AS predicted FROM (
+    SELECT actual, cls,
+      ROW_NUMBER() OVER (PARTITION BY event_id
+                         ORDER BY score_q DESC, cls ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT actual, predicted, COUNT(*)::BIGINT AS n_events
+FROM pred GROUP BY actual, predicted
+"""
+
+
 QUERIES = {
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
@@ -1238,6 +1388,7 @@ QUERIES = {
     "ml_value_histogram": value_histogram,
     "ml_auc": auc_rank,
     "ml_covariance_matrix": covariance_matrix,
+    "ml_naive_bayes": naive_bayes_confusion,
 }
 
 ORACLE = {
@@ -1251,4 +1402,5 @@ ORACLE = {
     "ml_value_histogram": _HIST_SQL,
     "ml_auc": _AUC_SQL,
     "ml_covariance_matrix": _COV_SQL,
+    "ml_naive_bayes": _NB_SQL,
 }

@@ -264,13 +264,96 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# exponentially-weighted moving average — bounded-window, exact
+# ---------------------------------------------------------------------------
+#
+# Per-user EWMA of `value` with decay 1/2 over the trailing EWMA_K
+# events — the smoothing step ahead of anomaly scores and trend
+# features.  Exactness is the whole design: a running-recurrence EWMA
+# (s = a*x + (1-a)*s) compounds float error order-dependently, so
+# instead the window is BOUNDED and alpha = 1/2 makes every weight a
+# power of two: quantize x to 1e-4 BIGINT, weight the frame's values
+# with integer shifts (newest gets 2^(n-1)), sum integers, and divide
+# once at the end — bit-identical at any partitioning, any engine.
+# Scale shape: one per-key window pass, frame capped at EWMA_K rows, so
+# state per row is constant and the plan is a single sort-within-key.
+
+EWMA_K = 16
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, ts_us, ewma) — trailing-16 half-life-decay
+    average of `value`, exact by integer weighting."""
+    from ..functions.scalars import quantize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        quantize(F.col("value")).alias("q"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(EWMA_K - 1), Window.currentRow)
+    )
+    # collect_list preserves frame order: vals is oldest->newest, so
+    # index i weights 2^i and the newest value dominates.
+    vals = F.collect_list("q").over(w)
+    return (
+        ev.withColumn("vals", vals)
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            (
+                F.expr(
+                    "CAST(aggregate(transform(vals, (x, i) ->"
+                    " x * shiftleft(1L, i)), 0L, (a, x) -> a + x)"
+                    " AS DOUBLE)"
+                )
+                / F.expr(
+                    "CAST(shiftleft(1L, size(vals)) - 1L AS DOUBLE)"
+                )
+                / F.lit(10000.0)
+            ).alias("ewma"),
+        )
+    )
+
+
+_EWMA_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM events
+),
+framed AS (
+  SELECT user_id, event_id, ts_us,
+    list(q) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN {EWMA_K - 1} PRECEDING AND CURRENT ROW
+    ) AS vals
+  FROM ev
+)
+SELECT user_id, event_id, ts_us,
+  CAST(list_sum(list_transform(vals,
+        (x, i) -> x * ((1::BIGINT) << (i - 1)))) AS DOUBLE)
+    / CAST(((1::BIGINT) << len(vals)) - 1 AS DOUBLE)
+    / 10000.0 AS ewma
+FROM framed
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": resample_ffill,
     "ml_quantile_bins": quantile_bins,
     "ts_interpolate_linear": resample_interpolate,
+    "ts_ewma": ewma_smooth,
 }
 ORACLE = {
     "ts_resample_ffill": _RESAMPLE_SQL,
     "ml_quantile_bins": _bins_sql(),
     "ts_interpolate_linear": _INTERP_SQL,
+    "ts_ewma": _EWMA_SQL,
 }

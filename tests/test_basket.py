@@ -124,3 +124,37 @@ def test_degree_stats_mass_conservation(spark):
     nodes = {x for e in edges for x in (e.p1, e.p2)}
     assert sum(r.degree * r.n_nodes for r in rows) == 2 * len(edges)
     assert sum(r.n_nodes for r in rows) == len(nodes)
+
+
+def test_jaccard_neighbors_matches_brute_force(spark):
+    """Exact neighbor-set Jaccard on the smoke co-purchase graph."""
+    edges = {
+        (r.p1, r.p2)
+        for r in basket.triangle_edges(spark, SF_SMOKE).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a in adj:
+        for b in adj:
+            if a < b:
+                common = len(adj[a] & adj[b])
+                if common:
+                    want[(a, b)] = (
+                        common,
+                        round(common / len(adj[a] | adj[b]), 6),
+                    )
+    rows = basket.jaccard_neighbors(spark, SF_SMOKE).collect()
+    assert rows
+    ranked = sorted(rows, key=lambda r: r.rank)
+    exp_order = sorted(
+        want.items(), key=lambda kv: (-kv[1][1], -kv[1][0], kv[0])
+    )[: basket.JACCARD_TOPK]
+    assert [(r.p1, r.p2) for r in ranked] == [k for k, _ in exp_order]
+    for r in ranked:
+        common, jq = want[(r.p1, r.p2)]
+        assert r.common == common
+        assert r.jaccard_q == jq
+        assert len(adj[r.p1]) == r.degree1 and len(adj[r.p2]) == r.degree2

@@ -91,3 +91,107 @@ def test_pareto_share_matches_brute_force(spark):
             assert 100 * sum(rev[: r.n_customers - 1]) < t * tot
         assert abs(r.cum_share - top / tot) < 1e-12
         assert abs(r.pct_customers - r.n_customers / len(rev)) < 1e-12
+
+
+def test_market_share_bounds_and_total(spark):
+    """Share ∈ [0,1], target ≤ total, and the yearly totals sum to the
+    unconditional filtered revenue (mass conservation)."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.functions.scalars import quantize
+    from ingestprocessstoreinnrt_spark.operators import bi
+    from tests.conftest import SF_SMOKE
+
+    rows = bi.market_share(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.target_rev <= r.total_rev
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part").filter(
+        F.col("p_type") == bi.SHARE_PART_TYPE
+    )
+    nat = load_table(spark, SF_SMOKE, "nation")
+    reg = load_table(spark, SF_SMOKE, "region").filter(
+        F.col("r_name") == bi.SHARE_MKT_REGION
+    )
+    cust = (
+        load_table(spark, SF_SMOKE, "customer")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    want = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.sum(
+                quantize(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("q")
+        )
+        .collect()[0]
+        .q
+    )
+    got = round(sum(r.total_rev for r in rows) * 10000.0)
+    assert got == want
+
+
+def test_top_supplier_is_argmax(spark):
+    """The reported supplier(s) hold the exact max quarterly revenue."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.functions.scalars import quantize
+    from ingestprocessstoreinnrt_spark.operators import bi
+    from tests.conftest import SF_SMOKE
+
+    per_supp = {
+        r.l_suppkey: r.q
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= bi.TOP_SUPP_START)
+            & (F.col("l_shipdate") < bi.TOP_SUPP_END)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                quantize(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("q")
+        )
+        .collect()
+    }
+    best = max(per_supp.values())
+    want = {k for k, v in per_supp.items() if v == best}
+    rows = bi.top_supplier(spark, SF_SMOKE).collect()
+    assert {r.s_suppkey for r in rows} == want
+    for r in rows:
+        assert round(r.total_revenue * 10000.0) == best
+
+
+def test_status_pivot_mass_conservation(spark):
+    """Pivot cells sum back to the unpivoted per-priority totals."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import bi
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.o_orderpriority: r
+        for r in bi.status_pivot(spark, SF_SMOKE).collect()
+    }
+    plain = load_table(spark, SF_SMOKE, "orders").groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {r.o_orderpriority for r in plain} == set(rows)
+    for p in plain:
+        r = rows[p.o_orderpriority]
+        assert (r.n_f or 0) + (r.n_o or 0) + (r.n_p or 0) == p.n

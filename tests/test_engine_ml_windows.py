@@ -432,3 +432,51 @@ def test_activity_streaks_match_brute_force(spark):
         assert r.n_streaks == len(runs)
         assert r.longest_streak == best[1]
         assert r.streak_start_day_us == best[0] * W.DAY_US
+
+
+def test_naive_bayes_matches_python_replay(spark):
+    """Driver-side NB replay (math.log + the same 1e-9 quantization)
+    reproduces the confusion matrix exactly, and the matrix sums to the
+    event count."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from tests.conftest import SF_SMOKE
+
+    feats = ml._nb_features(spark, SF_SMOKE).collect()
+    n_total = len(feats)
+    n_c: dict = {}
+    cnts = {f: {} for f in ("f_hour", "f_dow", "f_val")}
+    card = {f: set() for f in cnts}
+    for r in feats:
+        n_c[r.actual] = n_c.get(r.actual, 0) + 1
+        for f in cnts:
+            v = r[f]
+            cnts[f][(r.actual, v)] = cnts[f].get((r.actual, v), 0) + 1
+            card[f].add(v)
+
+    def lnq(num, den):
+        return math.floor(math.log(num / den) * 1e9 + 0.5)
+
+    want: dict = {}
+    for r in feats:
+        best = None
+        for c in sorted(n_c):
+            s = lnq(n_c[c], n_total)
+            for f in cnts:
+                s += lnq(
+                    cnts[f].get((c, r[f]), 0) + 1, n_c[c] + len(card[f])
+                )
+            if best is None or s > best[0]:
+                best = (s, c)
+        key = (r.actual, best[1])
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.actual, r.predicted): r.n_events
+        for r in ml.naive_bayes_confusion(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == n_total

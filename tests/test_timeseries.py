@@ -87,3 +87,36 @@ def test_interpolate_matches_python_linear(spark):
         # observed hours agree with the ffill twin's carried value
         for _, r in obs:
             assert ffill[(u, r.hour_us)].avg_value == r.interp_value
+
+
+def test_ewma_matches_python_replay(spark):
+    """Driver-side exact integer replay of the bounded 2^i weighting
+    reproduces every ewma bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import timeseries as T
+    from tests.conftest import SF_SMOKE
+
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        .collect(),
+        key=lambda r: (r.user_id, r.ts_us, r.event_id),
+    )
+    want = {}
+    hist: dict = {}
+    for r in ev:
+        h = hist.setdefault(r.user_id, [])
+        h.append(int(r.value * 10000.0 + 0.5) if r.value >= 0 else None)
+        assert h[-1] is not None
+        frame = h[-T.EWMA_K:]
+        num = sum(x << i for i, x in enumerate(frame))
+        den = (1 << len(frame)) - 1
+        want[r.event_id] = num / den / 10000.0
+    got = T.ewma_smooth(spark, SF_SMOKE).collect()
+    assert len(got) == len(ev)
+    for r in got:
+        assert r.ewma == want[r.event_id], r.event_id
