@@ -81,10 +81,46 @@ _DRIVER_PROVEN = {
 }
 
 
+# Oldest-first priority among the not-yet-driver-proven queries: if the
+# driver's capture window is smaller than the unproven set, the OLDEST
+# overdue queries (r2 judge-verified first) get rows this round and only
+# the newest additions spill to the next round.  Queries absent from this
+# list (i.e. added after it was written) sort last automatically.
+_UNPROVEN_AGE_ORDER = [
+    # overdue since r2 (judge-verified green, no driver row yet)
+    "cdc_snapshot_diff", "funnel_ordered", "funnel_retention_cohorts",
+    "graph_pagerank", "layout_zorder", "ml_quantile_bins",
+    "quality_column_profile", "quality_referential_audit",
+    "sketch_cms_heavy_hitters", "ts_resample_ffill",
+    # r3 first sitting
+    "ml_zscore_outliers", "ml_class_weights", "ml_value_histogram",
+    "sketch_sample_quantiles", "ts_interpolate_linear", "ts_ewma",
+    "quality_mad_outliers", "curation_pack_sequences",
+    "curation_pii_redact", "curation_chunk_windows",
+    "curation_repetition_stats", "curation_ngram_contamination",
+    "curation_bpe_pairs", "curation_url_strip", "curation_mix_sources",
+    "curation_train_split", "incremental_customer_agg",
+    # r3 second sitting
+    "bi_pareto_share", "bi_shipping_priority", "bi_priority_semijoin",
+    "bi_idle_customers", "ml_knn_eval", "text_bigram_lm",
+    "text_bigram_surprisal", "ml_auc", "ml_covariance_matrix",
+    "win_active_users", "win_activity_streaks", "sketch_hll_distinct",
+    "cdc_scd2_asof", "bi_basket_lift", "graph_triangles",
+    "graph_degree_stats", "json_props_rollup", "json_key_profile",
+    # r3 third sitting
+    "bi_market_share", "bi_top_supplier", "bi_status_pivot",
+    "ml_naive_bayes", "graph_jaccard_neighbors",
+]
+_AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
+
+
 def _ordered(merged: dict) -> dict:
-    unproven = {k: v for k, v in merged.items() if k not in _DRIVER_PROVEN}
-    proven = {k: v for k, v in merged.items() if k in _DRIVER_PROVEN}
-    return {**unproven, **proven}
+    names = list(merged)
+    unproven = [k for k in names if k not in _DRIVER_PROVEN]
+    unproven.sort(key=lambda k: (_AGE_IDX.get(k, len(_AGE_IDX)),
+                                 names.index(k)))
+    proven = [k for k in names if k in _DRIVER_PROVEN]
+    return {k: merged[k] for k in unproven + proven}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
