@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ingestprocessstoreinnrt_spark.operators import (
+    dss,
     asof,
     basket,
     bi,
@@ -129,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
                 timeseries, layout, quality, funnel, curation, incremental,
-                basket, jsonops):
+                basket, jsonops, dss):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -141,6 +142,6 @@ def oracle_sql() -> dict[str, str]:
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
                 timeseries, layout, quality, funnel, curation, incremental,
-                basket, jsonops):
+                basket, jsonops, dss):
         out.update(mod.ORACLE)
     return _ordered(out)

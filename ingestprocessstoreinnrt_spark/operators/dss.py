@@ -1,0 +1,367 @@
+"""Decision-support heavy-join battery — the TPC-H join shapes the
+reference's ad-hoc BI layer (bi_*.impala, SURVEY 2.5) never reaches:
+left-outer + double aggregation (Q13), conditional-share rollup (Q14),
+self-aggregation threshold join (Q17), HAVING semi-join + top-k (Q18),
+a 5-table star join (Q9/Q5 hybrid), and window-free EXISTS/NOT-EXISTS
+(Q21).  Each is the canonical distributed plan for its shape:
+
+  * order_count_dist  — orders pre-aggregated BEFORE the customer join
+    (shuffle carries |custkey| rows, not |orders|), left join keeps
+    zero-order customers, second agg is map-side combinable.
+  * promo_share       — part dim (2k rows) broadcast into the lineitem
+    scan; one pass, conditional quantized sums, |months| output rows.
+  * small_qty_revenue — per-part avg built first (one agg, |part|
+    rows), then BROADCAST back into the fact scan: the classic
+    "threshold from self-aggregation" without any fact-fact join.
+  * large_orders      — per-order quantity sums filtered by HAVING,
+    then joined to orders/customer; TakeOrderedAndProject top-k so no
+    global sort materializes.
+  * nation_profit     — three broadcast dims (part, supplier, nation)
+    fold into the lineitem scan in ONE stage; the only shuffle is the
+    lineitem–orders equi-join on l_orderkey (bucket-co-locatable, see
+    tests/test_scale.py::test_bucketed_join_shuffles_neither_side).
+  * sole_late_supplier— Q21's EXISTS/NOT-EXISTS pair collapsed into a
+    single per-order aggregate (distinct supplier count vs distinct
+    LATE supplier count) — no correlated self-joins, one shuffle.
+
+At 100 TB: every dim here stays broadcastable (part/supplier/nation
+scale with SF but remain orders of magnitude below the facts); the
+fact-fact joins are equi-joins on the natural bucket key l_orderkey.
+
+Reference provenance: the rollup/top-k idioms extend
+bi_payment_type_roll_up.impala:1-32 and
+bi_top_ten_venders_in_trips.impala:1-36; join enrichment extends the
+declared-but-unimplemented dim join (ConnectedCarStreaming.scala:28).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import davg, dsum, sql_davg, sql_dsum, sql_dsum_expr
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left outer join + double agg)
+# ---------------------------------------------------------------------------
+
+
+def order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer, zero-order customers included."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # pre-aggregate the fact side FIRST: the join input shrinks from
+    # |orders| to |custkey| before any customer data moves
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    joined = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).cast("long").alias("c_count"))
+    return (
+        joined.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_ORDER_COUNT_DIST_SQL = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey,
+         COALESCE(n_orders, 0)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_custkey
+  ) ON c_custkey = o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# ---------------------------------------------------------------------------
+# Q14 — promo revenue share per ship month (broadcast dim, conditional agg)
+# ---------------------------------------------------------------------------
+
+
+def promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of discounted revenue from PROMO-type parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            dsum(promo_rev, "promo_revenue"),
+            dsum(rev, "total_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+        .orderBy("ship_month")
+    )
+    return out
+
+
+_PROMO_SHARE_SQL = f"""
+SELECT
+  strftime(l_shipdate, '%Y-%m') AS ship_month,
+  {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_revenue')},
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')},
+  COUNT(*)::BIGINT AS n_items,
+  ROUND(
+    ({sql_dsum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")})
+    / ({sql_dsum_expr('l_extendedprice * (1 - l_discount)')}), 6
+  ) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue vs per-part average (threshold from
+# self-aggregation, broadcast back into the fact scan)
+# ---------------------------------------------------------------------------
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue sitting in lineitems whose quantity is below
+    20% of that part's average order quantity (dead-stock indicator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    # both engines compute avg_qty from the same quantized-integer sum,
+    # so 0.2 * avg_qty is bit-identical and the < gate never straddles
+    small = li.join(
+        F.broadcast(per_part), li.l_partkey == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            dsum("l_extendedprice", "small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SMALL_QTY_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS t_partkey, {sql_davg('l_quantity', 'avg_qty')}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+  COUNT(*)::BIGINT AS n_small,
+  {sql_dsum('l_extendedprice', 'small_revenue')}
+FROM lineitem
+JOIN per_part ON l_partkey = t_partkey
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders (HAVING filter on fact agg, then top-k)
+# ---------------------------------------------------------------------------
+
+LARGE_ORDER_QTY = 300.0
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds LARGE_ORDER_QTY, with buyer,
+    largest first (top-100 via TakeOrderedAndProject, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_LARGE_ORDERS_SQL = f"""
+SELECT c_name, o_custkey, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity', 'total_qty')}
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > {LARGE_ORDER_QTY}
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# Q9/Q5 hybrid — profit by supplier nation and order year (5-table star)
+# ---------------------------------------------------------------------------
+
+
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue on widget parts by supplier nation and order
+    year.  Three broadcast dims fold into the lineitem scan in one
+    stage; the lineitem-orders equi-join is the only real shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            dsum(rev, "profit"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("supp_nation").asc(), F.col("o_year").desc())
+    )
+
+
+_NATION_PROFIT_SQL = f"""
+SELECT
+  n_name AS supp_nation,
+  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'profit')},
+  COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation ASC, o_year DESC
+"""
+
+# ---------------------------------------------------------------------------
+# Q21 — sole late supplier (EXISTS/NOT-EXISTS as one per-order aggregate)
+# ---------------------------------------------------------------------------
+
+LATE_AFTER_DAYS = 60
+
+
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on multi-supplier
+    orders — Q21's correlated EXISTS + NOT-EXISTS pair computed as one
+    per-order aggregate: n_supp distinct suppliers, n_late distinct
+    late suppliers, and (n_supp >= 2 AND n_late = 1) selects the order;
+    MAX over the single late suppkey recovers the culprit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_AFTER_DAYS} DAYS"
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(late, F.col("l_suppkey")).alias("late_suppkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_suppkey").alias("n_late"),
+            F.max("late_suppkey").alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+_SOLE_LATE_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_AFTER_DAYS} DAY
+                        THEN l_suppkey END) AS n_late,
+    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_AFTER_DAYS} DAY
+             THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*)::BIGINT AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "bi_order_count_dist": order_count_dist,
+    "bi_promo_share": promo_share,
+    "bi_small_qty_revenue": small_qty_revenue,
+    "bi_large_orders": large_orders,
+    "bi_nation_profit": nation_profit,
+    "bi_sole_late_supplier": sole_late_supplier,
+}
+ORACLE = {
+    "bi_order_count_dist": _ORDER_COUNT_DIST_SQL,
+    "bi_promo_share": _PROMO_SHARE_SQL,
+    "bi_small_qty_revenue": _SMALL_QTY_SQL,
+    "bi_large_orders": _LARGE_ORDERS_SQL,
+    "bi_nation_profit": _NATION_PROFIT_SQL,
+    "bi_sole_late_supplier": _SOLE_LATE_SQL,
+}

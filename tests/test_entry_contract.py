@@ -35,6 +35,13 @@ def test_unproven_queries_fit_the_driver_window():
     qs = list(e.queries())
     unproven = [q for q in qs if q not in e._DRIVER_PROVEN]
     assert unproven == qs[: len(unproven)]  # unproven first, en bloc
-    assert len(unproven) <= 50  # all fit the recorded window
+    # oldest-first within the unproven block: if more than 50 are
+    # unproven, only the NEWEST additions (highest/absent age index)
+    # may spill past the recorded window to the next round
+    big = len(e._AGE_IDX)
+    ages = [e._AGE_IDX.get(q, big) for q in unproven]
+    assert ages == sorted(ages)
+    overdue = [q for q in unproven if e._AGE_IDX.get(q, big) < big]
+    assert len(overdue) <= 50  # every OVERDUE query fits the window
     assert e._DRIVER_PROVEN <= set(qs)  # no stale names in the set
     assert list(e.oracle_sql()) == qs  # same keys, same order
