@@ -303,18 +303,24 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {LATE_AFTER_DAYS} DAYS"
     )
-    per_order = (
+    # two-level aggregate instead of twin countDistinct: a single-agg
+    # COUNT(DISTINCT a), COUNT(DISTINCT b) plans as an Expand (3x the
+    # fact rows through the shuffle); reducing to the (order, supplier)
+    # grain first keeps both aggregates plain and map-side combinable,
+    # and the second level shuffles on the same l_orderkey key
+    per_os = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            F.when(late, F.col("l_suppkey")).alias("late_suppkey"),
-        )
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("is_late"))
+    )
+    per_order = (
+        per_os.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("late_suppkey").alias("n_late"),
-            F.max("late_suppkey").alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late"),
+            F.max(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )

@@ -224,13 +224,109 @@ GROUP BY dev.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# temporal drift screen: early-half vs late-half distribution diff
+# ---------------------------------------------------------------------------
+#
+# The pre-retrain check "did the event mix shift?": split the stream at
+# the midpoint of its time range and compare each event_type's volume
+# share and value mean across halves.  ONE aggregate pass does
+# everything — the half tag is a row-local comparison against a
+# broadcast 1-row bounds frame, and early/late stats are conditional
+# quantized aggregates of the same groupBy.  The totals join is
+# |event_type| rows.  At 100 TB: one scan, one map-side-combined
+# shuffle of |event_type| x partials, two broadcast singletons.
+
+
+def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    bounds = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us")
+    )
+    from ..functions.scalars import quantize
+
+    early = F.col("ts_us") <= F.col("mid_us")
+    q = quantize(F.col("value"))
+    per_type = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(early, 1)).cast("long").alias("n_early"),
+            F.count(F.when(~early, 1)).cast("long").alias("n_late"),
+            F.sum(F.when(early, q)).alias("qs_early"),
+            F.sum(F.when(~early, q)).alias("qs_late"),
+        )
+    )
+    totals = per_type.agg(
+        F.sum("n_early").alias("tot_early"), F.sum("n_late").alias("tot_late")
+    )
+    share_e = F.col("n_early").cast("double") / F.col("tot_early")
+    share_l = F.col("n_late").cast("double") / F.col("tot_late")
+    avg_e = F.col("qs_early").cast("double") / 10000.0 / F.col("n_early")
+    avg_l = F.col("qs_late").cast("double") / 10000.0 / F.col("n_late")
+    return (
+        per_type.join(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            F.round(share_e, 6).alias("share_early"),
+            F.round(share_l, 6).alias("share_late"),
+            F.round(share_l - share_e, 6).alias("share_drift"),
+            avg_e.alias("avg_early"),
+            avg_l.alias("avg_late"),
+            (avg_l - avg_e).alias("avg_drift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DRIFT_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+),
+bounds AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM e),
+per_type AS (
+  SELECT event_type,
+    COUNT(CASE WHEN ts_us <= mid_us THEN 1 END)::BIGINT AS n_early,
+    COUNT(CASE WHEN ts_us >  mid_us THEN 1 END)::BIGINT AS n_late,
+    SUM(CASE WHEN ts_us <= mid_us THEN qv END) AS qs_early,
+    SUM(CASE WHEN ts_us >  mid_us THEN qv END) AS qs_late
+  FROM e CROSS JOIN bounds
+  GROUP BY event_type
+),
+totals AS (
+  SELECT CAST(SUM(n_early) AS BIGINT) AS tot_early,
+         CAST(SUM(n_late) AS BIGINT) AS tot_late
+  FROM per_type
+)
+SELECT event_type, n_early, n_late,
+  ROUND(n_early::DOUBLE / tot_early, 6) AS share_early,
+  ROUND(n_late::DOUBLE / tot_late, 6) AS share_late,
+  ROUND(n_late::DOUBLE / tot_late - n_early::DOUBLE / tot_early, 6)
+    AS share_drift,
+  CAST(qs_early AS DOUBLE) / 10000.0 / n_early AS avg_early,
+  CAST(qs_late AS DOUBLE) / 10000.0 / n_late AS avg_late,
+  (CAST(qs_late AS DOUBLE) / 10000.0 / n_late)
+    - (CAST(qs_early AS DOUBLE) / 10000.0 / n_early) AS avg_drift
+FROM per_type CROSS JOIN totals
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "quality_column_profile": column_profile,
     "quality_referential_audit": referential_audit,
     "quality_mad_outliers": mad_outliers,
+    "quality_schema_drift": schema_drift,
 }
 ORACLE = {
     "quality_column_profile": _profile_sql(),
     "quality_referential_audit": _audit_sql(),
     "quality_mad_outliers": _MAD_SQL,
+    "quality_schema_drift": _DRIFT_SQL,
 }

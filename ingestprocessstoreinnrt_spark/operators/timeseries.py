@@ -345,13 +345,99 @@ FROM framed
 """
 
 
+# ---------------------------------------------------------------------------
+# seasonal baseline + deviation gate (anomaly screen)
+# ---------------------------------------------------------------------------
+#
+# Two exact aggregate passes build the seasonal model: per
+# (event_type, hour-of-day) cell, the quantized mean, then the
+# quantized mean ABSOLUTE deviation around that mean (computable only
+# once the mean exists — the second pass is inherent, not an
+# implementation artifact).  The model is |types| x 24 rows — a
+# broadcast at any corpus size — so the final flagging pass is an
+# embarrassingly parallel scan.  All three comparisons run on
+# bit-identical doubles in both engines (quantized sums, IEEE ops on
+# identical inputs), so the > gate never straddles engines.
+
+ANOMALY_K = 3.0
+
+
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates more than ANOMALY_K x the cell's
+    mean absolute deviation from the (event_type, hour) seasonal mean."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+    )
+    cell_avg = ev.groupBy("event_type", "hod").agg(
+        davg("value", "cell_avg")
+    )
+    with_avg = ev.join(F.broadcast(cell_avg), ["event_type", "hod"])
+    cell_mad = (
+        with_avg.groupBy(
+            F.col("event_type").alias("m_type"), F.col("hod").alias("m_hod")
+        )
+        .agg(davg(F.abs(F.col("value") - F.col("cell_avg")), "cell_mad"))
+    )
+    return (
+        with_avg.join(
+            F.broadcast(cell_mad),
+            (F.col("event_type") == F.col("m_type"))
+            & (F.col("hod") == F.col("m_hod")),
+        )
+        .filter(
+            F.abs(F.col("value") - F.col("cell_avg"))
+            > ANOMALY_K * F.col("cell_mad")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "hod",
+            "value",
+            "cell_avg",
+            "cell_mad",
+        )
+    )
+
+
+_SEASONAL_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+    CAST(hour(ts) AS BIGINT) AS hod, value
+  FROM events
+),
+cell_avg AS (
+  SELECT event_type, hod, {sql_davg('value', 'cell_avg')}
+  FROM e GROUP BY event_type, hod
+),
+with_avg AS (
+  SELECT e.*, cell_avg FROM e JOIN cell_avg USING (event_type, hod)
+),
+cell_mad AS (
+  SELECT event_type AS m_type, hod AS m_hod,
+    {sql_davg('ABS(value - cell_avg)', 'cell_mad')}
+  FROM with_avg GROUP BY m_type, m_hod
+)
+SELECT event_id, user_id, event_type, hod, value, cell_avg, cell_mad
+FROM with_avg
+JOIN cell_mad ON event_type = m_type AND hod = m_hod
+WHERE ABS(value - cell_avg) > {ANOMALY_K} * cell_mad
+"""
+
+
 QUERIES = {
+    "ts_seasonal_anomaly": seasonal_anomaly,
     "ts_resample_ffill": resample_ffill,
     "ml_quantile_bins": quantile_bins,
     "ts_interpolate_linear": resample_interpolate,
     "ts_ewma": ewma_smooth,
 }
 ORACLE = {
+    "ts_seasonal_anomaly": _SEASONAL_SQL,
     "ts_resample_ffill": _RESAMPLE_SQL,
     "ml_quantile_bins": _bins_sql(),
     "ts_interpolate_linear": _INTERP_SQL,

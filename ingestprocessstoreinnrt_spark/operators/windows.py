@@ -402,7 +402,60 @@ FROM ranked GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# running cumulative totals (ledger / balance shape)
+# ---------------------------------------------------------------------------
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user, the running event count and running quantized value sum
+    in event-time order — the account-ledger / feature-backfill shape.
+    ROWS UNBOUNDED PRECEDING with a total order inside each key
+    ((ts_us, event_id) tie-break) keeps the prefix sums deterministic;
+    the quantized integer sum keeps them engine-exact.  One window pass,
+    partitioned by user — at 100 TB each key's history stays within its
+    partition and nothing is global."""
+    from ..functions.scalars import quantize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_so_far"),
+        (F.sum(quantize(F.col("value"))).over(w).cast("double") / 10000.0)
+        .alias("value_so_far"),
+    )
+
+
+_RUNNING_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+)
+SELECT user_id, event_id,
+  COUNT(*) OVER w AS n_so_far,
+  CAST(SUM(qv) OVER w AS DOUBLE) / 10000.0 AS value_so_far
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_us, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
 QUERIES = {
+    "win_running_totals": running_totals,
     "win_user_sessions": user_sessions,
     "win_tumbling_hourly": tumbling_hourly,
     "win_hopping_quarter": hopping_quarter,
@@ -413,6 +466,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_running_totals": _RUNNING_SQL,
     "win_user_sessions": _SESSIONS_SQL,
     "win_tumbling_hourly": _TUMBLING_SQL,
     "win_hopping_quarter": _HOPPING_SQL,
