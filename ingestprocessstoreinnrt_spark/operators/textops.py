@@ -718,7 +718,76 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus novelty: per-document share of first-seen n-grams
+# ---------------------------------------------------------------------------
+#
+# "How much does each document add?" — order the corpus by doc_id and
+# credit each distinct word-3-gram shingle to the FIRST document that
+# contains it; a document's novelty is the share of its shingles it
+# introduced.  The diversity/yield metric behind "diminishing returns"
+# curves when growing a training corpus.  Plan: one shingle explode,
+# one window min per gram (single shuffle on the gram hash — uniform by
+# construction), one per-doc aggregate.  Reuses dedup's cached
+# _shingle_frame (hashed shingles: equality-preserving, so counts are
+# identical to the oracle's raw-string shingles — the cross-engine
+# match doubles as a collision check, same argument as _shingle_frame).
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import _shingle_frame
+
+    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
+    g = sh.select("doc_id", F.explode("toks").alias("gram"))
+    w = Window.partitionBy("gram")
+    flagged = g.select(
+        "doc_id", (F.min("doc_id").over(w) == F.col("doc_id")).alias("new")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("new").cast("long")).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_shingles"), 6
+            ),
+        )
+    )
+
+
+_NOVELTY_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(w) - 1),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS toks
+  FROM words WHERE len(w) >= 3
+),
+g AS (SELECT doc_id, unnest(toks) AS gram FROM sh),
+f AS (
+  SELECT doc_id,
+    CASE WHEN MIN(doc_id) OVER (PARTITION BY gram) = doc_id
+         THEN 1 ELSE 0 END AS new
+  FROM g
+)
+SELECT doc_id,
+  COUNT(*)::BIGINT AS n_shingles,
+  CAST(SUM(new) AS BIGINT) AS n_new,
+  ROUND(CAST(SUM(new) AS BIGINT)::DOUBLE / COUNT(*), 6) AS novelty
+FROM f GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_ngram_novelty": ngram_novelty,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -732,6 +801,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_ngram_novelty": _NOVELTY_SQL,
     "text_stats": _STATS_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,

@@ -74,3 +74,21 @@ def test_schema_drift_conserves_counts_and_shares(spark):
     for r in rows:
         assert abs((r.share_late - r.share_early) - r.share_drift) < 2e-6
         assert abs((r.avg_late - r.avg_early) - r.avg_drift) < 1e-9
+
+
+def test_ngram_novelty_first_doc_full_and_conserves(spark):
+    from ingestprocessstoreinnrt_spark.operators import textops
+
+    rows = {r.doc_id: r for r in textops.ngram_novelty(spark, SF_SMOKE).collect()}
+    assert rows[min(rows)].novelty == 1.0  # first doc introduces all its grams
+    # sum of per-doc first-seen grams == corpus distinct gram count
+    from ingestprocessstoreinnrt_spark.operators.dedup import _shingle_frame
+    from ingestprocessstoreinnrt_spark.catalog import fan_out
+
+    sh = _shingle_frame(fan_out(load_table(spark, SF_SMOKE, "documents")))
+    n_distinct = (
+        sh.select(F.explode("toks").alias("g")).distinct().count()
+    )
+    assert sum(r.n_new for r in rows.values()) == n_distinct
+    for r in rows.values():
+        assert 0.0 <= r.novelty <= 1.0 and r.n_new <= r.n_shingles
