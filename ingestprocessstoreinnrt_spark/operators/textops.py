@@ -735,21 +735,30 @@ GROUP BY doc_id
 
 
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from .dedup import _shingle_frame
 
     sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
-    g = sh.select("doc_id", F.explode("toks").alias("gram"))
-    w = Window.partitionBy("gram")
-    flagged = g.select(
-        "doc_id", (F.min("doc_id").over(w) == F.col("doc_id")).alias("new")
+    # n_new per doc WITHOUT rejoining the exploded frame: min doc per
+    # gram (map-side-combinable MIN — a window over gram would instead
+    # SORT the whole exploded frame), then count grams per first-owner.
+    # The first sweep measured the window version at 21x for 10x rows;
+    # this shape is two hash aggregates, the second over |docs| rows.
+    first_counts = (
+        sh.select("doc_id", F.explode("toks").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.col("new").cast("long")).cast("long").alias("n_new"),
+        sh.select("doc_id", F.col("n").cast("long").alias("n_shingles"))
+        .join(
+            first_counts, F.col("doc_id") == F.col("first_doc"), "left"
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
         )
         .withColumn(
             "novelty",
