@@ -203,5 +203,102 @@ WHERE rank <= {PR_TOPK}
     )
 
 
-QUERIES = {"graph_pagerank": pagerank_shipments}
-ORACLE = {"graph_pagerank": _pagerank_sql()}
+# ---------------------------------------------------------------------------
+# multi-source BFS: landmark hop distances
+# ---------------------------------------------------------------------------
+#
+# Exact hop distance from each of BFS_LANDMARKS landmark vertices (the
+# lowest supplier ids — deterministic) to every vertex within BFS_HOPS
+# hops of the UNDIRECTED shipment graph.  The frontier loop is the
+# third iterative family (after PageRank and connected components):
+# each hop is one equi-join frontier expansion + a (node, landmark)
+# MIN aggregate — both map-side combinable, both co-partitionable on
+# the vertex id at 100 TB.  Distances are small exact ints; the
+# BFS_HOPS loop stays lazy like the fixed PageRank loop (measured
+# faster than checkpointing at depth <= 3), and the oracle is the
+# identically-unrolled CTE chain.
+
+BFS_HOPS = 3
+BFS_LANDMARKS = 5
+
+
+def bfs_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lm = (
+        load_table(spark, sf_dir, "supplier")
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .orderBy("node")
+        .limit(BFS_LANDMARKS)
+    )
+    dist = lm.select(
+        "node", F.col("node").alias("landmark"), F.lit(0).alias("dist")
+    )
+    for _ in range(BFS_HOPS):
+        hop = (
+            und.join(dist, und.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                "landmark",
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node", "landmark")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("landmark").cast("long").alias("landmark"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _bfs_sql() -> str:
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % {_EDGE_MOD} = 0
+)""",
+        "und AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges)",
+        f"""d0 AS (
+  SELECT node, node AS landmark, 0 AS dist FROM (
+    SELECT s_suppkey * 2 AS node FROM supplier
+    ORDER BY node LIMIT {BFS_LANDMARKS})
+)""",
+    ]
+    for t in range(1, BFS_HOPS + 1):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT node, landmark, MIN(dist) AS dist FROM (
+    SELECT node, landmark, dist FROM d{t - 1}
+    UNION ALL
+    SELECT und.dst AS node, landmark, dist + 1 AS dist
+    FROM und JOIN d{t - 1} ON und.src = d{t - 1}.node
+  ) GROUP BY node, landmark
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node::BIGINT AS node, landmark::BIGINT AS landmark,
+  dist::BIGINT AS dist
+FROM d{BFS_HOPS}
+"""
+    )
+
+
+QUERIES = {
+    "graph_pagerank": pagerank_shipments,
+    "graph_bfs_landmarks": bfs_landmarks,
+}
+ORACLE = {
+    "graph_pagerank": _pagerank_sql(),
+    "graph_bfs_landmarks": _bfs_sql(),
+}

@@ -1377,7 +1377,139 @@ FROM pred GROUP BY actual, predicted
 """
 
 
+# ---------------------------------------------------------------------------
+# multivariate closed-form OLS (normal equations from exact sufficient
+# statistics)
+# ---------------------------------------------------------------------------
+#
+# Per l_returnflag, fit l_extendedprice ~ l_quantity + l_discount by
+# solving the 3x3 normal equations with Cramer's rule.  The
+# distributed-OLS template: ONE aggregate computes the nine exact
+# integer sufficient statistics (inputs quantized at scales the data
+# is exact at: quantity x1, discount and price x100 — verified 0 rows
+# off), so the shuffle is 9 longs per group regardless of corpus size;
+# the 3x3 solve is a per-group scalar expression.  Determinants are
+# evaluated in DOUBLE (the integer forms can overflow BIGINT at sf1)
+# with the SAME expression tree in both engines: doubles built from
+# exact ints < 2^53 are exact, and identical IEEE operation order
+# makes every product/difference bit-identical cross-engine.
+
+
+def group_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    d = {
+        c: F.col(c).cast("double")
+        for c in ("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+    }
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    nb0 = (
+        d["sy"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        + d["s2"] * (d["s1y"] * d["s12"] - d["s11"] * d["s2y"])
+    )
+    nb1 = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+    )
+    nb2 = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+        + d["sy"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    # unscale: y is x100, x2 is x100, x1 is x1 ->
+    # intercept = b0q/100, coef per quantity unit = b1q/100,
+    # coef per discount fraction = b2q
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.when(det == 0.0, F.lit(None).cast("double"))
+        .otherwise(nb1 / det / F.lit(100.0))
+        .alias("coef_qty"),
+        F.when(det == 0.0, F.lit(None).cast("double"))
+        .otherwise(nb2 / det)
+        .alias("coef_disc"),
+        F.when(det == 0.0, F.lit(None).cast("double"))
+        .otherwise(nb0 / det / F.lit(100.0))
+        .alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+_OLS_MULTI_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x1,
+    CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag,
+    COUNT(*)::BIGINT AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM q GROUP BY l_returnflag
+),
+dd AS (
+  SELECT l_returnflag, n::BIGINT AS n_out,
+    n::DOUBLE AS dn, s1::DOUBLE AS d1, s2::DOUBLE AS d2,
+    sy::DOUBLE AS dy, s11::DOUBLE AS d11, s22::DOUBLE AS d22,
+    s12::DOUBLE AS d12, s1y::DOUBLE AS d1y, s2y::DOUBLE AS d2y
+  FROM g
+)
+SELECT l_returnflag, n_out AS n,
+  CASE WHEN det = 0.0 THEN NULL ELSE nb1 / det / 100.0 END AS coef_qty,
+  CASE WHEN det = 0.0 THEN NULL ELSE nb2 / det END AS coef_disc,
+  CASE WHEN det = 0.0 THEN NULL ELSE nb0 / det / 100.0 END AS intercept
+FROM (
+  SELECT l_returnflag, n_out,
+    dn * (d11 * d22 - d12 * d12)
+      - d1 * (d1 * d22 - d12 * d2)
+      + d2 * (d1 * d12 - d11 * d2) AS det,
+    dy * (d11 * d22 - d12 * d12)
+      - d1 * (d1y * d22 - d12 * d2y)
+      + d2 * (d1y * d12 - d11 * d2y) AS nb0,
+    dn * (d1y * d22 - d12 * d2y)
+      - dy * (d1 * d22 - d12 * d2)
+      + d2 * (d1 * d2y - d1y * d2) AS nb1,
+    dn * (d11 * d2y - d1y * d12)
+      - d1 * (d1 * d2y - d1y * d2)
+      + dy * (d1 * d12 - d11 * d2) AS nb2
+  FROM dd
+)
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "ml_ols_multi": group_ols_multi,
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
     "ml_kmeans": kmeans_lloyd,  # exact Lloyd's, oracle-verified
@@ -1392,6 +1524,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_ols_multi": _OLS_MULTI_SQL,
     "ml_col_stats": _colstats_sql(),
     "ml_correlation": _corr_sql(),
     "ml_kmeans": _kmeans_sql(),

@@ -1,0 +1,62 @@
+"""BFS landmark distances + multivariate OLS: independent recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from ingestprocessstoreinnrt_spark.catalog import load_table
+from ingestprocessstoreinnrt_spark.operators import graph, ml
+from tests.conftest import SF_SMOKE
+
+
+def test_bfs_landmarks_matches_python_bfs(spark):
+    edges = graph._edges(spark, SF_SMOKE).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    lms = sorted(
+        {r.node for r in
+         load_table(spark, SF_SMOKE, "supplier")
+         .select((F.col("s_suppkey") * 2).alias("node")).collect()}
+    )[: graph.BFS_LANDMARKS]
+    expected = {}
+    for lm in lms:
+        dist = {lm: 0}
+        frontier = [lm]
+        for d in range(1, graph.BFS_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for node, d in dist.items():
+            expected[(node, lm)] = d
+    got = {
+        (r.node, r.landmark): r.dist
+        for r in graph.bfs_landmarks(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_ols_multi_matches_numpy_lstsq(spark):
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    got = {r.l_returnflag: r for r in ml.group_ols_multi(spark, SF_SMOKE).collect()}
+    flags = sorted({r.l_returnflag for r in rows})
+    for flag in flags:
+        sub = [r for r in rows if r.l_returnflag == flag]
+        X = np.array([[1.0, r.l_quantity, r.l_discount] for r in sub])
+        y = np.array([r.l_extendedprice for r in sub])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        g = got[flag]
+        assert g.n == len(sub)
+        # quantization perturbs inputs at the 1e-2 level; coefficients
+        # agree to ~1e-3 relative
+        assert abs(g.intercept - beta[0]) < max(1.0, abs(beta[0]) * 1e-2)
+        assert abs(g.coef_qty - beta[1]) < max(0.5, abs(beta[1]) * 1e-2)
+        assert abs(g.coef_disc - beta[2]) < max(50.0, abs(beta[2]) * 1e-2)
