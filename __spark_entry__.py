@@ -111,6 +111,12 @@ _UNPROVEN_AGE_ORDER = [
     # r3 third sitting
     "bi_market_share", "bi_top_supplier", "bi_status_pivot",
     "ml_naive_bayes", "graph_jaccard_neighbors",
+    # r3 fourth (continuation) sitting — newest; these spill past a
+    # 50-row driver window and get their rows in round 4
+    "bi_order_count_dist", "bi_promo_share", "bi_small_qty_revenue",
+    "bi_large_orders", "bi_nation_profit", "bi_sole_late_supplier",
+    "win_running_totals", "ts_seasonal_anomaly", "quality_schema_drift",
+    "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 
