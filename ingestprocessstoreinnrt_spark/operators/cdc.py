@@ -221,11 +221,12 @@ def _cms_bucket(d: int):
     ).cast("int")
 
 
-def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min estimates vs exact counts for the candidate user set.
-    est_count >= exact_count always (collisions only ADD); the gap on
-    this data is the observable sketch error."""
-    ev = load_table(spark, sf_dir, "events")
+def cms_grid(ev: DataFrame) -> DataFrame:
+    """(d, bucket, cnt) count-min grid of an events frame.  Cells are
+    ADDITIVE, so per-micro-batch grids merge into a running sketch
+    with a plain SUM — the streaming twin
+    (tests/test_streaming.py::test_streaming_cms_grid_merges_to_batch)
+    proves 4 arbitrary batches merge to the bit-exact batch grid."""
     cells = F.array(
         *[
             F.struct(F.lit(d).alias("d"), _cms_bucket(d).alias("bucket"))
@@ -240,11 +241,20 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("w"))
     # the sketch: d*w bounded cells, map-side combined — the key
     # universe never shuffles
-    grid = (
+    return (
         per_user.select("w", F.explode(cells).alias("c"))
         .groupBy("c.d", "c.bucket")
         .agg(F.sum("w").alias("cnt"))
     )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs exact counts for the candidate user set.
+    est_count >= exact_count always (collisions only ADD); the gap on
+    this data is the observable sketch error."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = cms_grid(ev)
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("w"))
     cand = per_user.filter(F.col("user_id") < CMS_CANDIDATES).select(
         "user_id", F.col("w").alias("exact_count")
     )

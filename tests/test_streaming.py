@@ -573,3 +573,47 @@ def test_streaming_hll_registers_merge_to_batch_sketch(spark, workdir):
     streamed = {(r.j, r.r) for r in table.read().select("j", "r").collect()}
     batch = {(r.j, r.r) for r in registers(ev).collect()}
     assert streamed == batch
+
+
+def test_streaming_cms_grid_merges_to_batch(spark, workdir):
+    """Count-min cells are additive: per micro-batch grid partials
+    merge into the upsert table with SUM — after 4 arbitrary batches
+    the (d, bucket) grid is bit-identical to the batch sketch, hence
+    every heavy-hitter estimate is too.  Streaming twin of the HLL
+    register MAX-merge test, for the additive sketch family."""
+    from ingestprocessstoreinnrt_spark.operators import cdc
+
+    ev = load_table(spark, SF_ORACLE, "events").select("user_id", "event_id")
+    src_dir = workdir + "/cms_stream"
+    ev.withColumn(
+        "chunk", F.pmod(F.col("event_id"), F.lit(4))
+    ).write.partitionBy("chunk").parquet(src_dir)
+
+    table = UpsertTable(spark, workdir + "/cmsgrid", ["d", "bucket"],
+                        num_buckets=4)
+
+    def merge(cur, new):
+        return (
+            cur.unionByName(new)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    schema = ev.schema
+    for c in range(4):
+        stream = spark.readStream.schema(schema).parquet(
+            f"{src_dir}/chunk={c}"
+        )
+        pipelines.upsert_aggregate_stream(
+            stream, table, cdc.cms_grid, merge,
+            checkpoint=f"{workdir}/cmsckpt{c}",
+        ).awaitTermination(120)
+
+    streamed = {
+        (r.d, r.bucket, r.cnt)
+        for r in table.read().select("d", "bucket", "cnt").collect()
+    }
+    batch = {
+        (r.d, r.bucket, r.cnt) for r in cdc.cms_grid(ev).collect()
+    }
+    assert streamed == batch
