@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ingestprocessstoreinnrt_spark.operators import (
+    bloom,
     dss,
     asof,
     basket,
@@ -117,6 +118,7 @@ _UNPROVEN_AGE_ORDER = [
     "bi_large_orders", "bi_nation_profit", "bi_sole_late_supplier",
     "win_running_totals", "ts_seasonal_anomaly", "quality_schema_drift",
     "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
+    "join_bloom_semijoin",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 
@@ -136,7 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
                 timeseries, layout, quality, funnel, curation, incremental,
-                basket, jsonops, dss):
+                basket, jsonops, dss, bloom):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -148,6 +150,6 @@ def oracle_sql() -> dict[str, str]:
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
                 timeseries, layout, quality, funnel, curation, incremental,
-                basket, jsonops, dss):
+                basket, jsonops, dss, bloom):
         out.update(mod.ORACLE)
     return _ordered(out)

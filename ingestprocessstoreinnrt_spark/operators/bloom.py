@@ -1,0 +1,173 @@
+"""Bloom-filter runtime join filtering — the "bloom join" pattern that
+replaces a fact-to-fact semi-join with a broadcast bitset probe.
+
+The reference's joins are either dim lookups or full equi-joins
+(SURVEY 2.4); at 100 TB the standard trick for a selective semi-join
+(e.g. "lineitems of URGENT orders") is to build a Bloom filter over the
+selective side's keys and push it into the probe side's SCAN, touching
+each probe row with k hash checks instead of shuffling either fact.
+Spark's AQE injects such runtime filters opportunistically; this
+operator makes the pattern explicit, deterministic, and measurable —
+it reports the false-positive rate against the exact semi-join, which
+is the number a pipeline uses to size m and k.
+
+Construction (engine-exact): k=BLOOM_K row hashes of each build key
+(the shared md5 primitive), each folded to [0, BLOOM_M).  The "bitset"
+is materialized as the DISTINCT position set (<= BLOOM_M rows of one
+int — semantically identical to a bitmask, and a broadcast either
+way); a probe row passes iff ALL k of its positions are present, i.e.
+its position-join hit count equals k.  Everything is equi-joins and
+map-side-combinable aggregates; the only broadcast is <= BLOOM_M ints.
+
+At 100 TB: the build side reduces to <= BLOOM_M positions no matter
+how many keys feed it (distinct is map-side combined); the probe scan
+stays embarrassingly parallel (explode k, broadcast-hash join, count).
+False positives are inherent to the structure and the whole point of
+reporting them — the oracle twin proves both engines see the exact
+same ones.
+
+Reference provenance: extends the semi-join shapes of
+bi_priority_semijoin (TPC-H Q4 analog) with the scale-path physical
+strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import SQL_STABLE_HASH64, stable_hash64
+
+BLOOM_M = 16384  # positions (2^14)
+BLOOM_K = 3  # hashes per key
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def _positions(key: F.Column, d: int) -> F.Column:
+    return F.pmod(
+        stable_hash64(
+            F.concat_ws("|", F.lit(str(d)), key.cast("string"))
+        ),
+        F.lit(BLOOM_M),
+    ).cast("int")
+
+
+def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per l_returnflag: probe rows passing the Bloom filter built over
+    URGENT orderkeys, the exact semi-join truth, and the false
+    positives the filter would let through."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    build = orders.filter(
+        F.col("o_orderpriority") == BLOOM_PRIORITY
+    ).select("o_orderkey")
+    # the "bitset": distinct hash positions of the build keys
+    bloom = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        _positions(F.col("o_orderkey"), d)
+                        for d in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    # probe at the audited (key, flag) grain — dedupe BEFORE the
+    # explode, else a key with n lineitem rows joins 3n positions and
+    # the == k gate wrongly rejects true members (caught by
+    # test_bloom_semijoin_no_false_negatives' independent replay)
+    probe = (
+        li.select("l_orderkey", "l_returnflag")
+        .distinct()
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            # plain (non-distinct) array: if two of a key's hashes
+            # collide, both exploded rows join the same bloom position
+            # and the == k count still holds exactly when every
+            # position is present
+            F.explode(
+                F.array(
+                    *[
+                        _positions(F.col("l_orderkey"), d)
+                        for d in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_K)
+        .select("l_orderkey", "l_returnflag")
+    )
+    truth = li.join(
+        build, li.l_orderkey == build.o_orderkey, "left_semi"
+    ).select(F.col("l_orderkey").alias("t_orderkey"), F.lit(1).alias("t"))
+    audited = hits.join(
+        truth.select("t_orderkey").distinct(),
+        hits.l_orderkey == F.col("t_orderkey"),
+        "left",
+    )
+    return (
+        audited.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bloom_pass"),
+            F.count("t_orderkey").cast("long").alias("n_true"),
+            (F.count(F.lit(1)) - F.count("t_orderkey"))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _bloom_sql() -> str:
+    def pos(d: int, key: str) -> str:
+        h = SQL_STABLE_HASH64.format(x=f"('{d}' || '|' || {key}::VARCHAR)")
+        return f"CAST({h} % {BLOOM_M} AS INT)"
+
+    build_rows = " UNION ALL ".join(
+        f"SELECT {pos(d, 'o_orderkey')} AS pos FROM build"
+        for d in range(BLOOM_K)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT l_orderkey, l_returnflag, {pos(d, 'l_orderkey')} AS pos"
+        " FROM probe_base"
+        for d in range(BLOOM_K)
+    )
+    return f"""
+WITH build AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+),
+bloom AS (SELECT DISTINCT pos FROM ({build_rows})),
+probe_base AS (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem),
+probe AS ({probe_rows}),
+hits AS (
+  SELECT l_orderkey, l_returnflag
+  FROM probe JOIN bloom USING (pos)
+  GROUP BY l_orderkey, l_returnflag
+  HAVING COUNT(*) = {BLOOM_K}
+),
+truth AS (SELECT DISTINCT o_orderkey AS t_orderkey FROM build)
+SELECT l_returnflag,
+  COUNT(*)::BIGINT AS n_bloom_pass,
+  COUNT(t_orderkey)::BIGINT AS n_true,
+  (COUNT(*) - COUNT(t_orderkey))::BIGINT AS n_false_pos
+FROM hits LEFT JOIN truth ON l_orderkey = t_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {"join_bloom_semijoin": bloom_semijoin_audit}
+ORACLE = {"join_bloom_semijoin": _bloom_sql()}

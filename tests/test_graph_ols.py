@@ -60,3 +60,30 @@ def test_ols_multi_matches_numpy_lstsq(spark):
         assert abs(g.intercept - beta[0]) < max(1.0, abs(beta[0]) * 1e-2)
         assert abs(g.coef_qty - beta[1]) < max(0.5, abs(beta[1]) * 1e-2)
         assert abs(g.coef_disc - beta[2]) < max(50.0, abs(beta[2]) * 1e-2)
+
+
+def test_bloom_semijoin_no_false_negatives(spark):
+    """The Bloom guarantee: every true member passes (zero false
+    negatives); n_true equals the exact semi-join count; false
+    positives are non-negative and small at this m/k."""
+    from ingestprocessstoreinnrt_spark.operators import bloom
+
+    rows = bloom.bloom_semijoin_audit(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == bloom.BLOOM_PRIORITY
+    ).select("o_orderkey")
+    truth = (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_returnflag")
+        .distinct()
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
+    want = {r.l_returnflag: r["count"] for r in truth}
+    for r in rows:
+        assert r.n_true == want[r.l_returnflag]  # no false negatives
+        assert r.n_false_pos >= 0
+        assert r.n_bloom_pass == r.n_true + r.n_false_pos
