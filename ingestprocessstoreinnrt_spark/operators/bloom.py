@@ -20,8 +20,9 @@ its position-join hit count equals k.  Everything is equi-joins and
 map-side-combinable aggregates; the only broadcast is <= BLOOM_M ints.
 
 At 100 TB: the build side reduces to <= BLOOM_M positions no matter
-how many keys feed it (distinct is map-side combined); the probe scan
-stays embarrassingly parallel (explode k, broadcast-hash join, count).
+how many keys feed it (distinct is map-side combined); the probe side
+tests membership with k BROADCAST left-joins (one per hash column) so
+it never leaves its scan stage — no explode, no probe-side shuffle.
 False positives are inherent to the structure and the whole point of
 reporting them — the oracle twin proves both engines see the exact
 same ones.
@@ -32,6 +33,8 @@ strategy.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,37 +81,33 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # probe at the audited (key, flag) grain — dedupe BEFORE the
-    # explode, else a key with n lineitem rows joins 3n positions and
-    # the == k gate wrongly rejects true members (caught by
-    # test_bloom_semijoin_no_false_negatives' independent replay)
-    probe = (
-        li.select("l_orderkey", "l_returnflag")
-        .distinct()
-        .select(
-            "l_orderkey",
-            "l_returnflag",
-            # plain (non-distinct) array: if two of a key's hashes
-            # collide, both exploded rows join the same bloom position
-            # and the == k count still holds exactly when every
-            # position is present
-            F.explode(
-                F.array(
-                    *[
-                        _positions(F.col("l_orderkey"), d)
-                        for d in range(BLOOM_K)
-                    ]
-                )
-            ).alias("pos"),
+    # probe at the audited (key, flag) grain (dedupe FIRST — at the
+    # lineitem-row grain a key with n rows would contribute 3n
+    # position hits and break an == k gate; caught by
+    # test_bloom_semijoin_no_false_negatives' independent replay).
+    # Membership is k BROADCAST left-joins, one per hash column — no
+    # explode, no extra shuffle: the probe stays in its scan stage and
+    # a row passes iff every hash joined (the runtime-filter shape
+    # Spark's own AQE bloom injects).
+    probe = li.select("l_orderkey", "l_returnflag").distinct().select(
+        "l_orderkey",
+        "l_returnflag",
+        *[
+            _positions(F.col("l_orderkey"), d).alias(f"pos{d}")
+            for d in range(BLOOM_K)
+        ],
+    )
+    hits = probe
+    for d in range(BLOOM_K):
+        b = bloom.select(
+            F.col("pos").alias(f"pos{d}"), F.lit(1).alias(f"hit{d}")
         )
+        hits = hits.join(F.broadcast(b), f"pos{d}", "left")
+    all_hit = reduce(
+        lambda a, b: a & b,
+        [F.col(f"hit{d}").isNotNull() for d in range(BLOOM_K)],
     )
-    hits = (
-        probe.join(F.broadcast(bloom), "pos")
-        .groupBy("l_orderkey", "l_returnflag")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
-        .filter(F.col("k_hits") == BLOOM_K)
-        .select("l_orderkey", "l_returnflag")
-    )
+    hits = hits.filter(all_hit).select("l_orderkey", "l_returnflag")
     truth = li.join(
         build, li.l_orderkey == build.o_orderkey, "left_semi"
     ).select(F.col("l_orderkey").alias("t_orderkey"), F.lit(1).alias("t"))
