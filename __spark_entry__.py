@@ -118,7 +118,7 @@ _UNPROVEN_AGE_ORDER = [
     "bi_large_orders", "bi_nation_profit", "bi_sole_late_supplier",
     "win_running_totals", "ts_seasonal_anomaly", "quality_schema_drift",
     "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
-    "join_bloom_semijoin",
+    "join_bloom_semijoin", "pipeline_dedup_corpus", "sketch_kmv_merge",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -89,7 +89,8 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode, no extra shuffle: the probe stays in its scan stage and
     # a row passes iff every hash joined (the runtime-filter shape
     # Spark's own AQE bloom injects).
-    probe = li.select("l_orderkey", "l_returnflag").distinct().select(
+    key_flags = li.select("l_orderkey", "l_returnflag").distinct()
+    probe = key_flags.select(
         "l_orderkey",
         "l_returnflag",
         *[
@@ -108,11 +109,15 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col(f"hit{d}").isNotNull() for d in range(BLOOM_K)],
     )
     hits = hits.filter(all_hit).select("l_orderkey", "l_returnflag")
-    truth = li.join(
-        build, li.l_orderkey == build.o_orderkey, "left_semi"
-    ).select(F.col("l_orderkey").alias("t_orderkey"), F.lit(1).alias("t"))
+    # exact truth for the audit columns: the build keys also broadcast
+    # here (they are the SELECTIVE side by construction — if they were
+    # too big to broadcast, you'd only have the bloom columns and this
+    # audit would run as a sampled job); the whole query is then ONE
+    # shuffle (the grain distinct)
     audited = hits.join(
-        truth.select("t_orderkey").distinct(),
+        F.broadcast(
+            build.select(F.col("o_orderkey").alias("t_orderkey")).distinct()
+        ),
         hits.l_orderkey == F.col("t_orderkey"),
         "left",
     )

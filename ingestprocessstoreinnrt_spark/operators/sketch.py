@@ -414,13 +414,127 @@ _HLL_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# sketch algebra: per-group KMV sketches UNION-merge to the global one
+# ---------------------------------------------------------------------------
+#
+# The property that makes sketches the 100 TB cardinality tool: the
+# k smallest hashes of a union are computable from each part's k
+# smallest alone.  This query materializes both sides IN-ENGINE — the
+# global sketch merged from the per-priority sketches next to the
+# directly-built one — and emits their estimates plus the exact count.
+# By the k-min algebra the two sketches are identical (the oracle
+# proves both engines agree on that, bit-for-bit on kth_hash).
+
+
+def kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        stable_hash64(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    # per-group sketches: k smallest distinct hashes per priority
+    w = Window.partitionBy("g").orderBy("h")
+    group_sk = (
+        h.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("h")
+    )
+    # merged global sketch: k-min over the <=5k sketch rows
+    merged = group_sk.distinct().orderBy("h").limit(KMV_K)
+    ms = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("k_merged"),
+        F.max("h").alias("kth_merged"),
+    )
+    # direct global sketch over the raw hash stream
+    direct = (
+        h.select("h").distinct().orderBy("h").limit(KMV_K)
+    )
+    ds = direct.agg(
+        F.count(F.lit(1)).cast("long").alias("k_direct"),
+        F.max("h").alias("kth_direct"),
+    )
+    e = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+
+    def est(kc, kh):
+        return F.when(
+            F.col(kc) < KMV_K, F.col(kc).cast("double")
+        ).otherwise(
+            (F.lit(float(KMV_K - 1)) * F.lit(_HASH_SPACE))
+            / F.col(kh).cast("double")
+        )
+
+    return (
+        ms.crossJoin(ds)
+        .crossJoin(e)
+        .select(
+            "k_merged",
+            "kth_merged",
+            est("k_merged", "kth_merged").alias("approx_merged"),
+            "k_direct",
+            "kth_direct",
+            est("k_direct", "kth_direct").alias("approx_direct"),
+            (
+                (F.col("k_merged") == F.col("k_direct"))
+                & (F.col("kth_merged") == F.col("kth_direct"))
+            ).alias("sketches_identical"),
+            "exact_distinct",
+        )
+    )
+
+
+_KMV_MERGE_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS g,
+    {SQL_STABLE_HASH64.format(x="o_custkey::VARCHAR")} AS h
+  FROM orders
+),
+group_sk AS (
+  SELECT h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+),
+merged AS (SELECT DISTINCT h FROM group_sk ORDER BY h LIMIT {KMV_K}),
+ms AS (
+  SELECT COUNT(*)::BIGINT AS k_merged, MAX(h) AS kth_merged FROM merged
+),
+direct AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT {KMV_K}),
+ds AS (
+  SELECT COUNT(*)::BIGINT AS k_direct, MAX(h) AS kth_direct FROM direct
+),
+e AS (
+  SELECT COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct FROM orders
+)
+SELECT k_merged, kth_merged,
+  CASE WHEN k_merged < {KMV_K} THEN k_merged::DOUBLE
+       ELSE ({float(KMV_K - 1)} * {_HASH_SPACE}) / kth_merged::DOUBLE
+  END AS approx_merged,
+  k_direct, kth_direct,
+  CASE WHEN k_direct < {KMV_K} THEN k_direct::DOUBLE
+       ELSE ({float(KMV_K - 1)} * {_HASH_SPACE}) / kth_direct::DOUBLE
+  END AS approx_direct,
+  (k_merged = k_direct AND kth_merged = kth_direct)
+    AS sketches_identical,
+  exact_distinct
+FROM ms, ds, e
+"""
+
+
 QUERIES = {
+    "sketch_kmv_merge": kmv_union_merge,
     "sketch_kmv_distinct": kmv_distinct_customers,
     "sketch_kmv_by_group": kmv_distinct_by_group,
     "sketch_sample_quantiles": sample_quantiles,
     "sketch_hll_distinct": hll_distinct,
 }
 ORACLE = {
+    "sketch_kmv_merge": _KMV_MERGE_SQL,
     "sketch_kmv_distinct": _KMV_SQL,
     "sketch_kmv_by_group": _KMV_GROUP_SQL,
     "sketch_sample_quantiles": _SQ_SQL,

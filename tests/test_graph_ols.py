@@ -87,3 +87,29 @@ def test_bloom_semijoin_no_false_negatives(spark):
         assert r.n_true == want[r.l_returnflag]  # no false negatives
         assert r.n_false_pos >= 0
         assert r.n_bloom_pass == r.n_true + r.n_false_pos
+
+
+def test_dedup_corpus_conserves_and_survivors_clean(spark):
+    from ingestprocessstoreinnrt_spark.operators import dedup
+
+    rows = dedup.dedup_survivors(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_survivors + r.n_dropped == r.n_docs
+    # greedy policy: exactly the distinct doc_b values get dropped
+    pairs = dedup.jaccard_pairs_full(spark, SF_SMOKE).collect()
+    dropped = {p.doc_b for p in pairs}
+    assert sum(r.n_dropped for r in rows) == len(dropped)
+
+
+def test_kmv_merge_identical_and_close(spark):
+    from ingestprocessstoreinnrt_spark.operators import sketch
+
+    r = sketch.kmv_union_merge(spark, SF_SMOKE).collect()[0]
+    assert r.sketches_identical
+    assert r.k_merged == r.k_direct and r.kth_merged == r.kth_direct
+    # k=256 sketch: ~1/sqrt(k) ~ 6% relative error band (generous 25%)
+    assert abs(r.approx_merged - r.exact_distinct) <= max(
+        0.25 * r.exact_distinct, 5
+    )
