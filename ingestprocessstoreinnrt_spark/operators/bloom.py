@@ -46,6 +46,12 @@ BLOOM_M = 16384  # positions (2^14)
 BLOOM_K = 3  # hashes per key
 BLOOM_PRIORITY = "1-URGENT"
 
+# Cost note (profiled at sf0.1): the query is dominated by the
+# ~|probe| x k md5 evaluations of the cross-engine stable_hash64 —
+# the price of exact oracle-checkability.  A production deployment
+# swaps _positions to F.xxhash64 (same plan, ~5-10x cheaper per row);
+# nothing else changes.
+
 
 def _positions(key: F.Column, d: int) -> F.Column:
     return F.pmod(
@@ -67,7 +73,11 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = orders.filter(
         F.col("o_orderpriority") == BLOOM_PRIORITY
     ).select("o_orderkey")
-    # the "bitset": distinct hash positions of the build keys
+    # the "bitset": distinct hash positions of the build keys.
+    # localCheckpoint: the frame feeds BLOOM_K separate broadcast
+    # builds — uncheckpointed, each broadcast re-runs the build scan +
+    # distinct (measured ~3x the query's cost); checkpointed, they all
+    # read the <= BLOOM_M materialized rows
     bloom = (
         build.select(
             F.explode(
@@ -80,6 +90,7 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # probe at the audited (key, flag) grain (dedupe FIRST — at the
     # lineitem-row grain a key with n rows would contribute 3n
