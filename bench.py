@@ -128,8 +128,21 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    # cache-affinity order: queries()' dict order serves the driver's
+    # correctness-capture window (oldest-unproven first), but for
+    # timing, consumers of a shared cached frame should run AFTER the
+    # query that populates it (pipeline_dedup_corpus reuses
+    # dedup_jaccard_full's verified pair frame; ~5 s cold vs ~2 s
+    # warm).  Timings are per-query either way — this only moves the
+    # one-time cache population onto the query that owns it.
+    run_after = {"pipeline_dedup_corpus": "dedup_jaccard_full"}
+    names = [n for n in qs if n not in run_after]
+    for late, anchor in run_after.items():
+        names.insert(names.index(anchor) + 1, late)
+
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for name in names:
+        fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
