@@ -119,6 +119,7 @@ _UNPROVEN_AGE_ORDER = [
     "win_running_totals", "ts_seasonal_anomaly", "quality_schema_drift",
     "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
     "join_bloom_semijoin", "pipeline_dedup_corpus", "sketch_kmv_merge",
+    "multimodal_format_rollup", "ml_pr_thresholds",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

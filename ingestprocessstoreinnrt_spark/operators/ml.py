@@ -1508,7 +1508,96 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# precision/recall at fixed thresholds (the operating-point companion
+# to ml_auc's ranking view)
+# ---------------------------------------------------------------------------
+#
+# One conditional-aggregate pass evaluates EVERY threshold at once —
+# no per-threshold scan, no join: each of the |thresholds| x 4
+# confusion cells is a SUM(CASE...) over the same grouped row stream,
+# then ratios are computed per threshold from exact integer counts.
+# At 100 TB this is one map-side-combined aggregate to a single row,
+# exploded driver-side-free into |thresholds| output rows via a
+# literal array.
+
+PR_THRESHOLDS = [10.0, 25.0, 50.0, 75.0, 100.0]
+
+
+def pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_type") == AUC_POS_TYPE).cast("long").alias("y"),
+        F.col("value").alias("s"),
+    )
+    aggs = []
+    for i, t in enumerate(PR_THRESHOLDS):
+        pred = (F.col("s") >= F.lit(t)).cast("long")
+        aggs += [
+            F.sum(pred * F.col("y")).cast("long").alias(f"tp{i}"),
+            F.sum(pred * (1 - F.col("y"))).cast("long").alias(f"fp{i}"),
+            F.sum((1 - pred) * F.col("y")).cast("long").alias(f"fn{i}"),
+        ]
+    one = ev.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"tp{i}").alias("tp"),
+                F.col(f"fp{i}").alias("fp"),
+                F.col(f"fn{i}").alias("fn"),
+            )
+            for i, t in enumerate(PR_THRESHOLDS)
+        ]
+    )
+    flat = one.select(F.explode(rows).alias("r")).select("r.*")
+    prec = F.when(
+        F.col("tp") + F.col("fp") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+    )
+    return flat.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+    ).orderBy("threshold")
+
+
+def _pr_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"""SELECT {t} AS threshold,
+  CAST(SUM(CASE WHEN s >= {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN s >= {t} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN s < {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM scored"""
+        for t in PR_THRESHOLDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 ELSE 0 END AS y,
+         value AS s
+  FROM events
+),
+cells AS ({rows})
+SELECT threshold, tp, fp, fn,
+  CASE WHEN tp + fp = 0 THEN NULL
+       ELSE ROUND(tp::DOUBLE / (tp + fp)::DOUBLE, 6) END AS precision,
+  CASE WHEN tp + fn = 0 THEN NULL
+       ELSE ROUND(tp::DOUBLE / (tp + fn)::DOUBLE, 6) END AS recall
+FROM cells
+ORDER BY threshold
+"""
+
+
 QUERIES = {
+    "ml_pr_thresholds": pr_at_thresholds,
     "ml_ols_multi": group_ols_multi,
     "ml_col_stats": col_stats,
     "ml_correlation": correlation_pairs,
@@ -1524,6 +1613,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_pr_thresholds": _pr_sql(),
     "ml_ols_multi": _OLS_MULTI_SQL,
     "ml_col_stats": _colstats_sql(),
     "ml_correlation": _corr_sql(),

@@ -308,5 +308,54 @@ SELECT
 FROM documents
 """
 
-QUERIES = {"multimodal_decode": multimodal_decode}
-ORACLE = {"multimodal_decode": _DECODE_SQL}
+def multimodal_format_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Asset inventory over the decoded metadata: per media type, the
+    counts/bytes/dimension envelope a storage planner reads before
+    sharding a multimodal corpus.  One aggregate over the Arrow-decoded
+    frame — the Python stage emits typed columns and the rollup is
+    JVM-side, so adding analytics on top of a mapInPandas decode costs
+    one map-side-combined shuffle of |media_type| rows."""
+    decoded = multimodal_decode(spark, sf_dir)
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum("byte_len").cast("long").alias("total_bytes"),
+            (
+                F.sum("byte_len").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bytes"),
+            F.countDistinct("content_md5_8")
+            .cast("long")
+            .alias("n_distinct_payloads"),
+            F.max("fake_width").cast("long").alias("max_width"),
+            F.max("fake_height").cast("long").alias("max_height"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_FORMAT_ROLLUP_SQL = f"""
+WITH decoded AS ({_DECODE_SQL})
+SELECT media_type,
+  COUNT(*)::BIGINT AS n_assets,
+  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+  CAST(SUM(byte_len) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS avg_bytes,
+  COUNT(DISTINCT content_md5_8)::BIGINT AS n_distinct_payloads,
+  MAX(fake_width)::BIGINT AS max_width,
+  MAX(fake_height)::BIGINT AS max_height
+FROM decoded
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+QUERIES = {
+    "multimodal_decode": multimodal_decode,
+    "multimodal_format_rollup": multimodal_format_rollup,
+}
+ORACLE = {
+    "multimodal_decode": _DECODE_SQL,
+    "multimodal_format_rollup": _FORMAT_ROLLUP_SQL,
+}

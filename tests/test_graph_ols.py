@@ -113,3 +113,26 @@ def test_kmv_merge_identical_and_close(spark):
     assert abs(r.approx_merged - r.exact_distinct) <= max(
         0.25 * r.exact_distinct, 5
     )
+
+
+def test_pr_thresholds_laws(spark):
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    rows = ml.pr_at_thresholds(spark, SF_SMOKE).collect()
+    n_pos = {r.tp + r.fn for r in rows}
+    assert len(n_pos) == 1  # tp+fn is the positive count at every threshold
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls, reverse=True)  # recall monotone down
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert n_pos.pop() == ev.filter(F.col("event_type") == ml.AUC_POS_TYPE).count()
+
+
+def test_multimodal_rollup_conserves(spark):
+    from ingestprocessstoreinnrt_spark.operators import multimodal
+
+    rows = multimodal.multimodal_format_rollup(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_assets for r in rows) == n_docs
+    for r in rows:
+        assert r.n_distinct_payloads <= r.n_assets
+        assert abs(r.avg_bytes * r.n_assets - r.total_bytes) < 1e-6 * r.total_bytes
