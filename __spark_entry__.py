@@ -120,6 +120,7 @@ _UNPROVEN_AGE_ORDER = [
     "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
     "join_bloom_semijoin", "pipeline_dedup_corpus", "sketch_kmv_merge",
     "multimodal_format_rollup", "ml_pr_thresholds",
+    "text_langid_confusion", "curation_gate_funnel",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -795,7 +795,133 @@ FROM f GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (labeled vs detected)
+# ---------------------------------------------------------------------------
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval layer over text_langid: (labeled, detected, n) cells — the
+    detector's confusion matrix against the corpus labels.  One extra
+    map-side-combined aggregate over the same scan; |langs|^2 cells."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("labeled_lang", "detected_lang")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    score_exprs, pick = _sql_lang_parts()
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang AS labeled_lang, {_SQL_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, labeled_lang, {", ".join(score_exprs)} FROM d
+)
+SELECT labeled_lang, {pick} AS detected_lang,
+  COUNT(*)::BIGINT AS n_docs
+FROM s
+GROUP BY labeled_lang, detected_lang
+ORDER BY labeled_lang, detected_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# curation gate funnel: how many docs survive each filter stage
+# ---------------------------------------------------------------------------
+#
+# Pipeline observability for pipeline_curated_corpus: the per-stage
+# survival counts (total -> length gate -> language gate -> post-dedup
+# representatives) in ONE conditional-aggregate pass + the dedup
+# grouping the pipeline already does.  At 100 TB the stage counts are
+# one map-side-combined aggregate to a single row.
+
+
+def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        lang_id(F.col("text")).alias("detected_lang"),
+        fingerprint("text").alias("fp"),
+    )
+    len_ok = F.col("n_tokens") >= CURATE_MIN_TOKENS
+    lang_ok = F.col("detected_lang") == CURATE_LANG
+    stage = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(len_ok.cast("long")).cast("long").alias("n_len_ok"),
+        F.sum((len_ok & lang_ok).cast("long"))
+        .cast("long")
+        .alias("n_lang_ok"),
+    )
+    reps = (
+        d.filter(len_ok & lang_ok)
+        .groupBy("fp")
+        .agg(F.lit(1).alias("_one"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after_dedup"))
+    )
+    return stage.crossJoin(reps).select(
+        "n_total",
+        "n_len_ok",
+        "n_lang_ok",
+        "n_after_dedup",
+        F.round(
+            F.col("n_after_dedup").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("yield_rate"),
+    )
+
+
+def _gate_funnel_sql() -> str:
+    score_exprs, pick = _sql_lang_parts()
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    {SQL_STABLE_HASH64.format(x=_SQL_NORM)} AS fp,
+    {", ".join(score_exprs)}
+  FROM d
+),
+flagged AS (
+  SELECT *, {pick} AS detected_lang FROM feat
+),
+stage AS (
+  SELECT COUNT(*)::BIGINT AS n_total,
+    CAST(SUM(CASE WHEN n_tokens >= {CURATE_MIN_TOKENS} THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_len_ok,
+    CAST(SUM(CASE WHEN n_tokens >= {CURATE_MIN_TOKENS}
+                   AND detected_lang = '{CURATE_LANG}' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_lang_ok
+  FROM flagged
+),
+reps AS (
+  SELECT COUNT(*)::BIGINT AS n_after_dedup FROM (
+    SELECT fp FROM flagged
+    WHERE n_tokens >= {CURATE_MIN_TOKENS}
+      AND detected_lang = '{CURATE_LANG}'
+    GROUP BY fp
+  )
+)
+SELECT n_total, n_len_ok, n_lang_ok, n_after_dedup,
+  ROUND(n_after_dedup::DOUBLE / n_total::DOUBLE, 6) AS yield_rate
+FROM stage, reps
+"""
+
+
 QUERIES = {
+    "text_langid_confusion": langid_confusion,
+    "curation_gate_funnel": curation_gate_funnel,
     "text_ngram_novelty": ngram_novelty,
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -810,6 +936,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_langid_confusion": _langid_confusion_sql(),
+    "curation_gate_funnel": _gate_funnel_sql(),
     "text_ngram_novelty": _NOVELTY_SQL,
     "text_stats": _STATS_SQL,
     "text_langid": _langid_sql(),

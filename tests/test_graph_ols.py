@@ -136,3 +136,15 @@ def test_multimodal_rollup_conserves(spark):
     for r in rows:
         assert r.n_distinct_payloads <= r.n_assets
         assert abs(r.avg_bytes * r.n_assets - r.total_bytes) < 1e-6 * r.total_bytes
+
+
+def test_langid_confusion_and_gate_funnel_consistency(spark):
+    from ingestprocessstoreinnrt_spark.operators import textops
+
+    conf = textops.langid_confusion(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in conf) == n_docs
+    f = textops.curation_gate_funnel(spark, SF_SMOKE).collect()[0]
+    assert f.n_total >= f.n_len_ok >= f.n_lang_ok >= f.n_after_dedup > 0
+    # the funnel's final stage equals the curated-corpus row count
+    assert f.n_after_dedup == textops.curated_corpus(spark, SF_SMOKE).count()
