@@ -24,11 +24,11 @@ from ..catalog import load_table
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
-def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(stage, depth, n_users) — users reaching each ordered stage."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
-    )
+def user_chains(ev: DataFrame) -> DataFrame:
+    """(user_id, t0, t1, t2) — each user's earliest qualifying ordered
+    stage chain over an events frame with (user_id, event_type, ts_us).
+    Shared by the batch query below and the streaming twin's
+    equivalence test (streaming/funnel.py)."""
     w = Window.partitionBy("user_id")
     s0, s1, s2 = FUNNEL_STAGES
     d = ev.withColumn(
@@ -53,11 +53,19 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).over(w),
     )
-    users = d.groupBy("user_id").agg(
+    return d.groupBy("user_id").agg(
         F.first("t0").alias("t0"),
         F.first("t1").alias("t1"),
         F.first("t2").alias("t2"),
     )
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, depth, n_users) — users reaching each ordered stage."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    users = user_chains(ev)
     counts = users.agg(
         F.sum(F.col("t0").isNotNull().cast("long")).alias("n0"),
         F.sum(F.col("t1").isNotNull().cast("long")).alias("n1"),

@@ -617,3 +617,73 @@ def test_streaming_cms_grid_merges_to_batch(spark, workdir):
         (r.d, r.bucket, r.cnt) for r in cdc.cms_grid(ev).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_funnel_equals_batch(spark, workdir):
+    """The stateful streaming funnel (streaming/funnel.py) replayed
+    over 4 event-time-ordered micro-batches lands on the batch window
+    computation's exact per-user (t0, t1, t2) chains.  ONE checkpoint
+    carries the state store across restarts while chunk files land in
+    event-time order (global ts splits, so per-user arrival is ordered
+    and equal-ts events share a batch — the engine's contract)."""
+    import glob as _glob
+    import shutil
+
+    from ingestprocessstoreinnrt_spark.operators import funnel as bf
+    from ingestprocessstoreinnrt_spark.streaming import funnel as sfun
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    qs = ev.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
+    chunk = (
+        F.when(F.col("ts_us") <= qs[0], 0)
+        .when(F.col("ts_us") <= qs[1], 1)
+        .when(F.col("ts_us") <= qs[2], 2)
+        .otherwise(3)
+    )
+    staging = workdir + "/funnel_staging"
+    ev.withColumn("chunk", chunk).write.partitionBy("chunk").parquet(staging)
+
+    stream_dir = workdir + "/funnel_stream"
+    os.makedirs(stream_dir)
+    schema = ev.schema
+    final = {}
+    for c in range(4):
+        for i, f in enumerate(
+            sorted(_glob.glob(f"{staging}/chunk={c}/part-*.parquet"))
+        ):
+            shutil.copy(f, f"{stream_dir}/chunk{c:02d}_{i:03d}.parquet")
+        stream = spark.readStream.schema(schema).parquet(stream_dir)
+        out_dir = workdir + "/funnel_out"
+
+        def _sink(bdf, bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            sfun.funnel_chain_stream(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", workdir + "/funnel_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # states are monotone (null -> value, never revised), so min over
+    # all emissions per user reconstructs the final chain
+    for r in (
+        spark.read.parquet(workdir + "/funnel_out")
+        .groupBy("user_id")
+        .agg(F.min("t0").alias("t0"), F.min("t1").alias("t1"),
+             F.min("t2").alias("t2"))
+        .collect()
+    ):
+        final[r.user_id] = (r.t0, r.t1, r.t2)
+
+    batch = {
+        r.user_id: (r.t0, r.t1, r.t2)
+        for r in bf.user_chains(ev).collect()
+    }
+    assert final == batch
