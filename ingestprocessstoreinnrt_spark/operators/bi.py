@@ -965,7 +965,62 @@ _STATUS_PIVOT_SQL = "SELECT o_orderpriority, " + ", ".join(
 ) + " FROM orders GROUP BY o_orderpriority"
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long) — the inverse of bi_status_pivot
+# ---------------------------------------------------------------------------
+#
+# Relational completeness: melt a wide per-group metric battery into
+# (group, metric, value) rows — the shape BI tools and metric stores
+# ingest.  Spark plans stack() as a row-local Expand (no shuffle
+# beyond the aggregate that built the wide frame); |groups| x
+# |metrics| output rows.
+
+
+def metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return (
+        wide.select(
+            "l_returnflag",
+            F.expr(
+                "stack(4, 'sum_qty', sum_qty, 'sum_price', sum_price,"
+                " 'avg_disc', avg_disc, 'n_items', n_items)"
+                " AS (metric, value)"
+            ),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+    {sql_dsum('l_quantity', 'sum_qty')},
+    {sql_dsum('l_extendedprice', 'sum_price')},
+    {sql_davg('l_discount', 'avg_disc')},
+    COUNT(*)::DOUBLE AS n_items
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'n_items', n_items FROM wide
+)
+ORDER BY l_returnflag, metric
+"""
+
+
 QUERIES = {
+    "bi_metrics_unpivot": metrics_unpivot,
     "bi_pricing_rollup": pricing_rollup,
     "bi_rollup_levels": pricing_rollup_levels,
     "bi_first_n": first_n_events,
@@ -987,6 +1042,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bi_metrics_unpivot": _UNPIVOT_SQL,
     "bi_pricing_rollup": _PRICING_ROLLUP_SQL,
     "bi_rollup_levels": _PRICING_ROLLUP_LEVELS_SQL,
     "bi_first_n": _FIRST_N_SQL,

@@ -454,7 +454,65 @@ WINDOW w AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# inter-event gap distribution (lag diff -> grouped percentile)
+# ---------------------------------------------------------------------------
+#
+# Cadence profiling: per event_type, the median and p90 gap between a
+# user's consecutive events.  One lag window pass on the (user, ts)
+# partitioning, then a grouped percentile aggregate — Spark's
+# percentile() and DuckDB's quantile_cont interpolate identically on
+# the same integer inputs (the bi_percentiles bridge), so the result
+# is engine-exact with no quantization needed.
+
+
+def gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    wt = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(wt)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_GAPS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+g AS (
+  SELECT event_type,
+    ts_us - LAG(ts_us) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+  FROM e
+)
+SELECT event_type,
+  COUNT(*)::BIGINT AS n_gaps,
+  quantile_cont(gap_us, 0.5) AS median_gap_us,
+  quantile_cont(gap_us, 0.9) AS p90_gap_us,
+  MAX(gap_us)::BIGINT AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "win_gap_distribution": gap_distribution,
     "win_running_totals": running_totals,
     "win_user_sessions": user_sessions,
     "win_tumbling_hourly": tumbling_hourly,
@@ -466,6 +524,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_gap_distribution": _GAPS_SQL,
     "win_running_totals": _RUNNING_SQL,
     "win_user_sessions": _SESSIONS_SQL,
     "win_tumbling_hourly": _TUMBLING_SQL,
