@@ -121,7 +121,7 @@ _UNPROVEN_AGE_ORDER = [
     "join_bloom_semijoin", "pipeline_dedup_corpus", "sketch_kmv_merge",
     "multimodal_format_rollup", "ml_pr_thresholds",
     "text_langid_confusion", "curation_gate_funnel",
-    "win_gap_distribution", "bi_metrics_unpivot",
+    "win_gap_distribution", "bi_metrics_unpivot", "bi_rfm_segments",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -1019,7 +1019,107 @@ ORDER BY l_returnflag, metric
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary terciles)
+# ---------------------------------------------------------------------------
+#
+# The classic CRM segmentation, built scale-correct: per-customer
+# R/F/M facts from one aggregate, tercile boundaries from ONE
+# percentile aggregate (broadcast back — never a global NTILE, the
+# quantile_bins precedent), scores from row-local boundary
+# comparisons, then a |segments|-row rollup.  Recency is integer
+# epoch-micros (engine-exact); the percentile<->quantile_cont bridge
+# covers F and M.  Scoring convention: score k = 1 + #boundaries at
+# or below the value; recency scores on (max_date - last_order), so
+# LOW r_score = recent.
+
+RFM_Q = [1 / 3, 2 / 3]
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        dsum("o_totalprice", "monetary"),
+    )
+    anchor = orders.agg(
+        F.max(F.unix_micros("o_orderdate")).alias("now_us")
+    )
+    facts = per_cust.join(F.broadcast(anchor)).withColumn(
+        "rec_us", F.col("now_us") - F.col("last_us")
+    )
+    qlist = ", ".join(map(str, RFM_Q))
+    bounds = facts.agg(
+        F.expr(f"percentile(rec_us, array({qlist}))").alias("rb"),
+        F.expr(f"percentile(freq, array({qlist}))").alias("fb"),
+        F.expr(f"percentile(monetary, array({qlist}))").alias("mb"),
+    )
+
+    def score(col, bs):
+        return F.lit(1) + F.aggregate(
+            F.col(bs),
+            F.lit(0),
+            lambda acc, b: acc + (F.col(col) >= b).cast("int"),
+        )
+
+    scored = facts.join(F.broadcast(bounds)).select(
+        "monetary",
+        score("rec_us", "rb").cast("long").alias("r_score"),
+        score("freq", "fb").cast("long").alias("f_score"),
+        score("monetary", "mb").cast("long").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            dsum("monetary", "segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _rfm_sql() -> str:
+    qlist = ", ".join(map(str, RFM_Q))
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    MAX(epoch_us(o_orderdate)) AS last_us,
+    COUNT(*)::BIGINT AS freq,
+    {sql_dsum('o_totalprice', 'monetary')}
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(epoch_us(o_orderdate)) AS now_us FROM orders),
+facts AS (
+  SELECT *, now_us - last_us AS rec_us FROM per_cust CROSS JOIN anchor
+),
+bounds AS (
+  SELECT quantile_cont(rec_us, [{qlist}]) AS rb,
+         quantile_cont(freq, [{qlist}]) AS fb,
+         quantile_cont(monetary, [{qlist}]) AS mb
+  FROM facts
+),
+scored AS (
+  SELECT monetary,
+    (1 + CASE WHEN rec_us >= rb[1] THEN 1 ELSE 0 END
+       + CASE WHEN rec_us >= rb[2] THEN 1 ELSE 0 END)::BIGINT AS r_score,
+    (1 + CASE WHEN freq >= fb[1] THEN 1 ELSE 0 END
+       + CASE WHEN freq >= fb[2] THEN 1 ELSE 0 END)::BIGINT AS f_score,
+    (1 + CASE WHEN monetary >= mb[1] THEN 1 ELSE 0 END
+       + CASE WHEN monetary >= mb[2] THEN 1 ELSE 0 END)::BIGINT AS m_score
+  FROM facts CROSS JOIN bounds
+)
+SELECT r_score, f_score, m_score,
+  COUNT(*)::BIGINT AS n_customers,
+  {sql_dsum('monetary', 'segment_revenue')}
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 QUERIES = {
+    "bi_rfm_segments": rfm_segments,
     "bi_metrics_unpivot": metrics_unpivot,
     "bi_pricing_rollup": pricing_rollup,
     "bi_rollup_levels": pricing_rollup_levels,
@@ -1042,6 +1142,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bi_rfm_segments": _rfm_sql(),
     "bi_metrics_unpivot": _UNPIVOT_SQL,
     "bi_pricing_rollup": _PRICING_ROLLUP_SQL,
     "bi_rollup_levels": _PRICING_ROLLUP_LEVELS_SQL,

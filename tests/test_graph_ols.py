@@ -148,3 +148,24 @@ def test_langid_confusion_and_gate_funnel_consistency(spark):
     assert f.n_total >= f.n_len_ok >= f.n_lang_ok >= f.n_after_dedup > 0
     # the funnel's final stage equals the curated-corpus row count
     assert f.n_after_dedup == textops.curated_corpus(spark, SF_SMOKE).count()
+
+
+def test_rfm_segments_partition_customers(spark):
+    from ingestprocessstoreinnrt_spark.operators import bi
+
+    rows = bi.rfm_segments(spark, SF_SMOKE).collect()
+    n_cust = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 3 and 1 <= r.f_score <= 3
+        assert 1 <= r.m_score <= 3
+    # terciles: each single-dimension marginal is roughly a third
+    from collections import Counter
+    m = Counter()
+    for r in rows:
+        m[r.m_score] += r.n_customers
+    for k in (1, 2, 3):
+        assert 0.2 * n_cust <= m[k] <= 0.5 * n_cust
