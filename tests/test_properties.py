@@ -352,3 +352,58 @@ def test_hll_register_merge_property(ids, cut):
         j: max(lo.get(j, 0), hi.get(j, 0)) for j in set(lo) | set(hi)
     }
     assert merged == regs(df)
+
+
+# --- streaming funnel state machine == batch chain semantics ---------------
+#
+# The incremental update in streaming/funnel.py must agree with the
+# batch definition (earliest stage-k event strictly after t_{k-1})
+# for ANY event sequence arriving in event-time order under ANY batch
+# split.  Pure-Python replicas of both sides; no Spark session needed.
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # stage index
+        st.integers(0, 30),         # ts
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(evs=_funnel_events, n_batches=st.integers(1, 5))
+def test_streaming_funnel_update_matches_batch_chain(evs, n_batches):
+    stages = ["view", "click", "purchase"]
+    # event-time ordered arrival (the engine contract): sort by ts,
+    # stable on input order for equal ts
+    evs = sorted(evs, key=lambda e: e[1])
+
+    # batch semantics: chained conditional minima over the full set
+    t0 = min((ts for s, ts in evs if s == 0), default=None)
+    t1 = min(
+        (ts for s, ts in evs if s == 1 and t0 is not None and ts > t0),
+        default=None,
+    )
+    t2 = min(
+        (ts for s, ts in evs if s == 2 and t1 is not None and ts > t1),
+        default=None,
+    )
+
+    # streaming semantics: per-batch incremental state machine
+    # (streaming/funnel.py:_update's loop body, minus pandas)
+    st0 = st1 = st2 = None
+    k = max(1, len(evs) // n_batches + 1)
+    for i in range(0, max(len(evs), 1), k):
+        batch = sorted(evs[i : i + k], key=lambda e: e[1])
+        for s, ts in batch:
+            if s == 0:
+                if st0 is None:
+                    st0 = ts
+            elif s == 1:
+                if st1 is None and st0 is not None and ts > st0:
+                    st1 = ts
+            elif s == 2:
+                if st2 is None and st1 is not None and ts > st1:
+                    st2 = ts
+
+    assert (st0, st1, st2) == (t0, t1, t2)
