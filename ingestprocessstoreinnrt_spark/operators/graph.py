@@ -111,10 +111,16 @@ def pagerank_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         scores = _pr_step(ed, verts, scores)
 
-    w = Window.orderBy(F.col("s").desc(), F.col("node").asc())
+    # top-k FIRST (TakeOrderedAndProject: per-partition local top-k,
+    # driver merge), THEN rank the <= PR_TOPK survivors — the global
+    # row_number window never sees the |verts|-sized score frame
+    keys = [F.col("s").desc(), F.col("node").asc()]
     return (
-        scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= PR_TOPK)
+        scores.orderBy(*keys)
+        .limit(PR_TOPK)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
         .select(
             F.col("node").alias("node_id"),
             F.when(F.col("node") % 2 == 0, "supplier")

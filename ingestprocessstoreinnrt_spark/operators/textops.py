@@ -221,7 +221,12 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # top-k FIRST via TakeOrderedAndProject (per-partition local top-k,
+    # driver merge), THEN rank the <= BM25_TOP surviving rows — the
+    # single-partition row_number window never sees the corpus (the
+    # sf1 sweep surfaced the global-window warning here; same
+    # limit-then-rank pattern as basket.py/sketch.py)
+    keys = [F.col("score").desc(), F.col("doc_id").asc()]
     return (
         scored.filter(
             sum(
@@ -231,8 +236,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0
         )
         .select("doc_id", F.round(score, 6).alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= BM25_TOP)
+        .orderBy(*keys)
+        .limit(BM25_TOP)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
     )
 
 
