@@ -169,3 +169,25 @@ def test_rfm_segments_partition_customers(spark):
         m[r.m_score] += r.n_customers
     for k in (1, 2, 3):
         assert 0.2 * n_cust <= m[k] <= 0.5 * n_cust
+
+
+def test_ols_multi_singular_matrix_yields_nulls(spark, tmp_path):
+    """Collinear features (constant discount == intercept column) make
+    the normal equations singular; every coefficient must come back
+    NULL, not a division blow-up."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 4,
+            "l_quantity": [1.0, 2.0, 3.0, 4.0],
+            "l_discount": [0.05] * 4,  # constant -> collinear
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = ml.group_ols_multi(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].n == 4
+    assert out[0].coef_qty is None
+    assert out[0].coef_disc is None
+    assert out[0].intercept is None
