@@ -1572,7 +1572,7 @@ def pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_sql() -> str:
     rows = " UNION ALL ".join(
-        f"""SELECT {t} AS threshold,
+        f"""SELECT {t}::DOUBLE AS threshold,
   CAST(SUM(CASE WHEN s >= {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
   CAST(SUM(CASE WHEN s >= {t} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
   CAST(SUM(CASE WHEN s < {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
