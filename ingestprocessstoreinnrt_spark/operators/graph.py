@@ -199,7 +199,7 @@ def _pagerank_sql() -> str:
         + f"""
 SELECT node AS node_id,
   CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_kind,
-  s AS score_q, rank
+  CAST(s AS BIGINT) AS score_q, rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, node ASC) AS rank
   FROM s{PR_ITERS}

@@ -77,7 +77,7 @@ def _profile_sql() -> str:
         )
         parts.append(
             f"""SELECT '{table}.{col}' AS column_name,
-  ANY_VALUE(n) AS n_rows,
+  ANY_VALUE(n)::BIGINT AS n_rows,
   ANY_VALUE(n_distinct) AS n_distinct,
   ANY_VALUE(maxc)::DOUBLE / ANY_VALUE(n)::DOUBLE AS top_share,
   -CAST(SUM(CAST(FLOOR({term} + 0.5) AS BIGINT)) AS DOUBLE) / {_ESCALE}

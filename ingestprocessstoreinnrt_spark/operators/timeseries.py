@@ -123,7 +123,7 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, b: acc
                 + (F.col("o_totalprice") >= b).cast("int"),
             )
-        ).alias("bin"),
+        ).cast("long").alias("bin"),
     )
     return (
         binned.groupBy("bin")
