@@ -1118,7 +1118,68 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+# ---------------------------------------------------------------------------
+# year-over-year growth (time-shifted self-comparison on the AGGREGATE)
+# ---------------------------------------------------------------------------
+#
+# Monthly revenue joined to itself shifted 12 months.  The shift is an
+# equi-join on the shifted month key computed AFTER aggregation — the
+# fact table is touched once, and the self-join operates on |months|
+# rows (metadata scale at any corpus size).  A lag-12 window would be
+# wrong under gap months; the key join is gap-safe.
+
+
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.trunc("l_shipdate", "month").alias("m0"),
+    ).agg(
+        dsum(rev, "revenue"), F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    prev = monthly.select(
+        F.date_format(F.add_months("m0", 12), "yyyy-MM").alias("p_month"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        monthly.join(prev, monthly.ship_month == prev.p_month, "left")
+        .select(
+            "ship_month",
+            "n_items",
+            "revenue",
+            "prev_revenue",
+            F.round(
+                F.col("revenue") / F.col("prev_revenue") - 1.0, 6
+            ).alias("yoy_growth"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_YOY_SQL = f"""
+WITH monthly AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+    date_trunc('month', l_shipdate) AS m0,
+    {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+    COUNT(*)::BIGINT AS n_items
+  FROM lineitem
+  GROUP BY ship_month, m0
+),
+prev AS (
+  SELECT strftime(m0 + INTERVAL 12 MONTH, '%Y-%m') AS p_month,
+    revenue AS prev_revenue
+  FROM monthly
+)
+SELECT ship_month, n_items, revenue, prev_revenue,
+  ROUND(revenue / prev_revenue - 1.0, 6) AS yoy_growth
+FROM monthly LEFT JOIN prev ON ship_month = p_month
+ORDER BY ship_month
+"""
+
+
 QUERIES = {
+    "bi_yoy_growth": yoy_growth,
     "bi_rfm_segments": rfm_segments,
     "bi_metrics_unpivot": metrics_unpivot,
     "bi_pricing_rollup": pricing_rollup,
@@ -1142,6 +1203,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bi_yoy_growth": _YOY_SQL,
     "bi_rfm_segments": _rfm_sql(),
     "bi_metrics_unpivot": _UNPIVOT_SQL,
     "bi_pricing_rollup": _PRICING_ROLLUP_SQL,
