@@ -1596,7 +1596,99 @@ ORDER BY threshold
 """
 
 
+# ---------------------------------------------------------------------------
+# decile lift / calibration (score deciles vs positive rate)
+# ---------------------------------------------------------------------------
+#
+# The model-calibration companion to PR-at-thresholds: bin the score
+# into deciles (boundaries from ONE percentile aggregate broadcast
+# back — the quantile_bins shape, never a global NTILE) and report
+# each decile's positive rate and lift over the base rate.  Lift is a
+# ratio of two exact integer-count ratios, rounded at 6 dp (the
+# cross-engine float pattern).
+
+LIFT_BINS = 10
+
+
+def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_type") == AUC_POS_TYPE).cast("long").alias("y"),
+        F.col("value").alias("s"),
+    )
+    qs = [i / LIFT_BINS for i in range(1, LIFT_BINS)]
+    bounds = ev.agg(
+        F.expr(
+            f"percentile(s, array({', '.join(map(str, qs))}))"
+        ).alias("bs")
+    )
+    binned = ev.join(F.broadcast(bounds)).select(
+        "y",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, b: acc + (F.col("s") >= b).cast("int"),
+            )
+        ).cast("long").alias("decile"),
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    base = per_bin.agg(
+        F.sum("n").alias("tot"), F.sum("n_pos").alias("tot_pos")
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base_rate = F.col("tot_pos").cast("double") / F.col("tot").cast("double")
+    return (
+        per_bin.join(F.broadcast(base))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(rate, 6).alias("pos_rate"),
+            F.round(rate / base_rate, 6).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _lift_sql() -> str:
+    qs = ", ".join(str(i / LIFT_BINS) for i in range(1, LIFT_BINS))
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 ELSE 0 END AS y,
+         value AS s
+  FROM events
+),
+bounds AS (SELECT quantile_cont(s, [{qs}]) AS bs FROM scored),
+binned AS (
+  SELECT y,
+    (1 + len(list_filter(bs, b -> s >= b)))::BIGINT AS decile
+  FROM scored CROSS JOIN bounds
+),
+per_bin AS (
+  SELECT decile, COUNT(*)::BIGINT AS n,
+    CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY decile
+),
+base AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot,
+         CAST(SUM(n_pos) AS BIGINT) AS tot_pos
+  FROM per_bin
+)
+SELECT decile, n, n_pos,
+  ROUND(n_pos::DOUBLE / n::DOUBLE, 6) AS pos_rate,
+  ROUND((n_pos::DOUBLE / n::DOUBLE) / (tot_pos::DOUBLE / tot::DOUBLE), 6)
+    AS lift
+FROM per_bin CROSS JOIN base
+ORDER BY decile
+"""
+
+
 QUERIES = {
+    "ml_decile_lift": decile_lift,
     "ml_pr_thresholds": pr_at_thresholds,
     "ml_ols_multi": group_ols_multi,
     "ml_col_stats": col_stats,
@@ -1613,6 +1705,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_decile_lift": _lift_sql(),
     "ml_pr_thresholds": _pr_sql(),
     "ml_ols_multi": _OLS_MULTI_SQL,
     "ml_col_stats": _colstats_sql(),

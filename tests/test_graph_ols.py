@@ -191,3 +191,15 @@ def test_ols_multi_singular_matrix_yields_nulls(spark, tmp_path):
     assert out[0].coef_qty is None
     assert out[0].coef_disc is None
     assert out[0].intercept is None
+
+
+def test_decile_lift_laws(spark):
+    rows = ml.decile_lift(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    n_pos = ev.filter(F.col("event_type") == ml.AUC_POS_TYPE).count()
+    assert sum(r.n for r in rows) == n
+    assert sum(r.n_pos for r in rows) == n_pos
+    # lift averages to ~1 weighted by bin size
+    avg_lift = sum(r.lift * r.n for r in rows) / n
+    assert abs(avg_lift - 1.0) < 0.01
