@@ -300,11 +300,99 @@ FROM d{BFS_HOPS}
     )
 
 
+# ---------------------------------------------------------------------------
+# k-core peeling (fixed rounds)
+# ---------------------------------------------------------------------------
+#
+# Iterative subgraph refinement — the densest-region screen used to
+# find spam farms / tight communities before an expensive pass: each
+# round drops vertices with degree < KCORE_K in the surviving
+# subgraph, then recomputes degrees.  A fixed KCORE_ROUNDS unrolled
+# loop (lazy, like the fixed PageRank loop); each round is two
+# semi-joins + one map-side-combined degree aggregate, all
+# co-partitionable on the vertex id.  Fixed rounds make the oracle an
+# identically-unrolled CTE chain; full peeling to a fixpoint would
+# checkpoint per pass like pagerank_converged.
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    kept = und.select(F.col("src").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        e = und.join(
+            kept.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(
+            kept.select(F.col("node").alias("dst")), "dst", "left_semi"
+        )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        kept = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+    final_e = und.join(
+        kept.select(F.col("node").alias("src")), "src", "left_semi"
+    ).join(kept.select(F.col("node").alias("dst")), "dst", "left_semi")
+    return (
+        final_e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.when(F.col("node") % 2 == 0, "supplier")
+            .otherwise("customer")
+            .alias("node_kind"),
+            "core_degree",
+        )
+    )
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % {_EDGE_MOD} = 0
+)""",
+        "und AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges)",
+        "k0 AS (SELECT DISTINCT src AS node FROM und)",
+    ]
+    for t in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{t} AS (
+  SELECT src AS node FROM und
+  WHERE src IN (SELECT node FROM k{t - 1})
+    AND dst IN (SELECT node FROM k{t - 1})
+  GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src::BIGINT AS node,
+  CASE WHEN src % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_kind,
+  COUNT(*)::BIGINT AS core_degree
+FROM und
+WHERE src IN (SELECT node FROM k{KCORE_ROUNDS})
+  AND dst IN (SELECT node FROM k{KCORE_ROUNDS})
+GROUP BY src
+"""
+    )
+
+
 QUERIES = {
     "graph_pagerank": pagerank_shipments,
     "graph_bfs_landmarks": bfs_landmarks,
+    "graph_kcore_peel": kcore_peel,
 }
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
     "graph_bfs_landmarks": _bfs_sql(),
+    "graph_kcore_peel": _kcore_sql(),
 }

@@ -203,3 +203,25 @@ def test_decile_lift_laws(spark):
     # lift averages to ~1 weighted by bin size
     avg_lift = sum(r.lift * r.n for r in rows) / n
     assert abs(avg_lift - 1.0) < 0.01
+
+
+def test_kcore_peel_matches_python(spark):
+    from collections import defaultdict
+
+    edges = graph._edges(spark, SF_SMOKE).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r.src].add(r.dst)
+        adj[r.dst].add(r.src)
+    kept = set(adj)
+    for _ in range(graph.KCORE_ROUNDS):
+        deg = {u: sum(1 for v in adj[u] if v in kept) for u in kept}
+        kept = {u for u in kept if deg[u] >= graph.KCORE_K}
+    expected = {
+        u: sum(1 for v in adj[u] if v in kept) for u in kept
+    }
+    got = {
+        r.node: r.core_degree
+        for r in graph.kcore_peel(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
