@@ -434,7 +434,102 @@ WHERE ABS(value - cell_avg) > {ANOMALY_K} * cell_mad
 """
 
 
+# ---------------------------------------------------------------------------
+# lag-k autocorrelation of the hourly activity series
+# ---------------------------------------------------------------------------
+#
+# Temporal self-similarity per event_type: Pearson correlation between
+# the hourly event count and the same series AC_LAG hours earlier.
+# The series pairs come from a shifted-key equi-join on the AGGREGATED
+# hourly frame (gap-safe; |hours| rows, metadata scale), and the
+# correlation is closed-form from exact integer sufficient statistics
+# — counts are already integers, so no quantization is even needed;
+# the final r is fixed-order IEEE on identical ints (the ml_ols_multi
+# recipe, numerator/denominator in one expression tree).
+
+AC_LAG = 1  # hours
+
+
+def hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lagged = hourly.select(
+        F.col("event_type").alias("l_type"),
+        (F.col("h") + AC_LAG).alias("l_h"),
+        F.col("c").alias("c_prev"),
+    )
+    pairs = hourly.join(
+        lagged,
+        (hourly.event_type == F.col("l_type"))
+        & (hourly.h == F.col("l_h")),
+    ).select("event_type", "c", "c_prev")
+    g = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("c_prev").alias("sy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("c_prev") * F.col("c_prev")).alias("syy"),
+        F.sum(F.col("c") * F.col("c_prev")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = num / F.sqrt(denx) / F.sqrt(deny)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when((denx == 0.0) | (deny == 0.0), F.lit(None).cast("double"))
+        .otherwise(F.round(r, 6))
+        .alias("autocorr"),
+    ).orderBy("event_type")
+
+
+_AUTOCORR_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS h,
+    COUNT(*)::BIGINT AS c
+  FROM events GROUP BY event_type, h
+),
+pairs AS (
+  SELECT a.event_type, a.c, b.c AS c_prev
+  FROM hourly a
+  JOIN hourly b
+    ON a.event_type = b.event_type AND a.h = b.h + {AC_LAG}
+),
+g AS (
+  SELECT event_type,
+    COUNT(*)::BIGINT AS n,
+    CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(c_prev) AS BIGINT) AS sy,
+    CAST(SUM(c * c) AS BIGINT) AS sxx,
+    CAST(SUM(c_prev * c_prev) AS BIGINT) AS syy,
+    CAST(SUM(c * c_prev) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+  CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+       ELSE ROUND(
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+  END AS autocorr
+FROM g
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ts_hourly_autocorr": hourly_autocorr,
     "ts_seasonal_anomaly": seasonal_anomaly,
     "ts_resample_ffill": resample_ffill,
     "ml_quantile_bins": quantile_bins,
@@ -442,6 +537,7 @@ QUERIES = {
     "ts_ewma": ewma_smooth,
 }
 ORACLE = {
+    "ts_hourly_autocorr": _AUTOCORR_SQL,
     "ts_seasonal_anomaly": _SEASONAL_SQL,
     "ts_resample_ffill": _RESAMPLE_SQL,
     "ml_quantile_bins": _bins_sql(),

@@ -225,3 +225,27 @@ def test_kcore_peel_matches_python(spark):
         for r in graph.kcore_peel(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_hourly_autocorr_matches_numpy(spark):
+    from ingestprocessstoreinnrt_spark.operators import timeseries as ts
+
+    got = {r.event_type: r for r in ts.hourly_autocorr(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h")
+    ).collect()
+    from collections import Counter, defaultdict
+
+    counts = defaultdict(Counter)
+    for r in ev:
+        counts[r.event_type][r.h] += 1
+    for et, cs in counts.items():
+        xs, ys = [], []
+        for h, c in cs.items():
+            if (h - ts.AC_LAG) in cs:
+                xs.append(float(c))
+                ys.append(float(cs[h - ts.AC_LAG]))
+        if len(xs) >= 2:
+            r_np = float(np.corrcoef(xs, ys)[0, 1])
+            assert got[et].n_pairs == len(xs)
+            assert abs(got[et].autocorr - r_np) < 1e-4
