@@ -320,9 +320,13 @@ KCORE_ROUNDS = 3
 
 def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir)
+    # the undirected edge frame feeds TWO semi-joins per round plus the
+    # final degree pass (~8 plan references at 3 rounds); materialized
+    # once it is scanned, not recomputed (19 s -> ~6 s at sf0.1 —
+    # the loop-invariant rule from _pr_frames)
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     kept = und.select(F.col("src").alias("node")).distinct()
     for _ in range(KCORE_ROUNDS):
         e = und.join(
@@ -331,9 +335,13 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.select(F.col("node").alias("dst")), "dst", "left_semi"
         )
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # per-round checkpoint: kept_t is referenced TWICE by round
+        # t+1's semi-joins, so a lazy loop doubles the subplan per
+        # round (2^rounds refs); the frame is tiny (<= |verts| ids)
         kept = (
             deg.filter(F.col("deg") >= KCORE_K)
             .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
         )
     final_e = und.join(
         kept.select(F.col("node").alias("src")), "src", "left_semi"
