@@ -225,11 +225,68 @@ FROM e JOIN tiers
 GROUP BY tier
 """
 
+# ---------------------------------------------------------------------------
+# attribution-window as-of: the bounded-lookback variant
+# ---------------------------------------------------------------------------
+#
+# Real attribution expires: a purchase credits the preceding click only
+# if it happened within ATTRIB_WINDOW_US.  Composed as a row-local gate
+# over the unbounded as-of result — the carry-forward window pass is
+# identical, so the plan cost is unchanged, and the tolerance becomes
+# a pure expression (no second join, no extra shuffle).  DuckDB's ASOF
+# JOIN has no tolerance argument; the oracle applies the same CASE
+# gate over the ASOF result.
+
+ATTRIB_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = asof_enrich(spark, sf_dir)
+    within = (
+        F.col("last_click_ts_us").isNotNull()
+        & (
+            F.col("purchase_ts_us") - F.col("last_click_ts_us")
+            <= ATTRIB_WINDOW_US
+        )
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "purchase_ts_us",
+        "purchase_value",
+        F.when(within, F.col("last_click_ts_us")).alias(
+            "attributed_click_ts_us"
+        ),
+        F.when(within, F.col("last_click_value")).alias(
+            "attributed_click_value"
+        ),
+        within.alias("attributed"),
+    )
+
+
+_ATTRIB_SQL = f"""
+WITH base AS ({_ASOF_SQL})
+SELECT event_id, user_id, purchase_ts_us, purchase_value,
+  CASE WHEN last_click_ts_us IS NOT NULL
+        AND purchase_ts_us - last_click_ts_us <= {ATTRIB_WINDOW_US}
+       THEN last_click_ts_us END AS attributed_click_ts_us,
+  CASE WHEN last_click_ts_us IS NOT NULL
+        AND purchase_ts_us - last_click_ts_us <= {ATTRIB_WINDOW_US}
+       THEN last_click_value END AS attributed_click_value,
+  (last_click_ts_us IS NOT NULL
+   AND purchase_ts_us - last_click_ts_us <= {ATTRIB_WINDOW_US})
+    AS attributed
+FROM base
+"""
+
+
 QUERIES = {
     "asof_click_attribution": asof_enrich,
+    "asof_windowed_attribution": attribution_windowed,
     "range_join_tiers": range_join_tiers,
 }
 ORACLE = {
     "asof_click_attribution": _ASOF_SQL,
+    "asof_windowed_attribution": _ATTRIB_SQL,
     "range_join_tiers": _RANGE_JOIN_SQL,
 }

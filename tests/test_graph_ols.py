@@ -249,3 +249,25 @@ def test_hourly_autocorr_matches_numpy(spark):
             r_np = float(np.corrcoef(xs, ys)[0, 1])
             assert got[et].n_pairs == len(xs)
             assert abs(got[et].autocorr - r_np) < 1e-4
+
+
+def test_attribution_window_gates_correctly(spark):
+    from ingestprocessstoreinnrt_spark.operators import asof
+
+    base = {r.event_id: r for r in asof.asof_enrich(spark, SF_SMOKE).collect()}
+    out = asof.attribution_windowed(spark, SF_SMOKE).collect()
+    assert len(out) == len(base)
+    n_attr = 0
+    for r in out:
+        b = base[r.event_id]
+        within = (
+            b.last_click_ts_us is not None
+            and b.purchase_ts_us - b.last_click_ts_us <= asof.ATTRIB_WINDOW_US
+        )
+        assert r.attributed == within
+        if within:
+            n_attr += 1
+            assert r.attributed_click_ts_us == b.last_click_ts_us
+        else:
+            assert r.attributed_click_ts_us is None
+    assert 0 < n_attr < len(out)  # the window is actually selective
