@@ -927,7 +927,91 @@ FROM stage, reps
 """
 
 
+# ---------------------------------------------------------------------------
+# token-budget fill: highest-quality docs first until the budget
+# ---------------------------------------------------------------------------
+#
+# "What fits in N training tokens?" — the curation planning query.
+# Scale-honest shape: docs reduce to BOUNDED quality buckets (stopword
+# ratio at 2 dp — <= 101 groups regardless of corpus size) with
+# per-bucket token sums, the cumulative fill runs as one window over
+# the bucket frame (metadata scale — never a per-doc global ranking),
+# and the answer is bucket-granular: whole buckets are taken from the
+# best down while the running total fits.  Cross-engine exactness:
+# stopword_ratio is the text_stats formula (proven identical), its
+# 2 dp rounding rides the F.round bridge, token counts are integers.
+
+TOKEN_BUDGET = 100_000
+
+
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    qs = quality_stats(F.col("text"))
+    d = docs.select(
+        F.round(qs["stopword_ratio"], 2).alias("bucket"),
+        qs["n_tokens"].alias("cost"),
+    )
+    per_bucket = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("cost").cast("long").alias("bucket_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bucket.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .agg(
+            F.lit(TOKEN_BUDGET).cast("long").alias("token_budget"),
+            F.max("cum_docs").cast("long").alias("n_docs_taken"),
+            F.max("cum_tokens").cast("long").alias("n_tokens_taken"),
+            F.min("bucket").alias("quality_cutoff"),
+        )
+    )
+
+
+def _budget_sql() -> str:
+    stop_ratio = (
+        f"len(list_filter(toks, t -> list_contains({_SQL_EN}, lower(t))))::DOUBLE"
+        " / (CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END)"
+    )
+    return f"""
+WITH d AS (
+  SELECT ROUND({stop_ratio}, 2) AS bucket,
+    len(toks)::BIGINT AS cost
+  FROM (SELECT {_SQL_TOKS} AS toks FROM documents)
+),
+per_bucket AS (
+  SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+    CAST(SUM(cost) AS BIGINT) AS bucket_tokens
+  FROM d GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, n_docs, bucket_tokens,
+    CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+    CAST(SUM(bucket_tokens) OVER w AS BIGINT) AS cum_tokens
+  FROM per_bucket
+  WINDOW w AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT {TOKEN_BUDGET}::BIGINT AS token_budget,
+  CAST(MAX(cum_docs) AS BIGINT) AS n_docs_taken,
+  CAST(MAX(cum_tokens) AS BIGINT) AS n_tokens_taken,
+  MIN(bucket) AS quality_cutoff
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
+    "curation_token_budget": token_budget_fill,
     "text_langid_confusion": langid_confusion,
     "curation_gate_funnel": curation_gate_funnel,
     "text_ngram_novelty": ngram_novelty,
@@ -944,6 +1028,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "curation_token_budget": _budget_sql(),
     "text_langid_confusion": _langid_confusion_sql(),
     "curation_gate_funnel": _gate_funnel_sql(),
     "text_ngram_novelty": _NOVELTY_SQL,

@@ -271,3 +271,30 @@ def test_attribution_window_gates_correctly(spark):
         else:
             assert r.attributed_click_ts_us is None
     assert 0 < n_attr < len(out)  # the window is actually selective
+
+
+def test_token_budget_fill_laws(spark):
+    from ingestprocessstoreinnrt_spark.operators import textops
+
+    r = textops.token_budget_fill(spark, SF_SMOKE).collect()[0]
+    assert r.n_tokens_taken <= r.token_budget
+    assert 0 < r.n_docs_taken
+    # brute-force: bucket docs, fill from best bucket down
+    stats = textops.text_stats(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    buckets = defaultdict(lambda: [0, 0])
+    for s in stats:
+        b = round(s.stopword_ratio, 2)
+        buckets[b][0] += 1
+        buckets[b][1] += s.n_tokens
+    cum_d = cum_t = 0
+    best = (0, 0, None)
+    for b in sorted(buckets, reverse=True):
+        nd, nt = buckets[b]
+        if cum_t + nt > textops.TOKEN_BUDGET:
+            break
+        cum_d += nd
+        cum_t += nt
+        best = (cum_d, cum_t, b)
+    assert (r.n_docs_taken, r.n_tokens_taken, r.quality_cutoff) == best
