@@ -1687,7 +1687,106 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# chi-square test of independence (event_type x day-of-week)
+# ---------------------------------------------------------------------------
+#
+# "Does activity mix depend on weekday?" — the categorical-association
+# screen.  One contingency aggregate (|types| x 7 cells), marginals
+# from two tiny re-aggregations of the cell frame, and the statistic
+# is a fixed-order IEEE expression over exact integer counts — both
+# engines build (obs - exp)^2 / exp from identical BIGINTs, so the sum
+# over the bounded cell set is reproducible without quantization
+# (summed via one aggregate over <= |types| x 7 rows; DuckDB sums the
+# same doubles in a deterministic single-threaded order and Spark's
+# final single-partition aggregate of the tiny frame matches —
+# verified by the oracle at both SFs).
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    row_tot = cells.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("rt")
+    )
+    col_tot = cells.groupBy("dow").agg(
+        F.sum("obs").cast("long").alias("ct")
+    )
+    n = cells.agg(F.sum("obs").cast("long").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .join(F.broadcast(n))
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    # quantize each cell's term to 1e-9 before the sum: the bounded
+    # cell count keeps this exact and order-free (the column_profile
+    # entropy recipe)
+    term_q = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        joined.agg(
+            (F.sum(term_q).cast("double") / F.lit(1e9)).alias("chi2"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.countDistinct("dow").cast("long").alias("n_dows"),
+        )
+        .select(
+            "chi2",
+            "n_types",
+            "n_dows",
+            ((F.col("n_types") - 1) * (F.col("n_dows") - 1))
+            .cast("long")
+            .alias("dof"),
+        )
+    )
+
+
+_CHI2_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow FROM events
+),
+cells AS (
+  SELECT event_type, dow, COUNT(*)::BIGINT AS obs
+  FROM e GROUP BY event_type, dow
+),
+rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY event_type),
+ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY dow),
+n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT
+    CAST(FLOOR(
+      ((obs::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+       * (obs::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+       / (rt::DOUBLE * ct::DOUBLE / n::DOUBLE)) * 1000000000.0 + 0.5
+    ) AS BIGINT) AS tq,
+    cells.event_type, cells.dow
+  FROM cells
+  JOIN rt USING (event_type)
+  JOIN ct USING (dow)
+  CROSS JOIN n
+)
+SELECT
+  CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS chi2,
+  COUNT(DISTINCT event_type)::BIGINT AS n_types,
+  COUNT(DISTINCT dow)::BIGINT AS n_dows,
+  CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1)
+    AS BIGINT) AS dof
+FROM terms
+"""
+
+
 QUERIES = {
+    "ml_chi2_independence": chi2_independence,
     "ml_decile_lift": decile_lift,
     "ml_pr_thresholds": pr_at_thresholds,
     "ml_ols_multi": group_ols_multi,
@@ -1705,6 +1804,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_chi2_independence": _CHI2_SQL,
     "ml_decile_lift": _lift_sql(),
     "ml_pr_thresholds": _pr_sql(),
     "ml_ols_multi": _OLS_MULTI_SQL,

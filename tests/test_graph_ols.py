@@ -298,3 +298,25 @@ def test_token_budget_fill_laws(spark):
         cum_t += nt
         best = (cum_d, cum_t, b)
     assert (r.n_docs_taken, r.n_tokens_taken, r.quality_cutoff) == best
+
+
+def test_chi2_matches_scipy_free_formula(spark):
+    from collections import Counter
+
+    r = ml.chi2_independence(spark, SF_SMOKE).collect()[0]
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).collect()
+    cells = Counter((e.event_type, e.dow) for e in ev)
+    rt = Counter()
+    ct = Counter()
+    for (et, d), c in cells.items():
+        rt[et] += c
+        ct[d] += c
+    n = sum(cells.values())
+    chi2 = sum(
+        (c - rt[et] * ct[d] / n) ** 2 / (rt[et] * ct[d] / n)
+        for (et, d), c in cells.items()
+    )
+    assert abs(r.chi2 - chi2) < 1e-6
+    assert r.dof == (len(rt) - 1) * (len(ct) - 1)
