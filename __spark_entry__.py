@@ -124,7 +124,7 @@ _UNPROVEN_AGE_ORDER = [
     "win_gap_distribution", "bi_metrics_unpivot", "bi_rfm_segments",
     "bi_yoy_growth", "ml_decile_lift", "graph_kcore_peel",
     "ts_hourly_autocorr", "asof_windowed_attribution",
-    "curation_token_budget", "ml_chi2_independence",
+    "curation_token_budget", "ml_chi2_independence", "bi_cohort_ltv",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -355,7 +355,84 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# cohort LTV triangle (acquisition month x months-since-acquisition)
+# ---------------------------------------------------------------------------
+#
+# Revenue of each acquisition cohort as it ages — the LTV-curve input.
+# Per customer the cohort anchor is one aggregate (min order month);
+# ages are integer month arithmetic (year*12+month diffs — no
+# calendar-float ambiguity cross-engine); the anchor joins back
+# broadcast (|customers| rows after aggregation) and the triangle is
+# |cohorts| x |ages| rows.  funnel_retention_cohorts counts USERS on
+# events; this measures MONEY on orders — the complementary view.
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("mo"),
+    )
+    anchors = orders.groupBy("o_custkey").agg(
+        F.min("mo").alias("cohort_mo")
+    )
+    aged = orders.join(F.broadcast(anchors), "o_custkey").select(
+        "o_totalprice",
+        "cohort_mo",
+        (F.col("mo") - F.col("cohort_mo")).alias("age_months"),
+    )
+    return (
+        aged.groupBy("cohort_mo", "age_months")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "cohort_revenue"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                F.format_string("%04d", F.expr("cohort_mo DIV 12")),
+                F.format_string(
+                    "%02d", F.pmod(F.col("cohort_mo"), 12) + 1
+                ),
+            ).alias("cohort_month"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "n_orders",
+            "cohort_revenue",
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+_COHORT_LTV_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mo
+  FROM orders
+),
+anchors AS (
+  SELECT o_custkey, MIN(mo) AS cohort_mo FROM o GROUP BY o_custkey
+),
+aged AS (
+  SELECT o_totalprice, cohort_mo, mo - cohort_mo AS age_months
+  FROM o JOIN anchors USING (o_custkey)
+)
+SELECT
+  printf('%04d-%02d', cohort_mo // 12, cohort_mo % 12 + 1)
+    AS cohort_month,
+  CAST(age_months AS BIGINT) AS age_months,
+  COUNT(*)::BIGINT AS n_orders,
+  {sql_dsum('o_totalprice', 'cohort_revenue')}
+FROM aged
+GROUP BY cohort_month, age_months
+ORDER BY cohort_month, age_months
+"""
+
+
 QUERIES = {
+    "bi_cohort_ltv": cohort_ltv,
     "bi_order_count_dist": order_count_dist,
     "bi_promo_share": promo_share,
     "bi_small_qty_revenue": small_qty_revenue,
@@ -364,6 +441,7 @@ QUERIES = {
     "bi_sole_late_supplier": sole_late_supplier,
 }
 ORACLE = {
+    "bi_cohort_ltv": _COHORT_LTV_SQL,
     "bi_order_count_dist": _ORDER_COUNT_DIST_SQL,
     "bi_promo_share": _PROMO_SHARE_SQL,
     "bi_small_qty_revenue": _SMALL_QTY_SQL,

@@ -136,3 +136,15 @@ def test_sole_late_single_fact_shuffle_no_self_join(spark):
         plan.count("Scan parquet") <= 3
     )
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_triangle_conserves_orders(spark):
+    rows = dss.cohort_ltv(spark, SF_SMOKE).collect()
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    # age 0 exists for every cohort (the acquisition month itself)
+    cohorts = {r.cohort_month for r in rows}
+    age0 = {r.cohort_month for r in rows if r.age_months == 0}
+    assert cohorts == age0
+    for r in rows:
+        assert r.age_months >= 0
