@@ -1010,7 +1010,115 @@ FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law): vocab size vs corpus position
+# ---------------------------------------------------------------------------
+#
+# How fast does the corpus stop yielding new words? — the
+# diminishing-returns curve behind "is more data still adding
+# vocabulary".  Naively this is an overlapping DISTINCT per checkpoint
+# (quadratic); the scale shape reuses the first-occurrence insight
+# from ngram_novelty: each distinct token is credited to the FIRST doc
+# containing it (one map-side-combinable MIN per token), checkpoints
+# bucket that first-doc id, and the curve is a cumulative sum over the
+# BOUNDED checkpoint frame.  One explode + two aggregates + one tiny
+# window, any corpus size.
+
+VOCAB_CHECKPOINT_DOCS = 50  # checkpoint every N doc ids
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        token_count("text").alias("n_tokens"),
+    )
+    cp = (
+        F.floor(F.col("doc_id") / VOCAB_CHECKPOINT_DOCS).cast("long") + 1
+    ) * VOCAB_CHECKPOINT_DOCS
+    # tokens-per-checkpoint (volume axis)
+    vol = toked.groupBy(cp.alias("checkpoint")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    # new-vocab-per-checkpoint: distinct tokens first seen in the bucket
+    firsts = (
+        toked.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            (
+                (
+                    F.floor(
+                        F.col("first_doc") / VOCAB_CHECKPOINT_DOCS
+                    ).cast("long")
+                    + 1
+                )
+                * VOCAB_CHECKPOINT_DOCS
+            ).alias("checkpoint")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        vol.join(firsts, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_vocab", F.lit(0)).cast("long").alias("new_vocab"),
+        )
+        .select(
+            "checkpoint",
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_vocab").over(w).cast("long").alias("vocab_size"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+_VOCAB_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks,
+    len({_SQL_TOKS})::BIGINT AS n_tokens
+  FROM documents
+),
+vol AS (
+  SELECT (doc_id // {VOCAB_CHECKPOINT_DOCS} + 1) * {VOCAB_CHECKPOINT_DOCS}
+      AS checkpoint,
+    COUNT(*)::BIGINT AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM toked GROUP BY checkpoint
+),
+firsts AS (
+  SELECT (first_doc // {VOCAB_CHECKPOINT_DOCS} + 1) * {VOCAB_CHECKPOINT_DOCS}
+      AS checkpoint,
+    COUNT(*)::BIGINT AS new_vocab
+  FROM (
+    SELECT tok, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+    GROUP BY tok
+  )
+  GROUP BY checkpoint
+)
+SELECT checkpoint,
+  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+  CAST(SUM(COALESCE(new_vocab, 0)) OVER w AS BIGINT) AS vocab_size
+FROM vol LEFT JOIN firsts USING (checkpoint)
+WINDOW w AS (ORDER BY checkpoint ROWS UNBOUNDED PRECEDING)
+ORDER BY checkpoint
+"""
+
+
 QUERIES = {
+    "text_vocab_growth": vocab_growth,
     "curation_token_budget": token_budget_fill,
     "text_langid_confusion": langid_confusion,
     "curation_gate_funnel": curation_gate_funnel,
@@ -1028,6 +1136,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_vocab_growth": _VOCAB_SQL,
     "curation_token_budget": _budget_sql(),
     "text_langid_confusion": _langid_confusion_sql(),
     "curation_gate_funnel": _gate_funnel_sql(),

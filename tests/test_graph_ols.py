@@ -320,3 +320,25 @@ def test_chi2_matches_scipy_free_formula(spark):
     )
     assert abs(r.chi2 - chi2) < 1e-6
     assert r.dof == (len(rt) - 1) * (len(ct) - 1)
+
+
+def test_vocab_growth_monotone_and_final_totals(spark):
+    from ingestprocessstoreinnrt_spark.operators import textops
+
+    rows = textops.vocab_growth(spark, SF_SMOKE).collect()
+    vs = [r.vocab_size for r in rows]
+    ts_ = [r.cum_tokens for r in rows]
+    assert vs == sorted(vs) and ts_ == sorted(ts_)  # monotone curves
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total_vocab = (
+        docs.select(
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].vocab_size == total_vocab
+    assert rows[-1].cum_docs == docs.count()
