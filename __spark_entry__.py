@@ -125,7 +125,7 @@ _UNPROVEN_AGE_ORDER = [
     "bi_yoy_growth", "ml_decile_lift", "graph_kcore_peel",
     "ts_hourly_autocorr", "asof_windowed_attribution",
     "curation_token_budget", "ml_chi2_independence", "bi_cohort_ltv",
-    "text_vocab_growth",
+    "text_vocab_growth", "ml_welch_ttest",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

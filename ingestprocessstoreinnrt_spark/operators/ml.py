@@ -1785,7 +1785,103 @@ FROM terms
 """
 
 
+# ---------------------------------------------------------------------------
+# Welch two-sample t-statistic (A/B comparison of event values)
+# ---------------------------------------------------------------------------
+#
+# The numeric companion to chi-square: compare every event type's mean
+# value against the 'view' control group with Welch's unequal-variance
+# t.  ONE aggregate computes each group's exact integer sufficient
+# statistics (n, sum of 1e-4-quantized values, sum of their squares);
+# means/variances/t are then fixed-order IEEE on identical ints — the
+# ml_ols_multi recipe.  Sample variance uses the n-1 denominator;
+# squares of quantized values stay < 2^63 at any realistic SF
+# (qv <= ~1e7 -> qv^2 <= 1e14; 1e11 rows before overflow).
+
+TT_CONTROL = "view"
+
+
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", quantize(F.col("value")).alias("qv")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+    )
+    ctrl = g.filter(F.col("event_type") == TT_CONTROL).select(
+        F.col("n").alias("cn"), F.col("s").alias("cs"),
+        F.col("ss").alias("css"),
+    )
+
+    def stats(n, s, ss):
+        mean = s.cast("double") / n.cast("double") / 10000.0
+        # sample variance via the exact integer moment identity
+        var = (
+            (
+                ss.cast("double")
+                - s.cast("double") * s.cast("double") / n.cast("double")
+            )
+            / (n.cast("double") - 1.0)
+            / 1e8
+        )
+        return mean, var
+
+    joined = g.filter(F.col("event_type") != TT_CONTROL).join(
+        F.broadcast(ctrl)
+    )
+    m1, v1 = stats(F.col("n"), F.col("s"), F.col("ss"))
+    m0, v0 = stats(F.col("cn"), F.col("cs"), F.col("css"))
+    se = F.sqrt(
+        v1 / F.col("n").cast("double") + v0 / F.col("cn").cast("double")
+    )
+    return joined.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        m1.alias("mean_value"),
+        (m1 - m0).alias("mean_diff_vs_control"),
+        F.round((m1 - m0) / se, 6).alias("t_stat"),
+    ).orderBy("event_type")
+
+
+_TTEST_SQL = f"""
+WITH q AS (
+  SELECT event_type,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+),
+g AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n,
+    CAST(SUM(qv) AS BIGINT) AS s,
+    CAST(SUM(qv * qv) AS BIGINT) AS ss
+  FROM q GROUP BY event_type
+),
+ctrl AS (
+  SELECT n AS cn, s AS cs, ss AS css FROM g
+  WHERE event_type = '{TT_CONTROL}'
+)
+SELECT event_type, n,
+  s::DOUBLE / n::DOUBLE / 10000.0 AS mean_value,
+  (s::DOUBLE / n::DOUBLE / 10000.0)
+    - (cs::DOUBLE / cn::DOUBLE / 10000.0) AS mean_diff_vs_control,
+  ROUND(
+    ((s::DOUBLE / n::DOUBLE / 10000.0)
+     - (cs::DOUBLE / cn::DOUBLE / 10000.0))
+    / sqrt(
+        ((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         / (n::DOUBLE - 1.0) / 100000000.0) / n::DOUBLE
+      + ((css::DOUBLE - cs::DOUBLE * cs::DOUBLE / cn::DOUBLE)
+         / (cn::DOUBLE - 1.0) / 100000000.0) / cn::DOUBLE
+    ), 6) AS t_stat
+FROM g CROSS JOIN ctrl
+WHERE event_type <> '{TT_CONTROL}'
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ml_welch_ttest": welch_ttest,
     "ml_chi2_independence": chi2_independence,
     "ml_decile_lift": decile_lift,
     "ml_pr_thresholds": pr_at_thresholds,
@@ -1804,6 +1900,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_welch_ttest": _TTEST_SQL,
     "ml_chi2_independence": _CHI2_SQL,
     "ml_decile_lift": _lift_sql(),
     "ml_pr_thresholds": _pr_sql(),

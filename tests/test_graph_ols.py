@@ -342,3 +342,26 @@ def test_vocab_growth_monotone_and_final_totals(spark):
     )
     assert rows[-1].vocab_size == total_vocab
     assert rows[-1].cum_docs == docs.count()
+
+
+def test_welch_ttest_matches_numpy(spark):
+    got = {r.event_type: r for r in ml.welch_ttest(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(r.value)
+    ctrl = np.array(groups[ml.TT_CONTROL])
+    for et, vals in groups.items():
+        if et == ml.TT_CONTROL:
+            continue
+        x = np.array(vals)
+        t = (x.mean() - ctrl.mean()) / np.sqrt(
+            x.var(ddof=1) / len(x) + ctrl.var(ddof=1) / len(ctrl)
+        )
+        # 1e-4 quantization perturbs the statistic slightly
+        assert abs(got[et].t_stat - t) < 5e-3
+        assert got[et].n == len(x)
