@@ -80,6 +80,25 @@ _DRIVER_PROVEN = {
     "scale_salted_rollup", "asof_click_attribution", "range_join_tiers",
     "dedup_jaccard_pairs", "sketch_kmv_distinct", "sketch_kmv_by_group",
     "cdc_scd2_history",
+    # green in CORRECTNESS_r03.json (50 rows)
+    "cdc_snapshot_diff", "funnel_ordered", "funnel_retention_cohorts",
+    "graph_pagerank", "layout_zorder", "ml_quantile_bins",
+    "quality_column_profile", "quality_referential_audit",
+    "sketch_cms_heavy_hitters", "ts_resample_ffill", "ml_zscore_outliers",
+    "ml_class_weights", "ml_value_histogram", "sketch_sample_quantiles",
+    "ts_interpolate_linear", "ts_ewma", "quality_mad_outliers",
+    "curation_pack_sequences", "curation_pii_redact",
+    "curation_chunk_windows", "curation_repetition_stats",
+    "curation_ngram_contamination", "curation_bpe_pairs",
+    "curation_url_strip", "curation_mix_sources", "curation_train_split",
+    "incremental_customer_agg", "bi_pareto_share", "bi_shipping_priority",
+    "bi_priority_semijoin", "bi_idle_customers", "ml_knn_eval",
+    "text_bigram_lm", "text_bigram_surprisal", "ml_auc",
+    "ml_covariance_matrix", "win_active_users", "win_activity_streaks",
+    "sketch_hll_distinct", "cdc_scd2_asof", "bi_basket_lift",
+    "graph_triangles", "graph_degree_stats", "json_props_rollup",
+    "json_key_profile", "bi_market_share", "bi_top_supplier",
+    "bi_status_pivot", "ml_naive_bayes", "graph_jaccard_neighbors",
 }
 
 

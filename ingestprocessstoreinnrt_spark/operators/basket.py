@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.hints import maybe_broadcast
 
 MIN_ITEM_ORDERS = 2  # apriori item prune: item must appear in >= 2 orders
 MIN_PAIR_ORDERS = 2  # pair support threshold (edges of the co-graph)
@@ -129,12 +130,12 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         pc.join(
-            F.broadcast(item_n.withColumnRenamed("n_ord", "p1_orders")),
+            maybe_broadcast(item_n.withColumnRenamed("n_ord", "p1_orders")),
             pc.p1 == F.col("p"),
         )
         .drop("p")
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 item_n.withColumnRenamed("n_ord", "p2_orders")
             ).withColumnRenamed("p", "pp"),
             F.col("p2") == F.col("pp"),
@@ -341,12 +342,12 @@ def jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         common.join(
-            F.broadcast(deg.withColumnRenamed("deg", "degree1")),
+            maybe_broadcast(deg.withColumnRenamed("deg", "degree1")),
             common.b == deg.a,
         )
         .drop("a")
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 deg.withColumnRenamed("deg", "degree2")
             ).withColumnRenamed("a", "a2"),
             F.col("c") == F.col("a2"),

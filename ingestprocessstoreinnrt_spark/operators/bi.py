@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.hints import maybe_broadcast
 from ..functions.scalars import (
     davg,
     dict_lookup,
@@ -195,10 +196,12 @@ def enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "n_name", "r_name")
     )
-    # dims is tiny (|supplier|) — broadcast it so the fact table never
-    # shuffles for the join; only the final groupBy shuffles |groups| rows.
+    # dims is |supplier| — small enough that the size estimator
+    # broadcasts it at every bench scale (fact table never shuffles for
+    # the join), but it GROWS with SF, so no forced hint: at 100 TB AQE
+    # falls back to a shuffle join instead of OOMing the driver.
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(maybe_broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name", "n_name")
         .agg(
             dsum(
@@ -587,7 +590,9 @@ FROM hits GROUP BY threshold_pct
 # customer ⋈ orders ⋈ lineitem with segment/date filters and a top-10
 # revenue ranking — the join-ordering benchmark query.  The plan we
 # want (and assert in tests): both date filters PUSHED into the
-# parquet scans, the filtered customer dim BROADCAST onto orders, and
+# parquet scans, the filtered customer dim joined unhinted (AQE/size
+# stats broadcast it at bench scale; it scales with SF so no forced
+# hint — see plans/hints.py), and
 # the orders->lineitem join left as shuffle (both sides big; at 100 TB
 # they bucket on the order key and the exchange disappears — the
 # test_bucketed_join_shuffles_neither_side recipe).  Revenue uses the
@@ -619,7 +624,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    ).join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
     keys_sql = [
         F.col("revenue").desc(), F.col("o_orderkey").asc(),
     ]
@@ -798,15 +803,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     orders = load_table(spark, sf_dir, "orders").join(
-        F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey")
+        maybe_broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
     li = load_table(spark, sf_dir, "lineitem")
     rev_q = quantize(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
     return (
@@ -889,7 +894,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(best))
         .filter(F.col("rev_q") == F.col("best_q"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("s_suppkey"),
             F.col("s_name"),

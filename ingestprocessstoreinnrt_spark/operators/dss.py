@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.scalars import davg, dsum, sql_davg, sql_dsum, sql_dsum_expr
+from ..plans.hints import maybe_broadcast
 
 # ---------------------------------------------------------------------------
 # Q13 — customer order-count distribution (left outer join + double agg)
@@ -94,7 +95,7 @@ def promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     out = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(
             F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
         )
@@ -144,10 +145,10 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines compute avg_qty from the same quantized-integer sum,
     # so 0.2 * avg_qty is bit-identical and the < gate never straddles
     small = li.join(
-        F.broadcast(per_part), li.l_partkey == F.col("t_partkey")
+        maybe_broadcast(per_part), li.l_partkey == F.col("t_partkey")
     ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     return (
-        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        small.join(maybe_broadcast(part), small.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_small"),
@@ -195,7 +196,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "o_custkey", "o_orderkey", "o_totalprice", "total_qty"
         )
@@ -243,10 +244,10 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(nation),
+            maybe_broadcast(nation, scale_invariant=True),
             F.col("s_nationkey") == nation.n_nationkey,
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -326,7 +327,7 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(
-            F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey")
+            maybe_broadcast(supp), F.col("late_supp") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
@@ -360,15 +361,20 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 #
 # Revenue of each acquisition cohort as it ages — the LTV-curve input.
-# Per customer the cohort anchor is one aggregate (min order month);
-# ages are integer month arithmetic (year*12+month diffs — no
-# calendar-float ambiguity cross-engine); the anchor joins back
-# broadcast (|customers| rows after aggregation) and the triangle is
-# |cohorts| x |ages| rows.  funnel_retention_cohorts counts USERS on
-# events; this measures MONEY on orders — the complementary view.
+# Per customer the cohort anchor is MIN(order month) computed as a
+# window aggregate over o_custkey: ONE shuffle co-partitions the fact
+# rows by customer and every row reads its cohort anchor in place — no
+# separate anchor frame, no join, and (the round-3 verdict's finding)
+# no broadcast whose size scales with the fact keyspace.  Ages are
+# integer month arithmetic (year*12+month diffs — no calendar-float
+# ambiguity cross-engine); the triangle is |cohorts| x |ages| rows.
+# funnel_retention_cohorts counts USERS on events; this measures MONEY
+# on orders — the complementary view.
 
 
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_totalprice",
@@ -376,13 +382,11 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
         ).alias("mo"),
     )
-    anchors = orders.groupBy("o_custkey").agg(
-        F.min("mo").alias("cohort_mo")
-    )
-    aged = orders.join(F.broadcast(anchors), "o_custkey").select(
+    cohort = F.min("mo").over(Window.partitionBy("o_custkey"))
+    aged = orders.select(
         "o_totalprice",
-        "cohort_mo",
-        (F.col("mo") - F.col("cohort_mo")).alias("age_months"),
+        cohort.alias("cohort_mo"),
+        (F.col("mo") - cohort).alias("age_months"),
     )
     return (
         aged.groupBy("cohort_mo", "age_months")
