@@ -145,6 +145,8 @@ _UNPROVEN_AGE_ORDER = [
     "ts_hourly_autocorr", "asof_windowed_attribution",
     "curation_token_budget", "ml_chi2_independence", "bi_cohort_ltv",
     "text_vocab_growth", "ml_welch_ttest",
+    # r4 additions
+    "dedup_paragraphs", "curation_substr_contamination",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

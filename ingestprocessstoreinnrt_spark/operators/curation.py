@@ -680,12 +680,173 @@ FROM per CROSS JOIN t
 """
 
 
+# ---------------------------------------------------------------------------
+# exact substring contamination (longest common token run)
+# ---------------------------------------------------------------------------
+#
+# Set-overlap contamination (ngram_contamination above) can't tell 50
+# scattered shared trigrams from one verbatim 52-token quote — only the
+# latter is the "exact substring" leakage Lee et al. ("Deduplicating
+# Training Data Makes Language Models Better", 2022) remove with
+# suffix arrays.  A suffix array doesn't distribute; the standard
+# scalable approximation at fixed k: positional k-gram matches between
+# eval and train land on DIAGONALS (i_eval - i_train constant), and a
+# verbatim run of L tokens is exactly L-k+1 consecutive matches on one
+# diagonal — so longest-run = gaps-and-islands over match positions.
+#
+# Scale shape: eval side is 1/EVAL_MOD of the corpus by construction,
+# so the gram-keyed equi-join produces |eval grams| x (train copies per
+# gram) rows — linear in corpus for natural vocabularies.  The island
+# window partitions by (eval doc, train doc, diagonal): millions of
+# tiny partitions, nothing hot.  Downstream aggregates are map-side
+# combinable; the argmax packs (run, train doc) into one BIGINT so the
+# final reduce is a plain MAX (no second pass, deterministic ties).
+
+_ARGMAX_SHIFT = 1 << 40  # doc_id < 2^40 by contract
+
+
+def _pos_gram_frame(docs: DataFrame, pred) -> DataFrame:
+    """(doc_id, pos, gram) — positional (NOT distinct) word-CONTAM_N-
+    grams, xxhash64'd; the oracle keeps raw strings and the
+    cross-engine run-length match doubles as a collision check."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (CONTAM_N - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(words, i + j) for j in range(CONTAM_N)],
+                )
+            ).alias("gram"),
+        ),
+    )
+    return (
+        docs.filter(pred)
+        .filter(F.size(words) >= CONTAM_N)
+        .select("doc_id", F.explode(entries).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.pos").cast("long").alias("pos"),
+            F.col("e.gram").alias("gram"),
+        )
+    )
+
+
+def substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval doc: the longest VERBATIM token run shared with any
+    train doc — (doc_id, longest_run_tokens, best_train_doc,
+    n_train_docs).  best_train_doc = lowest train doc achieving the
+    max; eval docs with no k-gram match report 0 / NULL / 0."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ev = F.col("doc_id") % EVAL_MOD == 0
+    eg = _pos_gram_frame(docs, ev).toDF("e_doc", "i_e", "gram")
+    tg = _pos_gram_frame(docs, ~ev).toDF("t_doc", "i_t", "gram")
+    m = eg.join(tg, "gram").select(
+        "e_doc", "t_doc", "i_e", (F.col("i_e") - F.col("i_t")).alias("diag")
+    )
+    w = Window.partitionBy("e_doc", "t_doc", "diag").orderBy("i_e")
+    runs = (
+        m.withColumn("island", F.col("i_e") - F.row_number().over(w))
+        .groupBy("e_doc", "t_doc", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_grams"))
+    )
+    pair_best = runs.groupBy("e_doc", "t_doc").agg(
+        F.max("run_grams").alias("best_run")
+    )
+    score = F.col("best_run") * F.lit(_ARGMAX_SHIFT) + (
+        F.lit(_ARGMAX_SHIFT - 1) - F.col("t_doc")
+    )
+    hits = pair_best.groupBy("e_doc").agg(
+        F.max(score).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+    )
+    eval_ids = docs.filter(ev).select(F.col("doc_id"))
+    return (
+        eval_ids.join(hits, eval_ids.doc_id == hits.e_doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                (F.col("s") / F.lit(_ARGMAX_SHIFT)).cast("long")
+                + F.lit(CONTAM_N - 1),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("longest_run_tokens"),
+            (
+                F.lit(_ARGMAX_SHIFT - 1)
+                - F.pmod(F.col("s"), F.lit(_ARGMAX_SHIFT))
+            )
+            .cast("long")
+            .alias("best_train_doc"),
+            F.coalesce("n_train_docs", F.lit(0))
+            .cast("long")
+            .alias("n_train_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTR_POS_GRAMS = f"""
+  SELECT doc_id, u.i::BIGINT AS pos,
+    array_to_string(w[u.i : u.i + {CONTAM_N - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id,
+      regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+    FROM documents WHERE {{side}}
+  ), UNNEST(range(1, len(w) - {CONTAM_N - 2})) AS u(i)
+  WHERE len(w) >= {CONTAM_N}
+"""
+
+_SUBSTR_SQL = f"""
+WITH eg AS ({_SUBSTR_POS_GRAMS.format(side=f"doc_id % {EVAL_MOD} = 0")}),
+tg AS ({_SUBSTR_POS_GRAMS.format(side=f"doc_id % {EVAL_MOD} <> 0")}),
+m AS (
+  SELECT eg.doc_id AS e_doc, tg.doc_id AS t_doc, eg.pos AS i_e,
+    eg.pos - tg.pos AS diag
+  FROM eg JOIN tg USING (gram)
+),
+runs AS (
+  SELECT e_doc, t_doc, diag,
+    i_e - ROW_NUMBER() OVER (
+      PARTITION BY e_doc, t_doc, diag ORDER BY i_e
+    ) AS island
+  FROM m
+),
+rc AS (
+  SELECT e_doc, t_doc, COUNT(*) AS run_grams
+  FROM runs GROUP BY e_doc, t_doc, diag, island
+),
+pair_best AS (
+  SELECT e_doc, t_doc, MAX(run_grams) AS best_run
+  FROM rc GROUP BY e_doc, t_doc
+),
+hits AS (
+  SELECT e_doc,
+    MAX(best_run * {_ARGMAX_SHIFT}
+        + ({_ARGMAX_SHIFT - 1} - t_doc)) AS s,
+    COUNT(*)::BIGINT AS n_train_docs
+  FROM pair_best GROUP BY e_doc
+)
+SELECT d.doc_id,
+  COALESCE(s // {_ARGMAX_SHIFT} + {CONTAM_N - 1}, 0)::BIGINT
+    AS longest_run_tokens,
+  ({_ARGMAX_SHIFT - 1} - s % {_ARGMAX_SHIFT})::BIGINT AS best_train_doc,
+  COALESCE(n_train_docs, 0)::BIGINT AS n_train_docs
+FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} = 0) d
+LEFT JOIN hits ON d.doc_id = e_doc
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "curation_pack_sequences": pack_sequences,
     "curation_pii_redact": pii_redact,
     "curation_chunk_windows": chunk_windows,
     "curation_repetition_stats": repetition_stats,
     "curation_ngram_contamination": ngram_contamination,
+    "curation_substr_contamination": substring_contamination,
     "curation_bpe_pairs": bpe_pair_counts,
     "curation_url_strip": url_strip,
     "curation_mix_sources": mix_weighted_sources,
@@ -697,6 +858,7 @@ ORACLE = {
     "curation_chunk_windows": _CHUNK_SQL,
     "curation_repetition_stats": _REPETITION_SQL,
     "curation_ngram_contamination": _CONTAM_SQL,
+    "curation_substr_contamination": _SUBSTR_SQL,
     "curation_bpe_pairs": _BPE_SQL,
     "curation_url_strip": _URL_SQL,
     "curation_mix_sources": _MIX_SQL,

@@ -14,6 +14,8 @@ from tests.test_bi import _compare
     "name",
     [
         "dedup_exact",
+        "dedup_paragraphs",
+        "curation_substr_contamination",
         "dedup_jaccard_pairs",
         "dedup_jaccard_full",
         "dedup_ngram_jaccard",
@@ -551,3 +553,104 @@ def test_knn_eval_matches_brute_force(spark):
     }
     want = {lb: (n, c) for lb, (n, c) in per_label.items()}
     assert got == want
+
+
+def test_substring_contamination_matches_bruteforce(spark):
+    """Diagonal-run formulation == classic O(n*m) DP longest common
+    substring, checked doc-by-doc over the whole sf0.01 corpus."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import curation
+
+    rows = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {
+        r.doc_id: r.text.strip().lower().split() for r in rows if r.text
+    }
+    ev = sorted(d for d in toks if d % curation.EVAL_MOD == 0)
+    tr = sorted(d for d in toks if d % curation.EVAL_MOD != 0)
+
+    def lcs_run(a, b):
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    if cur[j] > best:
+                        best = cur[j]
+            prev = cur
+        return best
+
+    expected = {}
+    for e in ev:
+        runs = {t: lcs_run(toks[e], toks[t]) for t in tr}
+        best = max(runs.values(), default=0)
+        if best < curation.CONTAM_N:
+            expected[e] = (0, None, 0)
+        else:
+            arg = min(t for t, r in runs.items() if r == best)
+            nhit = sum(1 for r in runs.values() if r >= curation.CONTAM_N)
+            expected[e] = (best, arg, nhit)
+
+    got = {
+        r.doc_id: (r.longest_run_tokens, r.best_train_doc, r.n_train_docs)
+        for r in curation.substring_contamination(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_paragraph_dedup_constructed_duplicates(spark, tmp_path):
+    """Three docs: B repeats A's first paragraph verbatim, C is unique.
+    The canonical copy stays in A; B's copy (and only it) is dup."""
+    para1 = " ".join(f"w{i}" for i in range(dedup.PARA_TOKENS))
+    para2 = " ".join(f"x{i}" for i in range(dedup.PARA_TOKENS))
+    para3 = " ".join(f"y{i}" for i in range(dedup.PARA_TOKENS))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para1} {para2}", "en", "web", 0),
+            (2, f"{para1} {para3}", "en", "web", 0),
+            (3, f"{para3}", "en", "web", 0),  # dup of doc2's 2nd para
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_paragraphs(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_dup_paras == 0 and out[1].n_paras == 2
+    assert out[2].n_dup_paras == 1  # para1 canonical lives in doc 1
+    assert out[3].n_dup_paras == 1  # para3 canonical lives in doc 2
+    assert out[1].kept_tokens == out[1].total_tokens == 2 * dedup.PARA_TOKENS
+    assert out[2].kept_tokens == dedup.PARA_TOKENS
+    # token conservation: kept + dropped == total
+    for r in out.values():
+        assert r.total_tokens >= r.kept_tokens
+        assert abs(r.dup_ratio - r.n_dup_paras / r.n_paras) < 1e-9
+
+
+def test_paragraph_dedup_conserves_corpus(spark):
+    """Corpus-level invariants at sf0.01: paragraph counts tile the
+    token stream; exactly one canonical copy survives per distinct
+    paragraph hash."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    out = dedup.dedup_paragraphs(spark, SF_ORACLE)
+    agg = out.agg(
+        F.sum("n_paras").alias("paras"),
+        F.sum("n_dup_paras").alias("dups"),
+        F.sum("total_tokens").alias("tok"),
+    ).collect()[0]
+    paras = dedup._para_frame(
+        load_table(spark, SF_ORACLE, "documents")
+    )
+    assert agg.paras == paras.count()
+    assert agg.tok == paras.agg(F.sum("n_tok")).collect()[0][0]
+    # survivors == distinct paragraph hashes
+    n_distinct = paras.select("para_hash").distinct().count()
+    assert agg.paras - agg.dups == n_distinct
