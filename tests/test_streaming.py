@@ -687,3 +687,67 @@ def test_streaming_funnel_equals_batch(spark, workdir):
         for r in bf.user_chains(ev).collect()
     }
     assert final == batch
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """session_window maintained in the state store across micro-batches
+    == the same session_window computed in one batch pass — multi-file
+    source so sessions genuinely MERGE across batches.  The split is
+    random, so events arrive out of event-time order across batches; a
+    watermark wider than the whole (historical) event range keeps every
+    late row admissible and the equality exact — with the default 2 h
+    watermark the same pipeline would correctly DROP cross-batch
+    stragglers and diverge from batch."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.streaming import windows as sw
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "ts", "user_id", "value"
+    )
+    d = str(tmp_path / "ev_sess")
+    # 4 files -> 4 micro-batches; random split so one user's session
+    # spans batches and the state-store merge path actually runs
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+
+    batch = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.session_value)
+        for r in sw.session_windowed_counts_stream(
+            static, watermark="3650 days"
+        ).collect()
+    }
+    assert batch
+
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = sw.session_windowed_counts_stream(src, watermark="3650 days")
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_twin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, session_start_us, session_end_us, n_events,"
+            " session_value FROM sess_twin"
+        ).collect()
+    }
+    assert streamed == batch
+    # sessions are disjoint per user (window end already includes the
+    # 30-min gap, so the next session may start exactly at it)
+    per_user: dict = {}
+    for u, s, e, n, v in sorted(batch):
+        assert e >= s and n >= 1
+        if u in per_user:
+            assert s >= per_user[u]
+        per_user[u] = e
