@@ -147,6 +147,9 @@ _UNPROVEN_AGE_ORDER = [
     "text_vocab_growth", "ml_welch_ttest",
     # r4 additions
     "dedup_paragraphs", "curation_substr_contamination",
+    "bi_priority_check", "bi_nation_volume", "bi_returned_topk",
+    "bi_shipdelay_priority", "bi_disjunctive_revenue",
+    "bi_dormant_prospects",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

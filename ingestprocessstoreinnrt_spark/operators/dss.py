@@ -435,6 +435,361 @@ ORDER BY cohort_month, age_months
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 — late-lineitem order-priority check (EXISTS as left-semi join)
+# ---------------------------------------------------------------------------
+
+PRIO_START, PRIO_END = "1996-01-01", "1996-04-01"
+PRIO_LATE_DAYS = 90
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority class having >= 1 lineitem shipped more than
+    PRIO_LATE_DAYS after the order date, for one quarter — TPC-H Q4's
+    correlated EXISTS planned as a LEFT-SEMI equi-join: the probe side
+    is the (distinct-orderkey) late set, never a fact-fact multiply."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= PRIO_START)
+        & (F.col("o_orderdate") < PRIO_END)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {PRIO_LATE_DAYS} DAYS")
+        )
+        .select("o_orderkey")
+    )
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_PRIORITY_CHECK_SQL = f"""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= '{PRIO_START}' AND o_orderdate < '{PRIO_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {PRIO_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# Q7 — cross-nation trade volume (bidirectional nation-pair revenue)
+# ---------------------------------------------------------------------------
+
+TRADE_NATIONS = ("NATION_3", "NATION_7")
+
+
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between the two TRADE_NATIONS (both directions)
+    per year — TPC-H Q7.  Both dim chains filter to one nation BEFORE
+    touching a fact table, so the supplier/customer frames entering the
+    fact joins are tiny slices (unhinted; the size estimator broadcasts
+    them at bench scale, AQE decides at 100 TB)."""
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*TRADE_NATIONS)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(maybe_broadcast(nat, scale_invariant=True),
+              F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(maybe_broadcast(nat, scale_invariant=True).alias("cn"),
+              F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .select("c_custkey", F.col("cn.n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(rev, "volume"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_NATION_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'volume')},
+  COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{TRADE_NATIONS[0]}', '{TRADE_NATIONS[1]}')
+  AND cn.n_name IN ('{TRADE_NATIONS[0]}', '{TRADE_NATIONS[1]}')
+  AND sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item revenue: top customers by refund exposure
+# ---------------------------------------------------------------------------
+
+RETURN_TOPK = 20
+RETURN_START, RETURN_END = "1996-01-01", "1996-07-01"
+
+
+def returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-RETURN_TOPK customers by revenue on RETURNED lineitems for a
+    half-year of orders — TPC-H Q10.  The fact side reduces to
+    per-customer partials before the customer dim joins on; top-k is
+    TakeOrdered (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= RETURN_START)
+        & (F.col("o_orderdate") < RETURN_END)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dsum(rev, "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+        )
+    )
+    return (
+        per_cust.join(
+            maybe_broadcast(cust), F.col("o_custkey") == cust.c_custkey
+        )
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey",
+            "revenue", "n_returned",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(RETURN_TOPK)
+    )
+
+
+_RETURNED_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, c_nationkey, revenue, n_returned
+FROM (
+  SELECT o_custkey,
+    {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+    COUNT(*)::BIGINT AS n_returned
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '{RETURN_START}' AND o_orderdate < '{RETURN_END}'
+  GROUP BY o_custkey
+)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {RETURN_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# Q12 shape — ship-delay buckets x order priority (conditional counts)
+# ---------------------------------------------------------------------------
+
+DELAY_FAST, DELAY_MEDIUM = 30, 60
+
+
+def shipdelay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems bucketed by ship delay (fast/medium/slow), counting
+    critical-priority (1-URGENT/2-HIGH) vs lower-priority orders per
+    bucket — TPC-H Q12's CASE-inside-aggregate shape with the delay
+    bucket standing in for the absent l_shipmode column."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= DELAY_FAST, "fast")
+        .when(delay <= DELAY_MEDIUM, "medium")
+        .otherwise("slow")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(crit.cast("long")).cast("long").alias("critical_count"),
+            F.sum((~crit).cast("long")).cast("long").alias("normal_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+_SHIPDELAY_SQL = f"""
+SELECT
+  CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= {DELAY_FAST}
+         THEN 'fast'
+       WHEN date_diff('day', o_orderdate, l_shipdate) <= {DELAY_MEDIUM}
+         THEN 'medium'
+       ELSE 'slow' END AS delay_bucket,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS critical_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END)::BIGINT AS normal_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+"""
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive brand/size/quantity revenue (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matching any of three (brand, size range, quantity
+    range) conjunctions — TPC-H Q19.  One pass: the part dim joins
+    (unhinted broadcast) and the OR-of-ANDs evaluates inside codegen;
+    the l_quantity range union [1,30] pushes down to the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#33")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.filter(F.col("l_quantity").between(1, 30))
+        .filter(c1 | c2 | c3)
+        .agg(
+            dsum(rev, "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+_DISJUNCTIVE_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  COUNT(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity BETWEEN 1 AND 30
+  AND (
+    (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+     AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30)
+  )
+"""
+
+# ---------------------------------------------------------------------------
+# Q22 — dormant high-balance prospects (anti-join + scalar threshold)
+# ---------------------------------------------------------------------------
+
+PROSPECT_SEGMENTS = (1, 2, 4)  # c_custkey % 7 stands in for phone prefix
+
+
+DORMANT_SINCE = "2000-01-01"
+
+
+def dormant_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers in selected segments with above-average positive
+    balance and NO orders since DORMANT_SINCE — TPC-H Q22's shape: a
+    one-row scalar threshold broadcast into the dim scan, then a
+    LEFT-ANTI join against the (date-filtered) orders keyspace,
+    aggregated per segment.  (The synthetic corpus gives every
+    customer at least one lifetime order, so Q22's literal "never
+    ordered" predicate is vacuous; the recency cutoff keeps the
+    anti-join shape AND a non-empty answer.)"""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn(
+            "segment", F.pmod(F.col("c_custkey"), F.lit(7)).cast("long")
+        )
+        .filter(F.col("segment").isin(*PROSPECT_SEGMENTS))
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= DORMANT_SINCE
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))  # single-row threshold
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prospects"),
+            dsum("c_acctbal", "total_balance"),
+        )
+        .orderBy("segment")
+    )
+
+
+_PROSPECTS_SQL = f"""
+WITH seg AS (
+  SELECT *, (c_custkey % 7)::BIGINT AS segment FROM customer
+  WHERE (c_custkey % 7) IN {PROSPECT_SEGMENTS}
+),
+thresh AS (
+  SELECT {sql_davg('c_acctbal', 'avg_bal')} FROM seg WHERE c_acctbal > 0
+)
+SELECT segment, COUNT(*)::BIGINT AS n_prospects,
+  {sql_dsum('c_acctbal', 'total_balance')}
+FROM seg, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01'
+  )
+GROUP BY segment
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "bi_cohort_ltv": cohort_ltv,
     "bi_order_count_dist": order_count_dist,
@@ -443,6 +798,12 @@ QUERIES = {
     "bi_large_orders": large_orders,
     "bi_nation_profit": nation_profit,
     "bi_sole_late_supplier": sole_late_supplier,
+    "bi_priority_check": order_priority_check,
+    "bi_nation_volume": nation_volume,
+    "bi_returned_topk": returned_topk,
+    "bi_shipdelay_priority": shipdelay_priority,
+    "bi_disjunctive_revenue": disjunctive_revenue,
+    "bi_dormant_prospects": dormant_prospects,
 }
 ORACLE = {
     "bi_cohort_ltv": _COHORT_LTV_SQL,
@@ -452,4 +813,10 @@ ORACLE = {
     "bi_large_orders": _LARGE_ORDERS_SQL,
     "bi_nation_profit": _NATION_PROFIT_SQL,
     "bi_sole_late_supplier": _SOLE_LATE_SQL,
+    "bi_priority_check": _PRIORITY_CHECK_SQL,
+    "bi_nation_volume": _NATION_VOLUME_SQL,
+    "bi_returned_topk": _RETURNED_SQL,
+    "bi_shipdelay_priority": _SHIPDELAY_SQL,
+    "bi_disjunctive_revenue": _DISJUNCTIVE_SQL,
+    "bi_dormant_prospects": _PROSPECTS_SQL,
 }

@@ -148,3 +148,62 @@ def test_cohort_ltv_triangle_conserves_orders(spark):
     assert cohorts == age0
     for r in rows:
         assert r.age_months >= 0
+
+
+def test_priority_check_plans_left_semi(spark):
+    """Q4's EXISTS must plan as LeftSemi with the quarter filter pushed
+    into the orders scan — never join+distinct."""
+    df = dss.order_priority_check(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert E.has_pushed_filter(df, "o_orderdate")
+    # priority counts bound by quarter's orders
+    total = sum(r.order_count for r in df.collect())
+    quarter = (
+        load_table(spark, SF_ORACLE, "orders")
+        .filter(
+            (F.col("o_orderdate") >= dss.PRIO_START)
+            & (F.col("o_orderdate") < dss.PRIO_END)
+        )
+        .count()
+    )
+    assert 0 < total <= quarter
+
+
+def test_dormant_prospects_plans_left_anti(spark):
+    """Q22's NOT EXISTS must plan as LeftAnti with the recency filter
+    pushed into the orders scan."""
+    df = dss.dormant_prospects(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert E.has_pushed_filter(df, "o_orderdate")
+    rows = df.collect()
+    assert rows and all(
+        r.segment in dss.PROSPECT_SEGMENTS for r in rows
+    )
+
+
+def test_disjunctive_revenue_pushes_quantity_range(spark):
+    """Q19's OR-of-ANDs: the common l_quantity in [1,30] envelope must
+    reach the lineitem scan as pushed min/max filters."""
+    df = dss.disjunctive_revenue(spark, SF_ORACLE)
+    assert E.has_pushed_filter(df, "l_quantity")
+    assert E.uses_broadcast_join(df)
+
+
+def test_nation_volume_directions_partition_revenue(spark):
+    """Both trade directions appear and every row names the two
+    configured nations on opposite sides."""
+    rows = dss.nation_volume(spark, SF_ORACLE).collect()
+    assert rows
+    dirs = {(r.supp_nation, r.cust_nation) for r in rows}
+    a, b = dss.TRADE_NATIONS
+    assert dirs <= {(a, b), (b, a)} and len(dirs) == 2
+    assert all(r.volume > 0 and r.n_items > 0 for r in rows)
+
+
+def test_shipdelay_buckets_tile_lineitems(spark):
+    """fast/medium/slow counts sum to the joined lineitem total."""
+    rows = dss.shipdelay_priority(spark, SF_ORACLE).collect()
+    got = sum(r.critical_count + r.normal_count for r in rows)
+    assert got == load_table(spark, SF_ORACLE, "lineitem").count()
