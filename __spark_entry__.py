@@ -149,7 +149,8 @@ _UNPROVEN_AGE_ORDER = [
     "dedup_paragraphs", "curation_substr_contamination",
     "bi_priority_check", "bi_nation_volume", "bi_returned_topk",
     "bi_shipdelay_priority", "bi_disjunctive_revenue",
-    "bi_dormant_prospects",
+    "bi_dormant_prospects", "graph_components", "text_zipf_slope",
+    "text_unigram_entropy", "quality_benford", "ts_ohlc_bars",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -394,13 +394,100 @@ GROUP BY src
     )
 
 
+
+# ---------------------------------------------------------------------------
+# connected components (label propagation + pointer jumping)
+# ---------------------------------------------------------------------------
+#
+# Component discovery over a sparser slice of the shipment graph
+# (full-quantity lineitems only — the 1-in-10 demo graph is one giant
+# component, which makes the answer a single row; the quantity gate
+# splinters it into dozens of co-purchase communities).  The Spark side
+# reuses dedup.connected_components: distributed min-label propagation
+# with pointer jumping and per-pass localCheckpoints, converging in
+# ~log(diameter) passes; under SMALL_GRAPH_MAX_EDGES it short-circuits
+# to an exact driver union-find (metadata-scale collect, guarded).
+# The DuckDB oracle is an independent formulation: a recursive CTE
+# accumulating the transitive (node, reaching-label) closure, then
+# MIN(label) per node — O(sum |component|^2) rows, fine at oracle
+# scale, never run at bench scale.
+
+_CC_MIN_QTY = 48
+
+
+def components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(component_id, n_nodes, n_suppliers, n_customers) per connected
+    component of the full-quantity shipment graph, largest first."""
+    from .dedup import connected_components
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_orderkey") % _EDGE_MOD == 0)
+            & (F.col("l_quantity") >= _CC_MIN_QTY)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("doc_a"),
+            (F.col("o_custkey") * 2 + 1).alias("doc_b"),
+        )
+        .distinct()
+    )
+    labels = connected_components(edges)
+    return (
+        labels.groupBy(F.col("cluster_rep").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("long"))
+            .cast("long")
+            .alias("n_suppliers"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("long"))
+            .cast("long")
+            .alias("n_customers"),
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("component_id").asc())
+    )
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % {_EDGE_MOD} = 0 AND l_quantity >= {_CC_MIN_QTY}
+),
+e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node
+),
+lab AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node)
+SELECT component_id,
+  COUNT(*)::BIGINT AS n_nodes,
+  SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_suppliers,
+  SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_customers
+FROM lab
+GROUP BY component_id
+ORDER BY n_nodes DESC, component_id ASC
+"""
+
+
 QUERIES = {
     "graph_pagerank": pagerank_shipments,
+    "graph_components": components,
     "graph_bfs_landmarks": bfs_landmarks,
     "graph_kcore_peel": kcore_peel,
 }
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
+    "graph_components": _COMPONENTS_SQL,
     "graph_bfs_landmarks": _bfs_sql(),
     "graph_kcore_peel": _kcore_sql(),
 }

@@ -318,14 +318,97 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data detector)
+# ---------------------------------------------------------------------------
+#
+# Naturally-occurring monetary amounts follow Benford's law
+# (P(d) = log10(1 + 1/d)); ledgers that don't are fabricated, rounded,
+# or capped.  One wordcount-shaped pass: the first significant digit
+# comes from the QUANTIZED integer cents (integer->string is
+# bit-identical cross-engine; double->string is not), the 9-row
+# rollup is map-side combinable, and the expected shares are
+# constant-folded literals.
+
+
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n, share, benford_expected, abs_dev) over order
+    totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    per = (
+        orders.filter(cents > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = per.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6
+    )
+    return (
+        per.join(F.broadcast(total))  # single-row total
+        .select(
+            "digit",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+            expected.alias("benford_expected"),
+            F.round(
+                F.abs(
+                    F.round(
+                        F.col("n").cast("double")
+                        / F.col("total").cast("double"),
+                        6,
+                    )
+                    - F.round(
+                        F.log10(
+                            1.0 + 1.0 / F.col("digit").cast("double")
+                        ),
+                        6,
+                    )
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH per AS (
+  SELECT substr(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     AS VARCHAR), 1, 1)::BIGINT AS digit,
+    COUNT(*)::BIGINT AS n
+  FROM orders
+  WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) > 0
+  GROUP BY digit
+),
+t AS (SELECT SUM(n)::BIGINT AS total FROM per)
+SELECT digit, n,
+  ROUND(n::DOUBLE / total::DOUBLE, 6) AS share,
+  ROUND(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford_expected,
+  ROUND(ABS(ROUND(n::DOUBLE / total::DOUBLE, 6)
+            - ROUND(log10(1.0 + 1.0 / digit::DOUBLE), 6)), 6)
+    AS abs_dev
+FROM per, t
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "quality_column_profile": column_profile,
+    "quality_benford": benford_digits,
     "quality_referential_audit": referential_audit,
     "quality_mad_outliers": mad_outliers,
     "quality_schema_drift": schema_drift,
 }
 ORACLE = {
     "quality_column_profile": _profile_sql(),
+    "quality_benford": _BENFORD_SQL,
     "quality_referential_audit": _audit_sql(),
     "quality_mad_outliers": _MAD_SQL,
     "quality_schema_drift": _DRIFT_SQL,

@@ -1117,6 +1117,193 @@ ORDER BY checkpoint
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (corpus health diagnostic)
+# ---------------------------------------------------------------------------
+#
+# Natural corpora follow freq ~ rank^-s with s ~ 1; a slope far off 1
+# flags synthetic/templated/boilerplate-heavy data before it poisons a
+# training mix.  Scale shape: wordcount aggregate (map-side combined)
+# -> TakeOrdered top-ZIPF_TOP panel -> rank window over the BOUNDED
+# panel (never over raw vocabulary) -> one OLS from exact integer
+# sufficient statistics (ln values quantized to 1e-6 before summing,
+# so both engines add the same integers in any order).
+
+ZIPF_TOP = 200
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_terms, slope, intercept) of ln(freq) ~ ln(rank)
+    over the top-ZIPF_TOP corpus terms."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counts.orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    ).limit(ZIPF_TOP)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("term").asc())
+        ),
+    )
+    qx = F.floor(
+        F.round(F.log(F.col("rank").cast("double")), 9) * 1e6 + 0.5
+    ).cast("long")
+    qy = F.floor(
+        F.round(F.log(F.col("n").cast("double")), 9) * 1e6 + 0.5
+    ).cast("long")
+    st = ranked.select(
+        qx.alias("qx"), qy.alias("qy")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy"),
+    )
+    slope = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+    )
+    return st.select(
+        F.col("m").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") / 1e6
+                - F.round(slope, 6) * (F.col("sx").cast("double") / 1e6)
+            )
+            / F.col("m").cast("double"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+  ) AS term
+  FROM documents
+),
+freq AS (
+  SELECT term, COUNT(*)::BIGINT AS n FROM counts GROUP BY term
+),
+top AS (
+  SELECT term, n FROM freq ORDER BY n DESC, term ASC LIMIT {ZIPF_TOP}
+),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rank
+  FROM top
+),
+q AS (
+  SELECT
+    CAST(FLOOR(ROUND(ln(rank::DOUBLE), 9) * 1e6 + 0.5) AS BIGINT) AS qx,
+    CAST(FLOOR(ROUND(ln(n::DOUBLE), 9) * 1e6 + 0.5) AS BIGINT) AS qy
+  FROM ranked
+),
+st AS (
+  SELECT COUNT(*)::BIGINT AS m, SUM(qx)::BIGINT AS sx,
+    SUM(qy)::BIGINT AS sy, SUM(qx * qx)::BIGINT AS sxx,
+    SUM(qx * qy)::BIGINT AS sxy
+  FROM q
+)
+SELECT m AS n_terms,
+  ROUND((m * sxy - sx * sy)::DOUBLE / (m * sxx - sx * sx)::DOUBLE, 6)
+    AS slope,
+  ROUND((sy::DOUBLE / 1e6
+         - ROUND((m * sxy - sx * sy)::DOUBLE
+                 / (m * sxx - sx * sx)::DOUBLE, 6)
+           * (sx::DOUBLE / 1e6)) / m::DOUBLE, 6) AS intercept
+FROM st
+"""
+
+# ---------------------------------------------------------------------------
+# unigram entropy per source (mixture diversity diagnostic)
+# ---------------------------------------------------------------------------
+#
+# H = ln(N) - (1/N) * sum c*ln(c): the per-term contributions are
+# quantized to integers before the sum (the decimal-sum contract), so
+# the aggregate is order-independent and exact cross-engine.  Shape:
+# (source, term) wordcount -> source-grain aggregate; both map-side
+# combinable, state is vocabulary-grain.
+
+
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, vocab_size, entropy_nats) per document
+    source."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    qcl = F.floor(
+        F.col("c").cast("double")
+        * F.round(F.log(F.col("c").cast("double")), 9)
+        * 1e4
+        + 0.5
+    ).cast("long")
+    per = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(qcl).cast("long").alias("s"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.round(
+            F.round(F.log(F.col("n_tokens").cast("double")), 9)
+            - (F.col("s").cast("double") / 1e4)
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+    ).orderBy("source")
+
+
+_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT source, term, COUNT(*)::BIGINT AS c
+  FROM (
+    SELECT source, unnest(
+      CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+    ) AS term
+    FROM documents
+  )
+  GROUP BY source, term
+),
+per AS (
+  SELECT source, SUM(c)::BIGINT AS n_tokens,
+    COUNT(*)::BIGINT AS vocab_size,
+    SUM(CAST(FLOOR(c::DOUBLE * ROUND(ln(c::DOUBLE), 9) * 1e4 + 0.5)
+             AS BIGINT))::BIGINT AS s
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, vocab_size,
+  ROUND(ROUND(ln(n_tokens::DOUBLE), 9)
+        - (s::DOUBLE / 1e4) / n_tokens::DOUBLE, 6) AS entropy_nats
+FROM per
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_vocab_growth": vocab_growth,
     "curation_token_budget": token_budget_fill,
@@ -1124,6 +1311,8 @@ QUERIES = {
     "curation_gate_funnel": curation_gate_funnel,
     "text_ngram_novelty": ngram_novelty,
     "text_stats": text_stats,
+    "text_zipf_slope": zipf_slope,
+    "text_unigram_entropy": unigram_entropy,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_bm25": text_bm25,
@@ -1142,6 +1331,8 @@ ORACLE = {
     "curation_gate_funnel": _gate_funnel_sql(),
     "text_ngram_novelty": _NOVELTY_SQL,
     "text_stats": _STATS_SQL,
+    "text_zipf_slope": _ZIPF_SQL,
+    "text_unigram_entropy": _ENTROPY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,
     "text_bm25": _bm25_sql(),

@@ -528,8 +528,92 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# OHLC candle bars (market-data rollup shape)
+# ---------------------------------------------------------------------------
+#
+# Open/close are POSITIONAL aggregates (first/last value by event
+# time) — the pattern every market-data / telemetry pipeline needs and
+# plain min/max can't express.  Shape: ONE shuffle on the (event_type,
+# hour) grain serves both window passes (same partitioning) and the
+# final aggregate; high/low/volume ride along as plain aggregates.
+# Partitions are (type, hour) cells — bounded and uniform, no skew.
+# Determinism: ties on ts break by event_id in both engines.
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour_us, open, high, low, close, n_events,
+    volume) hourly candles over the events value stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "h").orderBy(
+        "ts_us", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "h").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    flagged = ev.withColumn(
+        "rn_a", F.row_number().over(wa)
+    ).withColumn("rn_d", F.row_number().over(wd))
+    return (
+        flagged.groupBy("event_type", "h")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias(
+                "open"
+            ),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value", "volume"),
+        )
+        .select(
+            "event_type",
+            (F.col("h") * HOUR_US).alias("hour_us"),
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+_OHLC_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS h,
+    epoch_us(ts) AS ts_us, event_id, value
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, h
+                       ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY event_type, h
+                       ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM ev
+)
+SELECT event_type, h * {HOUR_US} AS hour_us,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  COUNT(*)::BIGINT AS n_events,
+  {sql_dsum('value', 'volume')}
+FROM flagged
+GROUP BY event_type, h
+ORDER BY event_type, hour_us
+"""
+
+
 QUERIES = {
     "ts_hourly_autocorr": hourly_autocorr,
+    "ts_ohlc_bars": ohlc_bars,
     "ts_seasonal_anomaly": seasonal_anomaly,
     "ts_resample_ffill": resample_ffill,
     "ml_quantile_bins": quantile_bins,
@@ -538,6 +622,7 @@ QUERIES = {
 }
 ORACLE = {
     "ts_hourly_autocorr": _AUTOCORR_SQL,
+    "ts_ohlc_bars": _OHLC_SQL,
     "ts_seasonal_anomaly": _SEASONAL_SQL,
     "ts_resample_ffill": _RESAMPLE_SQL,
     "ml_quantile_bins": _bins_sql(),
