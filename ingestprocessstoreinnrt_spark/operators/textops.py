@@ -1304,6 +1304,96 @@ ORDER BY source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# PMI collocations (phrase mining for tokenizer/vocab curation)
+# ---------------------------------------------------------------------------
+#
+# Pointwise mutual information over adjacent pairs surfaces the
+# collocations ("new york") worth merging before tokenizer training.
+# Reuses the cached bigram frame (one narrow slice+zip explode per
+# session, the _bigram_frame pattern); marginals are wordcount
+# aggregates joined back on vocabulary-grain keys (unhinted — vocab
+# scales with corpus); ranking is TakeOrdered over the count-gated
+# pair set.  PMI = ln(n_pair * N / (c1 * c2)) on exact integers,
+# rounded to 6 dp for the cross-engine match.
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 100
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, n_pair, c1, c2, pmi, rank) — top collocations by PMI
+    among pairs seen >= PMI_MIN_COUNT times."""
+    from pyspark.sql import Window
+
+    bg = _bigram_frame(load_table(spark, sf_dir, "documents")).select(
+        "w1", "w2"
+    )
+    pc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    c1 = pc.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("c1"))
+    c2 = pc.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("c2"))
+    total = pc.agg(F.sum("n_pair").cast("long").alias("n_total"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("n_total")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        ),
+        6,
+    )
+    keys = [
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc(),
+    ]
+    top = (
+        pc.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(total))  # single-row corpus total
+        .withColumn("pmi", pmi)
+        .orderBy(*keys)
+        .limit(PMI_TOPK)
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+    ).select("w1", "w2", "n_pair", "c1", "c2", "pmi", "rank")
+
+
+_PMI_SQL = f"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+),
+bg AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM d
+),
+pc AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n_pair FROM bg GROUP BY w1, w2
+),
+m1 AS (SELECT w1, SUM(n_pair)::BIGINT AS c1 FROM pc GROUP BY w1),
+m2 AS (SELECT w2, SUM(n_pair)::BIGINT AS c2 FROM pc GROUP BY w2),
+t AS (SELECT SUM(n_pair)::BIGINT AS n_total FROM pc),
+scored AS (
+  SELECT w1, w2, n_pair, c1, c2,
+    ROUND(ln((n_pair * n_total)::DOUBLE / (c1 * c2)::DOUBLE), 6) AS pmi
+  FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2), t
+  WHERE n_pair >= {PMI_MIN_COUNT}
+),
+top AS (
+  SELECT * FROM scored
+  ORDER BY pmi DESC, w1 ASC, w2 ASC
+  LIMIT {PMI_TOPK}
+)
+SELECT w1, w2, n_pair, c1, c2, pmi,
+  ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)::BIGINT AS rank
+FROM top
+"""
+
+
 QUERIES = {
     "text_vocab_growth": vocab_growth,
     "curation_token_budget": token_budget_fill,
@@ -1312,6 +1402,7 @@ QUERIES = {
     "text_ngram_novelty": ngram_novelty,
     "text_stats": text_stats,
     "text_zipf_slope": zipf_slope,
+    "text_pmi_collocations": pmi_collocations,
     "text_unigram_entropy": unigram_entropy,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1332,6 +1423,7 @@ ORACLE = {
     "text_ngram_novelty": _NOVELTY_SQL,
     "text_stats": _STATS_SQL,
     "text_zipf_slope": _ZIPF_SQL,
+    "text_pmi_collocations": _PMI_SQL,
     "text_unigram_entropy": _ENTROPY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,

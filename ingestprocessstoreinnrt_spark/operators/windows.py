@@ -511,10 +511,84 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# session_window rollup (the engine-native sessionizer, batch twin of
+# streaming/windows.session_windowed_counts_stream)
+# ---------------------------------------------------------------------------
+#
+# user_sessions above builds sessions from a lag window (gap > 30 min
+# STARTS a new session); F.session_window is the engine-native
+# operator the STREAMING path uses, with subtly different boundary
+# semantics: an event exactly 30 min after its predecessor starts a
+# new session (diff >= gap), and the reported end is last_ts + gap.
+# Exposing both keeps the boundary contract explicit — and this one's
+# DuckDB oracle re-derives session_window's semantics independently
+# (islands on diff >= gap, end = max + gap), so the cross-engine match
+# pins down exactly what the native operator does.  One shuffle on
+# user_id; tests/test_streaming.py proves the streamed twin equals
+# this batch plan bit-for-bit.
+
+
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start_us, session_end_us, n_events,
+    session_value) via the native session_window operator."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+_SESSION_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN ts_us - LAG(ts_us) OVER w >= {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_us
+      ROWS UNBOUNDED PRECEDING
+    ) AS seq
+  FROM flagged
+)
+SELECT user_id,
+  MIN(ts_us)::BIGINT AS session_start_us,
+  (MAX(ts_us) + {SESSION_GAP_US})::BIGINT AS session_end_us,
+  COUNT(*)::BIGINT AS n_events,
+  {sql_dsum('value', 'session_value')}
+FROM sess
+GROUP BY user_id, seq
+ORDER BY user_id, session_start_us
+"""
+
+
 QUERIES = {
     "win_gap_distribution": gap_distribution,
     "win_running_totals": running_totals,
     "win_user_sessions": user_sessions,
+    "win_session_rollup": session_window_rollup,
     "win_tumbling_hourly": tumbling_hourly,
     "win_hopping_quarter": hopping_quarter,
     "win_user_event_ranks": user_event_ranks,
@@ -527,6 +601,7 @@ ORACLE = {
     "win_gap_distribution": _GAPS_SQL,
     "win_running_totals": _RUNNING_SQL,
     "win_user_sessions": _SESSIONS_SQL,
+    "win_session_rollup": _SESSION_WINDOW_SQL,
     "win_tumbling_hourly": _TUMBLING_SQL,
     "win_hopping_quarter": _HOPPING_SQL,
     "win_user_event_ranks": _RANKS_SQL,
