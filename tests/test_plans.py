@@ -307,3 +307,31 @@ def test_maybe_broadcast_guard():
         hints.maybe_broadcast(probe, est_rows=hints.BROADCAST_ROW_CAP + 1)
         is probe
     )
+
+
+def test_r4_ops_have_clean_plans(spark):
+    """New r4 operators: no cartesian products; the only nested-loop
+    joins are single-row stat broadcasts (benford/PMI totals); OHLC's
+    two window passes share one shuffle grain (<=2 exchanges + sort)."""
+    import re
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    bnlj_whitelist = {"quality_benford", "text_pmi_collocations"}
+    for name in (
+        "dedup_paragraphs", "curation_substr_contamination",
+        "graph_components", "text_zipf_slope", "text_unigram_entropy",
+        "quality_benford", "ts_ohlc_bars", "text_pmi_collocations",
+        "win_session_rollup",
+    ):
+        body = E.formatted_plan(qs[name](spark, SF_ORACLE)).split(
+            "== Physical Plan =="
+        )[-1]
+        assert "CartesianProduct" not in body, name
+        bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", body))
+        assert bnlj <= (1 if name in bnlj_whitelist else 0), name
+    ohlc = E.formatted_plan(
+        qs["ts_ohlc_bars"](spark, SF_ORACLE)
+    ).split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", ohlc)) <= 2
