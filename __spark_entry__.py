@@ -151,7 +151,7 @@ _UNPROVEN_AGE_ORDER = [
     "bi_shipdelay_priority", "bi_disjunctive_revenue",
     "bi_dormant_prospects", "graph_components", "text_zipf_slope",
     "text_unigram_entropy", "quality_benford", "ts_ohlc_bars",
-    "text_pmi_collocations", "win_session_rollup",
+    "text_pmi_collocations", "win_session_rollup", "ml_pca_power",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

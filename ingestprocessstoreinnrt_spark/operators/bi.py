@@ -1055,10 +1055,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_us", F.col("now_us") - F.col("last_us")
     )
     qlist = ", ".join(map(str, RFM_Q))
+    # boundaries round to 6 dp BEFORE scoring: with dense integer
+    # distributions the tercile interpolates between EQUAL order stats,
+    # and Spark's (1-h)*a + h*b returns N +/- 1 ulp where DuckDB's
+    # a + h*(b-a) returns exactly N — the >= gate then flips for every
+    # customer sitting on the boundary (caught by the r4 sf1 oracle
+    # sweep: 10 customers flipped an f_score at 10x rows).  Rounding
+    # collapses both engines' ulp-noise to the same value.
     bounds = facts.agg(
-        F.expr(f"percentile(rec_us, array({qlist}))").alias("rb"),
-        F.expr(f"percentile(freq, array({qlist}))").alias("fb"),
-        F.expr(f"percentile(monetary, array({qlist}))").alias("mb"),
+        F.expr(
+            f"transform(percentile(rec_us, array({qlist})),"
+            " x -> round(x, 6))"
+        ).alias("rb"),
+        F.expr(
+            f"transform(percentile(freq, array({qlist})),"
+            " x -> round(x, 6))"
+        ).alias("fb"),
+        F.expr(
+            f"transform(percentile(monetary, array({qlist})),"
+            " x -> round(x, 6))"
+        ).alias("mb"),
     )
 
     def score(col, bs):
@@ -1099,9 +1115,12 @@ facts AS (
   SELECT *, now_us - last_us AS rec_us FROM per_cust CROSS JOIN anchor
 ),
 bounds AS (
-  SELECT quantile_cont(rec_us, [{qlist}]) AS rb,
-         quantile_cont(freq, [{qlist}]) AS fb,
-         quantile_cont(monetary, [{qlist}]) AS mb
+  SELECT list_transform(quantile_cont(rec_us, [{qlist}]),
+                        x -> round(x, 6)) AS rb,
+         list_transform(quantile_cont(freq, [{qlist}]),
+                        x -> round(x, 6)) AS fb,
+         list_transform(quantile_cont(monetary, [{qlist}]),
+                        x -> round(x, 6)) AS mb
   FROM facts
 ),
 scored AS (

@@ -1880,6 +1880,123 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration (fifth iterative family)
+# ---------------------------------------------------------------------------
+#
+# The leading principal component of the embedding cloud — the
+# direction a PCA whitener or an anisotropy diagnostic needs first.
+# Distribution shape: the ONLY corpus-scale work is the covariance
+# aggregate (the already-oracled covariance_matrix plan); the d x d
+# cell frame (d=64 -> 4,160 cells) is METADATA-scale regardless of
+# corpus size, so the K-step power iteration runs driver-side on
+# exact integers — the kmeans-centroid / decision-tree-split pattern.
+# K = 500: the embedding cloud is near-isotropic (top eigengap
+# ~1.3%), so convergence needs ~0.987^k; 500 steps of a 64x64 exact
+# matvec are driver-trivial and land within ~5e-3 of numpy's
+# eigenvector (asserted in tests).
+# Cross-engine exactness: cells quantize to BIGINT at 1e6; each
+# iterate is integer matvec (exact) -> norm^2 as an exact big integer
+# (HUGEINT in DuckDB, unbounded int in Python) -> one IEEE
+# double/sqrt/floor renormalization with identical operation order.
+# The DuckDB twin re-runs the SAME iteration inside a recursive CTE —
+# the iterative op is value-verified end to end, like PageRank.
+
+PCA_ITERS = 500
+_PCA_CELL_SCALE = 1_000_000  # cov -> BIGINT
+_PCA_VEC_SCALE = 1_000_000  # unit vector -> BIGINT
+
+
+def pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(component, loading, eigenvalue) — top eigenvector of the
+    embedding covariance matrix after PCA_ITERS fixed power steps."""
+    import math
+
+    cells = covariance_matrix(spark, sf_dir).select(
+        "i",
+        "j",
+        F.floor(F.col("cov") * _PCA_CELL_SCALE + 0.5)
+        .cast("long")
+        .alias("q"),
+    ).collect()  # d*(d+1)/2 rows — metadata-scale by construction
+    q = {}
+    d = 0
+    for r in cells:
+        q[(r.i, r.j)] = r.q
+        q[(r.j, r.i)] = r.q
+        d = max(d, r.i + 1, r.j + 1)
+    v = [int(math.floor(1.0 / math.sqrt(float(d)) * _PCA_VEC_SCALE + 0.5))] * d
+    norm2 = 0
+    for _ in range(PCA_ITERS):
+        w = [
+            sum(q[(i, j)] * v[j] for j in range(d)) for i in range(d)
+        ]  # exact integers
+        norm2 = sum(x * x for x in w)  # exact (unbounded int)
+        nf = math.sqrt(float(norm2))
+        v = [
+            int(math.floor(float(x) / nf * _PCA_VEC_SCALE + 0.5))
+            for x in w
+        ]
+    lam = round(
+        math.sqrt(float(norm2)) / (_PCA_CELL_SCALE * _PCA_VEC_SCALE), 6
+    )
+    rows = [
+        (i, v[i] / float(_PCA_VEC_SCALE), lam) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "component long, loading double, eigenvalue double"
+    ).orderBy("component")
+
+
+def _pca_sql() -> str:
+    return f"""
+WITH RECURSIVE upper_cells AS MATERIALIZED ({_COV_SQL}),
+qcells AS MATERIALIZED (
+  SELECT i, j, CAST(FLOOR(cov * {_PCA_CELL_SCALE} + 0.5) AS BIGINT) AS q
+  FROM upper_cells
+),
+cells AS MATERIALIZED (
+  SELECT i, j, q FROM qcells
+  UNION ALL
+  SELECT j AS i, i AS j, q FROM qcells WHERE i <> j
+),
+dims AS (SELECT DISTINCT i FROM cells),
+d AS (SELECT COUNT(*)::BIGINT AS d FROM dims),
+it(k, i, v, lam) AS (
+  SELECT 0, dims.i,
+    CAST(FLOOR(1.0 / sqrt(d.d::DOUBLE) * {_PCA_VEC_SCALE} + 0.5)
+         AS BIGINT),
+    0.0::DOUBLE
+  FROM dims, d
+  UNION ALL
+  SELECT k + 1, i,
+    CAST(FLOOR(w::DOUBLE / sqrt(norm2::DOUBLE) * {_PCA_VEC_SCALE} + 0.5)
+         AS BIGINT),
+    sqrt(norm2::DOUBLE)
+      / ({_PCA_CELL_SCALE}::DOUBLE * {_PCA_VEC_SCALE}::DOUBLE)
+  FROM (
+    SELECT mv.k, mv.i, mv.w,
+      SUM(CAST(mv.w AS HUGEINT) * CAST(mv.w AS HUGEINT)) OVER (
+        PARTITION BY mv.k
+      ) AS norm2
+    FROM (
+      SELECT it.k AS k, c.i AS i, CAST(SUM(c.q * it.v) AS BIGINT) AS w
+      FROM it JOIN cells c ON c.j = it.i
+      WHERE it.k < {PCA_ITERS}
+      GROUP BY it.k, c.i
+    ) mv
+  )
+)
+SELECT i::BIGINT AS component,
+  v::DOUBLE / {_PCA_VEC_SCALE}::DOUBLE AS loading,
+  ROUND(lam, 6) AS eigenvalue
+FROM it
+WHERE k = {PCA_ITERS}
+ORDER BY component
+"""
+
+
 QUERIES = {
     "ml_welch_ttest": welch_ttest,
     "ml_chi2_independence": chi2_independence,
@@ -1896,6 +2013,7 @@ QUERIES = {
     "ml_value_histogram": value_histogram,
     "ml_auc": auc_rank,
     "ml_covariance_matrix": covariance_matrix,
+    "ml_pca_power": pca_power,
     "ml_naive_bayes": naive_bayes_confusion,
 }
 
@@ -1915,5 +2033,6 @@ ORACLE = {
     "ml_value_histogram": _HIST_SQL,
     "ml_auc": _AUC_SQL,
     "ml_covariance_matrix": _COV_SQL,
+    "ml_pca_power": _pca_sql(),
     "ml_naive_bayes": _NB_SQL,
 }

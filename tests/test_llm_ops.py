@@ -654,3 +654,28 @@ def test_paragraph_dedup_conserves_corpus(spark):
     # survivors == distinct paragraph hashes
     n_distinct = paras.select("para_hash").distinct().count()
     assert agg.paras - agg.dups == n_distinct
+
+
+def test_pca_power_matches_numpy_eigendecomposition(spark):
+    """The quantized power iteration lands on numpy's top eigenpair of
+    the exact covariance matrix (up to sign and quantization)."""
+    import numpy as np
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    rows = ml.pca_power(spark, SF_ORACLE).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.component)])
+    lam = rows[0].eigenvalue
+    emb = np.array([
+        r.embedding
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    ])
+    cov = np.cov(emb, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    if np.dot(top, v) < 0:
+        top = -top
+    assert abs(lam - w[-1]) < 1e-3
+    assert np.linalg.norm(v - top) < 1e-2
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
