@@ -152,6 +152,7 @@ _UNPROVEN_AGE_ORDER = [
     "bi_dormant_prospects", "graph_components", "text_zipf_slope",
     "text_unigram_entropy", "quality_benford", "ts_ohlc_bars",
     "text_pmi_collocations", "win_session_rollup", "ml_pca_power",
+    "asof_nearest", "quality_key_skew", "text_hash_features",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

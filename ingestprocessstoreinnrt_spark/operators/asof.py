@@ -280,13 +280,165 @@ FROM base
 """
 
 
+
+# ---------------------------------------------------------------------------
+# nearest-direction as-of join (backward + forward carry, pick closer)
+# ---------------------------------------------------------------------------
+#
+# Backward as-of answers "what was the state WHEN this happened";
+# sensor alignment and feature joins often want the temporally NEAREST
+# reading instead.  Same single-shuffle discipline as asof_enrich: one
+# tagged union, one per-key sort, and TWO carries over the same sorted
+# run (last non-null behind, first non-null ahead) — Spark executes
+# both window frames in one Window node, so the nearest join still
+# costs exactly one exchange.  Tie (equal gaps) resolves backward
+# (the earlier click) in both engines.  The DuckDB twin composes two
+# native ASOF joins (>= backward, <= forward) — an independent
+# formulation again.
+
+
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase: the temporally nearest click of the same
+    user — (event_id, user_id, purchase_ts_us, nearest_click_ts_us,
+    nearest_click_value, direction, gap_us)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    wdedup = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == RIGHT_TYPE)
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts_us",
+            F.col("ts_us").alias("r_ts"),
+            F.col("value").alias("r_val"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == LEFT_TYPE).select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("r_ts"),
+        F.lit(None).cast("double").alias("r_val"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts_us",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            "r_ts",
+            "r_val",
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        "ts_us", "tag", "event_id"
+    )
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    both = (
+        tagged.withColumn(
+            "b_ts", F.last("r_ts", ignorenulls=True).over(wb)
+        )
+        .withColumn("b_val", F.last("r_val", ignorenulls=True).over(wb))
+        .withColumn("f_ts", F.first("r_ts", ignorenulls=True).over(wf))
+        .withColumn(
+            "f_val", F.first("r_val", ignorenulls=True).over(wf)
+        )
+        .filter(F.col("tag") == 1)
+    )
+    gap_b = F.col("ts_us") - F.col("b_ts")
+    gap_f = F.col("f_ts") - F.col("ts_us")
+    pick_b = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (gap_b <= gap_f)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.when(pick_b, F.col("b_ts"))
+        .otherwise(F.col("f_ts"))
+        .alias("nearest_click_ts_us"),
+        F.when(pick_b, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+        .alias("nearest_click_value"),
+        F.when(
+            F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None)
+        )
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .cast("string")
+        .alias("direction"),
+        F.when(pick_b, gap_b).otherwise(gap_f).cast("long").alias(
+            "gap_us"
+        ),
+    )
+
+
+_NEAREST_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+  FROM events
+),
+clicks AS (
+  SELECT user_id, ts_us, value FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+    FROM e WHERE event_type = '{RIGHT_TYPE}'
+  ) WHERE rn = 1
+),
+purchases AS (
+  SELECT event_id, user_id, ts_us, value FROM e
+  WHERE event_type = '{LEFT_TYPE}'
+),
+back AS (
+  SELECT p.event_id, c.ts_us AS b_ts, c.value AS b_val
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+),
+fwd AS (
+  SELECT p.event_id, c.ts_us AS f_ts, c.value AS f_val
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+)
+SELECT p.event_id, p.user_id, p.ts_us AS purchase_ts_us,
+  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+            AND p.ts_us - b_ts <= f_ts - p.ts_us)
+       THEN b_ts ELSE f_ts END AS nearest_click_ts_us,
+  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+            AND p.ts_us - b_ts <= f_ts - p.ts_us)
+       THEN b_val ELSE f_val END AS nearest_click_value,
+  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+       WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+            AND p.ts_us - b_ts <= f_ts - p.ts_us)
+       THEN 'backward' ELSE 'forward' END AS direction,
+  (CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+             AND p.ts_us - b_ts <= f_ts - p.ts_us)
+        THEN p.ts_us - b_ts ELSE f_ts - p.ts_us END)::BIGINT AS gap_us
+FROM purchases p
+JOIN back USING (event_id)
+JOIN fwd USING (event_id)
+"""
+
+
 QUERIES = {
     "asof_click_attribution": asof_enrich,
+    "asof_nearest": asof_nearest,
     "asof_windowed_attribution": attribution_windowed,
     "range_join_tiers": range_join_tiers,
 }
 ORACLE = {
     "asof_click_attribution": _ASOF_SQL,
+    "asof_nearest": _NEAREST_SQL,
     "asof_windowed_attribution": _ATTRIB_SQL,
     "range_join_tiers": _RANGE_JOIN_SQL,
 }

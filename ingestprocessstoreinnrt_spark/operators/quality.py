@@ -399,9 +399,127 @@ ORDER BY digit
 """
 
 
+
+# ---------------------------------------------------------------------------
+# join-key skew profile (the diagnostic behind salting decisions)
+# ---------------------------------------------------------------------------
+#
+# Whether a join needs salting/AQE-skew handling is a property of the
+# KEY DISTRIBUTION — this measures it: top-key shares plus an exact
+# Gini coefficient of the per-key row counts.  The Gini needs keys
+# ranked by count, but the global window runs over COUNT-OF-COUNTS
+# (distinct count values), not keys: ties collapse to one row each, so
+# the ordered pass is bounded by the count-value universe (dozens)
+# regardless of how many billions of keys exist — the pareto_share
+# two-level trick.  For tied counts, sum_i i*c_(i) over a tie block of
+# multiplicity m starting after cumulative position s is
+# c * (m*s + m*(m+1)/2) — exact integers end to end.
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_keys, n_rows, top1_share, top10_share, gini) for
+    the orders->customer join key."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cc = counts.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cc.withColumn(
+        "s", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+    )
+    gini_parts = ranked.agg(
+        F.sum(
+            F.col("c")
+            * (
+                F.col("m") * F.col("s")
+                + (F.col("m") * (F.col("m") + 1)) / 2
+            )
+        )
+        .cast("long")
+        .alias("sic"),
+        F.sum(F.col("m")).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("n_rows"),
+    )
+    top10 = (
+        counts.orderBy(F.col("c").desc(), F.col("o_custkey").asc())
+        .limit(10)
+        .agg(
+            F.max("c").cast("long").alias("top1"),
+            F.sum("c").cast("long").alias("top10"),
+        )
+    )
+    return (
+        gini_parts.join(F.broadcast(top10))  # single-row x single-row
+        .select(
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("top1").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("top1_share"),
+            F.round(
+                F.col("top10").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("top10_share"),
+            F.round(
+                (2.0 * F.col("sic").cast("double"))
+                / (
+                    F.col("n_keys").cast("double")
+                    * F.col("n_rows").cast("double")
+                )
+                - (F.col("n_keys") + 1).cast("double")
+                / F.col("n_keys").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*)::BIGINT AS c FROM orders GROUP BY o_custkey
+),
+cc AS (SELECT c, COUNT(*)::BIGINT AS m FROM counts GROUP BY c),
+ranked AS (
+  SELECT c, m,
+    COALESCE(SUM(m) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM cc
+),
+g AS (
+  SELECT SUM(c * (m * s + (m * (m + 1)) / 2))::BIGINT AS sic,
+    SUM(m)::BIGINT AS n_keys,
+    SUM(c * m)::BIGINT AS n_rows
+  FROM ranked
+),
+t AS (
+  SELECT MAX(c)::BIGINT AS top1, SUM(c)::BIGINT AS top10 FROM (
+    SELECT c FROM counts ORDER BY c DESC, o_custkey ASC LIMIT 10
+  )
+)
+SELECT n_keys, n_rows,
+  ROUND(top1::DOUBLE / n_rows::DOUBLE, 6) AS top1_share,
+  ROUND(top10::DOUBLE / n_rows::DOUBLE, 6) AS top10_share,
+  ROUND((2.0 * sic::DOUBLE) / (n_keys::DOUBLE * n_rows::DOUBLE)
+        - (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini
+FROM g, t
+"""
+
+
 QUERIES = {
     "quality_column_profile": column_profile,
     "quality_benford": benford_digits,
+    "quality_key_skew": key_skew_profile,
     "quality_referential_audit": referential_audit,
     "quality_mad_outliers": mad_outliers,
     "quality_schema_drift": schema_drift,
@@ -409,6 +527,7 @@ QUERIES = {
 ORACLE = {
     "quality_column_profile": _profile_sql(),
     "quality_benford": _BENFORD_SQL,
+    "quality_key_skew": _KEY_SKEW_SQL,
     "quality_referential_audit": _audit_sql(),
     "quality_mad_outliers": _MAD_SQL,
     "quality_schema_drift": _DRIFT_SQL,

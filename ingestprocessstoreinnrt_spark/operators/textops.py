@@ -1394,6 +1394,75 @@ FROM top
 """
 
 
+
+# ---------------------------------------------------------------------------
+# hashing-trick features (fixed-width bag-of-words without a vocabulary)
+# ---------------------------------------------------------------------------
+#
+# The feature-hashing vectorizer (Weinberger et al. 2009; Spark's own
+# HashingTF): term -> bucket = hash mod D, count per (doc, bucket) —
+# a bag-of-words matrix whose width is FIXED at D regardless of
+# vocabulary growth, so the downstream model never needs a vocabulary
+# broadcast.  Signed variant (sign from a second hash bit) keeps the
+# inner-product unbiased.  Pure wordcount shape: explode -> (doc,
+# bucket) map-side-combined aggregate; the shared md5 hash keeps both
+# engines' buckets identical.
+
+HASH_FEATURE_DIM = 32
+
+
+def hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, tf, signed_tf) — hashed bag-of-words rows."""
+    from ..functions.scalars import stable_hash64
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    h = stable_hash64(F.col("term"))
+    bucket = F.pmod(h, F.lit(HASH_FEATURE_DIM)).cast("long")
+    sign = F.when(
+        F.pmod(F.floor(h / HASH_FEATURE_DIM), 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        terms.select(
+            "doc_id", bucket.alias("bucket"), sign.alias("sgn")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sum("sgn").cast("long").alias("signed_tf"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+_HASH_FEATURES_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+  ) AS term
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    {SQL_STABLE_HASH64.format(x='term')} AS hv
+  FROM terms
+)
+SELECT doc_id,
+  (hv % {HASH_FEATURE_DIM} + {HASH_FEATURE_DIM})
+    % {HASH_FEATURE_DIM} AS bucket,
+  COUNT(*)::BIGINT AS tf,
+  SUM(CASE WHEN (FLOOR(hv / {HASH_FEATURE_DIM})::BIGINT % 2 + 2) % 2 = 0
+           THEN 1 ELSE -1 END)::BIGINT AS signed_tf
+FROM h
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
 QUERIES = {
     "text_vocab_growth": vocab_growth,
     "curation_token_budget": token_budget_fill,
@@ -1403,6 +1472,7 @@ QUERIES = {
     "text_stats": text_stats,
     "text_zipf_slope": zipf_slope,
     "text_pmi_collocations": pmi_collocations,
+    "text_hash_features": hash_features,
     "text_unigram_entropy": unigram_entropy,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1424,6 +1494,7 @@ ORACLE = {
     "text_stats": _STATS_SQL,
     "text_zipf_slope": _ZIPF_SQL,
     "text_pmi_collocations": _PMI_SQL,
+    "text_hash_features": _HASH_FEATURES_SQL,
     "text_unigram_entropy": _ENTROPY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,
