@@ -195,3 +195,45 @@ def test_status_pivot_mass_conservation(spark):
     for p in plain:
         r = rows[p.o_orderpriority]
         assert (r.n_f or 0) + (r.n_o or 0) + (r.n_p or 0) == p.n
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """Nearest-click choice replayed in Python per purchase."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import asof
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    ).collect()
+    clicks = {}
+    for r in ev:
+        if r.event_type == asof.RIGHT_TYPE:
+            k = (r.user_id, r.ts_us)
+            if k not in clicks or r.event_id > clicks[k][0]:
+                clicks[k] = (r.event_id, r.value)
+    by_user = {}
+    for (u, ts), (_, val) in clicks.items():
+        by_user.setdefault(u, []).append((ts, val))
+    got = {
+        r.event_id: r
+        for r in asof.asof_nearest(spark, SF_ORACLE).collect()
+    }
+    purchases = [r for r in ev if r.event_type == asof.LEFT_TYPE]
+    assert len(got) == len(purchases)
+    for p in purchases:
+        cands = by_user.get(p.user_id, [])
+        row = got[p.event_id]
+        if not cands:
+            assert row.nearest_click_ts_us is None
+            continue
+        best = min(
+            cands,
+            key=lambda c: (abs(c[0] - p.ts_us), 0 if c[0] <= p.ts_us else 1),
+        )
+        assert row.nearest_click_ts_us == best[0]
+        assert row.gap_us == abs(best[0] - p.ts_us)
+        assert row.direction == (
+            "backward" if best[0] <= p.ts_us else "forward"
+        )

@@ -156,3 +156,38 @@ def test_mad_outliers_match_python_statistics(spark):
         n_out = sum(1 for a in adev if a > fence)
         assert r.n_outliers == n_out
         assert 0.0 <= r.outlier_share < 0.5  # robust gate can't flag half
+
+
+def test_key_skew_gini_matches_bruteforce(spark):
+    """Count-of-counts Gini == the classic sorted-index formula run in
+    Python over the raw per-key counts."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_ORACLE
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import quality
+
+    row = quality.key_skew_profile(spark, SF_ORACLE).collect()[0]
+    counts = sorted(
+        r.c
+        for r in load_table(spark, SF_ORACLE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n, total = len(counts), sum(counts)
+    sic = sum(i * c for i, c in enumerate(counts, 1))
+    gini = round(2.0 * sic / (n * total) - (n + 1) / n, 6)
+    assert row.n_keys == n and row.n_rows == total
+    assert abs(row.gini - gini) < 1e-9
+    assert 0.0 <= row.gini < 1.0
+    assert row.top1_share <= row.top10_share <= 1.0
+
+
+def test_benford_shares_sum_to_one(spark):
+    from ingestprocessstoreinnrt_spark.operators import quality
+    from tests.conftest import SF_ORACLE
+
+    rows = quality.benford_digits(spark, SF_ORACLE).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_expected for r in rows) - 1.0) < 1e-4

@@ -120,3 +120,37 @@ def test_ewma_matches_python_replay(spark):
     assert len(got) == len(ev)
     for r in got:
         assert r.ewma == want[r.event_id], r.event_id
+
+
+def test_ohlc_open_close_are_positional(spark):
+    """open/close equal the value at the earliest/latest (ts, event_id)
+    in each bar — replayed in Python over the raw events."""
+    from collections import defaultdict
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import timeseries as T
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    bars = {
+        (r.event_type, r.hour_us): r
+        for r in T.ohlc_bars(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    ).collect()
+    cells = defaultdict(list)
+    for r in ev:
+        h = r.ts_us // T.HOUR_US * T.HOUR_US
+        cells[(r.event_type, h)].append((r.ts_us, r.event_id, r.value))
+    assert set(cells) == set(bars)
+    for key, rows in cells.items():
+        rows.sort()
+        b = bars[key]
+        assert b.open == rows[0][2] and b.close == rows[-1][2]
+        assert b.high == max(v for _, _, v in rows)
+        assert b.low == min(v for _, _, v in rows)
+        assert b.n_events == len(rows)
