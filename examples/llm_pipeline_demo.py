@@ -170,6 +170,32 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         )
     )
 
+    # 13. round-4 ops: paragraph boilerplate, verbatim leakage, PCA
+    paras = dedup.dedup_paragraphs(spark, sf_dir)
+    pstat = paras.agg(
+        F.sum("n_paras").alias("p"),
+        F.sum("n_dup_paras").alias("d"),
+        F.sum("kept_tokens").alias("k"),
+        F.sum("total_tokens").alias("t"),
+    ).collect()[0]
+    runs = curation.substring_contamination(spark, sf_dir)
+    worst_run = runs.orderBy(
+        F.col("longest_run_tokens").desc()
+    ).first()
+    from ingestprocessstoreinnrt_spark.operators import ml as mlops
+
+    pca = mlops.pca_power(spark, sf_dir).collect()
+    lam = pca[0].eigenvalue
+    print(
+        f"[13] paragraph dedup: {pstat.d}/{pstat.p} paragraphs are "
+        f"boilerplate copies ({pstat.t - pstat.k} of {pstat.t} tokens "
+        f"droppable); worst verbatim eval<-train run "
+        f"{worst_run.longest_run_tokens} tokens (doc "
+        f"{worst_run.doc_id} <- {worst_run.best_train_doc}); top PCA "
+        f"eigenvalue {lam:.4f} (anisotropy gauge for the embedding "
+        f"store)"
+    )
+
     spark.stop()
     print("llm pipeline demo complete")
 
