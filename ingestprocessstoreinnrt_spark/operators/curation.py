@@ -840,11 +840,184 @@ ORDER BY d.doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Gopher repetition battery (Rae et al. 2021, Appendix A1.1)
+# ---------------------------------------------------------------------------
+#
+# The Gopher/MassiveText quality filter removes documents dominated by
+# repeated n-grams.  Two families, both per-document:
+#   * top-n-gram share (n = 2, 3, 4): fraction of token positions
+#     covered by the single most frequent n-gram;
+#   * duplicated-5-gram coverage: fraction of token positions covered
+#     by ANY 5-gram occurring more than once in the document.
+# Everything is (doc, gram)-grain wordcount aggregation plus one
+# position-coverage explode — map-side combinable, row-local per doc,
+# no cross-document state (the cross-document metric is
+# dedup_paragraphs).  repetition_stats keeps the cheap token-level
+# signals; this adds the n-gram ones training pipelines actually gate
+# on.  Ties for "most frequent" break identically in both engines
+# because only the COUNT (not the gram) reaches the output.
+
+DUP_GRAM_N = 5
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, top2_share, top3_share, top4_share,
+    dup5_coverage) per non-empty document."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", words.alias("w"), F.size(words).alias("n")
+    )
+
+    def gram_positions(n):
+        return base.filter(F.col("n") >= n).select(
+            "doc_id",
+            F.col("n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(F.col("w"), i + j)
+                                    for j in range(n)
+                                ],
+                            )
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("e"),
+        ).select(
+            "doc_id", "n",
+            F.col("e.pos").alias("pos"), F.col("e.g").alias("g"),
+        )
+
+    def top_share(n, alias):
+        counts = (
+            gram_positions(n)
+            .groupBy("doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return counts.groupBy("doc_id").agg(
+            F.round(
+                (F.max("c") * n).cast("double")
+                / F.first("n").cast("double"),
+                6,
+            ).alias(alias)
+        )
+
+    g5 = gram_positions(DUP_GRAM_N)
+    c5 = g5.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup_pos = (
+        g5.join(c5.filter(F.col("c") > 1), ["doc_id", "g"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + (DUP_GRAM_N - 1)
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered"))
+    )
+    out = (
+        base.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+        .join(top_share(2, "top2_share"), "doc_id", "left")
+        .join(top_share(3, "top3_share"), "doc_id", "left")
+        .join(top_share(4, "top4_share"), "doc_id", "left")
+        .join(dup_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top2_share", F.lit(0.0)).alias("top2_share"),
+            F.coalesce("top3_share", F.lit(0.0)).alias("top3_share"),
+            F.coalesce("top4_share", F.lit(0.0)).alias("top4_share"),
+            F.round(
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup5_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def _gopher_gram_cte(n, name):
+    return f"""
+{name} AS (
+  SELECT doc_id, n, u.i::BIGINT AS pos,
+    array_to_string(w[u.i : u.i + {n - 1}], ' ') AS g
+  FROM base, UNNEST(range(1, n - {n - 2})) AS u(i)
+  WHERE n >= {n}
+)"""
+
+
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+    len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT AS n
+  FROM documents WHERE trim(text) <> ''
+),
+{_gopher_gram_cte(2, 'g2')},
+{_gopher_gram_cte(3, 'g3')},
+{_gopher_gram_cte(4, 'g4')},
+{_gopher_gram_cte(5, 'g5')},
+t2 AS (
+  SELECT doc_id, ROUND((MAX(c) * 2)::DOUBLE / ANY_VALUE(n)::DOUBLE, 6)
+    AS top2_share
+  FROM (SELECT doc_id, n, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3)
+  GROUP BY doc_id
+),
+t3 AS (
+  SELECT doc_id, ROUND((MAX(c) * 3)::DOUBLE / ANY_VALUE(n)::DOUBLE, 6)
+    AS top3_share
+  FROM (SELECT doc_id, n, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2, 3)
+  GROUP BY doc_id
+),
+t4 AS (
+  SELECT doc_id, ROUND((MAX(c) * 4)::DOUBLE / ANY_VALUE(n)::DOUBLE, 6)
+    AS top4_share
+  FROM (SELECT doc_id, n, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2, 3)
+  GROUP BY doc_id
+),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+dp AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS covered FROM (
+    SELECT DISTINCT g5.doc_id, u.p
+    FROM g5 JOIN c5 ON g5.doc_id = c5.doc_id AND g5.g = c5.g,
+      UNNEST(range(g5.pos, g5.pos + {DUP_GRAM_N})) AS u(p)
+    WHERE c5.c > 1
+  ) GROUP BY doc_id
+)
+SELECT base.doc_id, n AS n_tokens,
+  COALESCE(top2_share, 0.0) AS top2_share,
+  COALESCE(top3_share, 0.0) AS top3_share,
+  COALESCE(top4_share, 0.0) AS top4_share,
+  ROUND(COALESCE(covered, 0)::DOUBLE / n::DOUBLE, 6) AS dup5_coverage
+FROM base
+LEFT JOIN t2 ON base.doc_id = t2.doc_id
+LEFT JOIN t3 ON base.doc_id = t3.doc_id
+LEFT JOIN t4 ON base.doc_id = t4.doc_id
+LEFT JOIN dp ON base.doc_id = dp.doc_id
+ORDER BY base.doc_id
+"""
+
+
 QUERIES = {
     "curation_pack_sequences": pack_sequences,
     "curation_pii_redact": pii_redact,
     "curation_chunk_windows": chunk_windows,
     "curation_repetition_stats": repetition_stats,
+    "curation_gopher_repetition": gopher_repetition,
     "curation_ngram_contamination": ngram_contamination,
     "curation_substr_contamination": substring_contamination,
     "curation_bpe_pairs": bpe_pair_counts,
@@ -857,6 +1030,7 @@ ORACLE = {
     "curation_pii_redact": _PII_SQL,
     "curation_chunk_windows": _CHUNK_SQL,
     "curation_repetition_stats": _REPETITION_SQL,
+    "curation_gopher_repetition": _GOPHER_SQL,
     "curation_ngram_contamination": _CONTAM_SQL,
     "curation_substr_contamination": _SUBSTR_SQL,
     "curation_bpe_pairs": _BPE_SQL,
