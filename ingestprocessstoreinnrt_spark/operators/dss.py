@@ -790,6 +790,92 @@ ORDER BY segment
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q2 essence — per-group argmin (cheapest supplier per part)
+# ---------------------------------------------------------------------------
+#
+# TPC-H Q2 picks the min-cost supplier per part from partsupp; the
+# testdata has no partsupp, so the observed facts stand in: per
+# (part, supplier) average unit revenue from lineitem, then the ARGMIN
+# per part.  The argmin is a row_number window PARTITIONED BY part —
+# millions of small partitions, never a global order — and the price
+# it ranks is a single division of exact quantized integers, so ties
+# and ranks agree cross-engine bit for bit (suppkey breaks exact
+# ties).  Fact rows reduce to (part, supplier) grain BEFORE any
+# window or dim join touches them.
+
+CHEAPEST_TOPK = 100
+
+
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-CHEAPEST_TOPK (p_partkey, s_suppkey, s_name, avg_price,
+    n_suppliers) rows: the cheapest supplier per part, cheapest parts
+    first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        davg("l_extendedprice", "avg_price")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        per.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_suppliers",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("l_partkey")
+            ).cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.join(
+            maybe_broadcast(supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "avg_price",
+            "n_suppliers",
+        )
+        .orderBy(
+            F.col("avg_price").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(CHEAPEST_TOPK)
+    )
+
+
+_CHEAPEST_SQL = f"""
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+    {sql_davg('l_extendedprice', 'avg_price')}
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY avg_price ASC, l_suppkey ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY l_partkey)::BIGINT AS n_suppliers
+  FROM per
+)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name, avg_price,
+  n_suppliers
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY avg_price ASC, p_partkey ASC
+LIMIT {CHEAPEST_TOPK}
+"""
+
+
 QUERIES = {
     "bi_cohort_ltv": cohort_ltv,
     "bi_order_count_dist": order_count_dist,
@@ -804,6 +890,7 @@ QUERIES = {
     "bi_shipdelay_priority": shipdelay_priority,
     "bi_disjunctive_revenue": disjunctive_revenue,
     "bi_dormant_prospects": dormant_prospects,
+    "bi_cheapest_supplier": cheapest_supplier,
 }
 ORACLE = {
     "bi_cohort_ltv": _COHORT_LTV_SQL,
@@ -819,4 +906,5 @@ ORACLE = {
     "bi_shipdelay_priority": _SHIPDELAY_SQL,
     "bi_disjunctive_revenue": _DISJUNCTIVE_SQL,
     "bi_dormant_prospects": _PROSPECTS_SQL,
+    "bi_cheapest_supplier": _CHEAPEST_SQL,
 }

@@ -1997,6 +1997,100 @@ ORDER BY component
 """
 
 
+
+# ---------------------------------------------------------------------------
+# per-key regression fit metrics (R^2 / RMSE from sufficient statistics)
+# ---------------------------------------------------------------------------
+#
+# Closes the train->evaluate loop for the per-key OLS family: the fit
+# quality (R^2, RMSE) comes from the SAME one-pass exact moments the
+# fit itself uses — SSE = Syy_c - Sxy_c^2/Sxx_c, so there is NO second
+# data pass, no prediction join: one map-side-combinable aggregate per
+# key, six BIGINT moments, then fixed-order double arithmetic shared
+# verbatim with the DuckDB twin (the welch_ttest discipline — raw
+# moments stay exact integers, centering happens in double because
+# n*Syy would overflow BIGINT at 10x scale).
+
+
+def regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n, slope_per_hour, r2, rmse) of each user's hourly
+    value trend."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("h"),
+        quantize(F.col("value")).alias("qy"),
+    )
+    h0 = ev.agg(F.min("h").alias("h0"))
+    d = ev.join(F.broadcast(h0)).select(
+        "user_id", (F.col("h") - F.col("h0")).alias("x"), "qy"
+    )
+    g = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qy") * F.col("qy")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    a = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    b = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    c = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    sse_n = F.when(a > 0, c - b * b / a).otherwise(c)  # = SSE * n
+    r2 = F.when((a > 0) & (c > 0), b * b / (a * c)).otherwise(
+        F.lit(0.0)
+    )
+    rmse = F.sqrt(F.greatest(sse_n, F.lit(0.0)) / (nd * nd)) / 10000.0
+    slope = F.when(a > 0, b / a / 10000.0).otherwise(F.lit(0.0))
+    return g.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(r2, 6).alias("r2"),
+        F.round(rmse, 6).alias("rmse"),
+    ).orderBy("user_id")
+
+
+_REG_METRICS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qy
+  FROM events
+),
+h0 AS (SELECT MIN(h) AS h0 FROM e),
+d AS (SELECT user_id, h - h0 AS x, qy FROM e, h0),
+g AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+    SUM(qy)::BIGINT AS sy, SUM(x * x)::BIGINT AS sxx,
+    SUM(x * qy)::BIGINT AS sxy, SUM(qy * qy)::BIGINT AS syy
+  FROM d GROUP BY user_id
+),
+m AS (
+  SELECT user_id, n,
+    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS a,
+    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS b,
+    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS c
+  FROM g
+)
+SELECT user_id, n,
+  ROUND(CASE WHEN a > 0 THEN b / a / 10000.0 ELSE 0.0 END, 6)
+    AS slope_per_hour,
+  ROUND(CASE WHEN a > 0 AND c > 0 THEN b * b / (a * c)
+             ELSE 0.0 END, 6) AS r2,
+  ROUND(sqrt(GREATEST(CASE WHEN a > 0 THEN c - b * b / a ELSE c END,
+                      0.0) / (n::DOUBLE * n::DOUBLE)) / 10000.0, 6)
+    AS rmse
+FROM m
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ml_welch_ttest": welch_ttest,
     "ml_chi2_independence": chi2_independence,
@@ -2008,6 +2102,7 @@ QUERIES = {
     "ml_kmeans": kmeans_lloyd,  # exact Lloyd's, oracle-verified
     "ml_decision_tree": decision_tree_exact,  # exact CART, oracle-verified
     "ml_group_ols": group_ols_trend,
+    "ml_regression_metrics": regression_metrics,
     "ml_zscore_outliers": zscore_outliers,
     "ml_class_weights": class_weights,
     "ml_value_histogram": value_histogram,
@@ -2028,6 +2123,7 @@ ORACLE = {
     "ml_kmeans": _kmeans_sql(),
     "ml_decision_tree": _tree_sql(),
     "ml_group_ols": _OLS_SQL,
+    "ml_regression_metrics": _REG_METRICS_SQL,
     "ml_zscore_outliers": _ZSCORE_SQL,
     "ml_class_weights": _CLASSW_SQL,
     "ml_value_histogram": _HIST_SQL,
