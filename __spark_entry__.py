@@ -154,7 +154,7 @@ _UNPROVEN_AGE_ORDER = [
     "text_pmi_collocations", "win_session_rollup", "ml_pca_power",
     "asof_nearest", "quality_key_skew", "text_hash_features",
     "curation_gopher_repetition", "bi_cheapest_supplier",
-    "ml_regression_metrics",
+    "ml_regression_metrics", "dedup_keep_longest",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -318,12 +318,16 @@ def test_r4_ops_have_clean_plans(spark):
     import __spark_entry__ as e
 
     qs = e.queries()
-    bnlj_whitelist = {"quality_benford", "text_pmi_collocations"}
+    bnlj_whitelist = {
+        "quality_benford", "text_pmi_collocations",
+        "ml_regression_metrics",  # 1-row h0 anchor ride-in
+    }
     for name in (
         "dedup_paragraphs", "curation_substr_contamination",
         "graph_components", "text_zipf_slope", "text_unigram_entropy",
         "quality_benford", "ts_ohlc_bars", "text_pmi_collocations",
-        "win_session_rollup",
+        "win_session_rollup", "curation_gopher_repetition",
+        "bi_cheapest_supplier", "ml_regression_metrics",
     ):
         body = E.formatted_plan(qs[name](spark, SF_ORACLE)).split(
             "== Physical Plan =="
