@@ -99,6 +99,25 @@ _DRIVER_PROVEN = {
     "graph_triangles", "graph_degree_stats", "json_props_rollup",
     "json_key_profile", "bi_market_share", "bi_top_supplier",
     "bi_status_pivot", "ml_naive_bayes", "graph_jaccard_neighbors",
+    # green in CORRECTNESS_r04.json (50 rows)
+    "bi_order_count_dist", "bi_promo_share", "bi_small_qty_revenue",
+    "bi_large_orders", "bi_nation_profit", "bi_sole_late_supplier",
+    "win_running_totals", "ts_seasonal_anomaly", "quality_schema_drift",
+    "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
+    "join_bloom_semijoin", "pipeline_dedup_corpus", "sketch_kmv_merge",
+    "multimodal_format_rollup", "ml_pr_thresholds",
+    "text_langid_confusion", "curation_gate_funnel",
+    "win_gap_distribution", "bi_metrics_unpivot", "bi_rfm_segments",
+    "bi_yoy_growth", "ml_decile_lift", "graph_kcore_peel",
+    "ts_hourly_autocorr", "asof_windowed_attribution",
+    "curation_token_budget", "ml_chi2_independence", "bi_cohort_ltv",
+    "text_vocab_growth", "ml_welch_ttest", "dedup_paragraphs",
+    "curation_substr_contamination", "bi_priority_check",
+    "bi_nation_volume", "bi_returned_topk", "bi_shipdelay_priority",
+    "bi_disjunctive_revenue", "bi_dormant_prospects", "graph_components",
+    "text_zipf_slope", "text_unigram_entropy", "quality_benford",
+    "ts_ohlc_bars", "text_pmi_collocations", "win_session_rollup",
+    "ml_pca_power", "asof_nearest", "quality_key_skew",
 }
 
 

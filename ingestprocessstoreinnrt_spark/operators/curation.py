@@ -767,9 +767,10 @@ def substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         eval_ids.join(hits, eval_ids.doc_id == hits.e_doc, "left")
         .select(
             "doc_id",
+            # exact integer DIV for the run-length unpack (ADVICE r4:
+            # float `/` diverges once best_run >= 2^13 grams)
             F.coalesce(
-                (F.col("s") / F.lit(_ARGMAX_SHIFT)).cast("long")
-                + F.lit(CONTAM_N - 1),
+                F.expr(f"s DIV {_ARGMAX_SHIFT}") + F.lit(CONTAM_N - 1),
                 F.lit(0),
             )
             .cast("long")

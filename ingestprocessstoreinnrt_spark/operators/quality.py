@@ -435,12 +435,15 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cc.withColumn(
         "s", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
     )
+    # exact BIGINT Gini accumulation (ADVICE r4: `/` is double in both
+    # engines, exact only below 2^53; m*(m+1) is always even, so DIV 2
+    # loses nothing)
     gini_parts = ranked.agg(
         F.sum(
             F.col("c")
             * (
                 F.col("m") * F.col("s")
-                + (F.col("m") * (F.col("m") + 1)) / 2
+                + F.expr("(m * (m + 1)) DIV 2")
             )
         )
         .cast("long")
@@ -497,7 +500,7 @@ ranked AS (
   FROM cc
 ),
 g AS (
-  SELECT SUM(c * (m * s + (m * (m + 1)) / 2))::BIGINT AS sic,
+  SELECT SUM(c * (m * s + (m * (m + 1)) // 2))::BIGINT AS sic,
     SUM(m)::BIGINT AS n_keys,
     SUM(c * m)::BIGINT AS n_rows
   FROM ranked

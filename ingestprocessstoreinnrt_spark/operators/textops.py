@@ -1420,13 +1420,18 @@ def hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(tokens(F.lower(F.col("text")))).alias("term"),
     )
-    h = stable_hash64(F.col("term"))
-    bucket = F.pmod(h, F.lit(HASH_FEATURE_DIM)).cast("long")
+    hashed = terms.select(
+        "doc_id", stable_hash64(F.col("term")).alias("h")
+    )
+    bucket = F.pmod(F.col("h"), F.lit(HASH_FEATURE_DIM)).cast("long")
+    # sign bit via exact integer DIV (ADVICE r4: float `/` rounds the
+    # 60-bit hash above 2^53, collapsing the parity bit to 0 and
+    # biasing the signed inner product)
     sign = F.when(
-        F.pmod(F.floor(h / HASH_FEATURE_DIM), 2) == 0, F.lit(1)
+        F.pmod(F.expr(f"h DIV {HASH_FEATURE_DIM}"), 2) == 0, F.lit(1)
     ).otherwise(F.lit(-1))
     return (
-        terms.select(
+        hashed.select(
             "doc_id", bucket.alias("bucket"), sign.alias("sgn")
         )
         .groupBy("doc_id", "bucket")
@@ -1455,7 +1460,7 @@ SELECT doc_id,
   (hv % {HASH_FEATURE_DIM} + {HASH_FEATURE_DIM})
     % {HASH_FEATURE_DIM} AS bucket,
   COUNT(*)::BIGINT AS tf,
-  SUM(CASE WHEN (FLOOR(hv / {HASH_FEATURE_DIM})::BIGINT % 2 + 2) % 2 = 0
+  SUM(CASE WHEN ((hv // {HASH_FEATURE_DIM}) % 2 + 2) % 2 = 0
            THEN 1 ELSE -1 END)::BIGINT AS signed_tf
 FROM h
 GROUP BY doc_id, bucket
