@@ -174,6 +174,8 @@ _UNPROVEN_AGE_ORDER = [
     "asof_nearest", "quality_key_skew", "text_hash_features",
     "curation_gopher_repetition", "bi_cheapest_supplier",
     "ml_regression_metrics", "dedup_keep_longest",
+    # r5 additions
+    "dedup_keep_longest_lsh",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -196,18 +196,27 @@ def main() -> None:
     streaming.update(windowed_stream_bench(spark, sf_dir))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    record = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "streaming": streaming,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver's BENCH_r{N}.json keeps only the last 2 KB of stdout,
+    # so cross-round comparison sees ~26 of 150+ queries.  Persist the
+    # FULL record to a repo file so each round's judge can diff the
+    # whole surface (committed as BENCH_full_r{N}.json at round end).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the record
+    print(json.dumps(record))
     spark.stop()
 
 

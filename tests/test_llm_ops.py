@@ -61,6 +61,41 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
 
 
+def test_keep_longest_lsh_recall_vs_exact(spark):
+    """The production survivorship path (keep-longest over LSH pairs)
+    must recover nearly all docs the exact path drops: recall of its
+    dropped-doc set vs the exact path's >= the measured ~0.97 LSH pair
+    recall (minus clustering slack), and every cluster's survivor must
+    be a doc the exact path also keeps as survivor OR a doc the exact
+    path never flagged at all (LSH only MISSES pairs — it cannot invent
+    them, so its clusters are sub-clusters of exact ones)."""
+    exact_rows = dedup.dedup_keep_longest(spark, SF_ORACLE).collect()
+    lsh_rows = dedup.dedup_keep_longest_lsh(spark, SF_ORACLE).collect()
+    # dropped docs: all labelled docs minus survivors
+    exact_lab = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.connected_components(
+            dedup.jaccard_pairs_full(spark, SF_ORACLE).select(
+                "doc_a", "doc_b"
+            )
+        ).collect()
+    }
+    lsh_lab = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.connected_components(
+            dedup.minhash_lsh_pairs(spark, SF_ORACLE).select(
+                "doc_a", "doc_b"
+            )
+        ).collect()
+    }
+    exact_drop = set(exact_lab) - {r.survivor_doc_id for r in exact_rows}
+    lsh_drop = set(lsh_lab) - {r.survivor_doc_id for r in lsh_rows}
+    # LSH never invents pairs -> every LSH-dropped doc is exact-dropped
+    assert lsh_drop <= exact_drop
+    recall = len(lsh_drop) / max(1, len(exact_drop))
+    assert recall >= 0.9, f"LSH survivorship recall {recall:.3f}"
+
+
 def test_salted_pair_join_matches_plain_join(spark):
     """The mega-bucket guard must be lossless: a keyed frame with one
     degenerate 120-row bucket (cap=10 -> 12-way salt split) and several
