@@ -499,6 +499,167 @@ FROM ranked WHERE rank <= {BPE_TOPK}
 """
 
 # ---------------------------------------------------------------------------
+# greedy BPE training (the first K merges, not just merge statistic #1)
+# ---------------------------------------------------------------------------
+#
+# Real tokenizer training (Sennrich et al. 2016) iterates: count
+# adjacent symbol pairs over the (word, count) vocabulary, merge the
+# most frequent pair everywhere, re-count.  bpe_pair_counts computes
+# iteration #1's statistic; this runs the actual K-merge loop.
+#
+# Representation trick: a word's symbol sequence is packed as a string
+# with DOUBLE-tab separators between symbols and at both ends
+# ("\t\ta\t\tb\t\t"), so the greedy left-to-right merge of pair (l, r)
+# is a plain replace("\t l \t\t r \t" -> "\t lr \t") — each match
+# consumes one tab from each flanking double-tab, leaving single tabs
+# that still flank the NEXT adjacent occurrence, so a run like
+# [a,a,a,a] merges to [aa,aa] exactly as greedy BPE does.  Tokens are
+# whitespace-split, so no symbol can contain a tab.  replace() is
+# non-overlapping left-to-right in both engines — identical semantics.
+#
+# Scale shape (the 100 TB path): after the one corpus-wide wordcount
+# (map-side combined), everything runs at VOCABULARY grain — K small
+# shuffles of the word table, one single-row argmax collect per merge
+# (metadata-scale, the same convergence-scalar pattern as kmeans), and
+# a localCheckpoint per pass keeps the plan flat (iterative-loop
+# invariant #6).  Corpus size only affects the first wordcount.
+
+BPE_MERGES = 8
+_BPE_SEP = "\t"
+
+
+def _bpe_word_freq(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_idx, lhs, rhs, merged, pair_count) for the first
+    BPE_MERGES greedy merges; ties broken (count DESC, lhs ASC,
+    rhs ASC) identically in both engines."""
+    S = _BPE_SEP
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = (
+        _bpe_word_freq(docs)
+        .select(
+            F.concat(
+                F.lit(S * 2), F.array_join(chars, S * 2), F.lit(S * 2)
+            ).alias("ws"),
+            "wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for k in range(1, BPE_MERGES + 1):
+        syms = F.filter(
+            F.split(F.col("ws"), S * 2), lambda x: x != F.lit("")
+        )
+        sy = vocab.select("wc", syms.alias("sy")).filter(
+            F.size("sy") >= 2
+        )
+        pairs = sy.select(
+            "wc",
+            F.explode(
+                F.zip_with(
+                    F.slice("sy", 1, F.size("sy") - 1),
+                    F.slice("sy", 2, F.size("sy") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("lhs"), b.alias("rhs")
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+            .orderBy(
+                F.col("cnt").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, best[0].cnt
+        merges.append((k, lhs, rhs, lhs + rhs, cnt))
+        pat = S + lhs + S * 2 + rhs + S
+        rep = S + lhs + rhs + S
+        vocab = vocab.withColumn(
+            "ws", F.replace(F.col("ws"), F.lit(pat), F.lit(rep))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_idx long, lhs string, rhs string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_idx")
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled K-iteration twin; every v/b CTE is MATERIALIZED (the
+    PCA lesson: DuckDB re-evaluates plain CTEs per reference)."""
+    sep2 = "chr(9) || chr(9)"
+    ctes = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS wc
+  FROM (
+    SELECT unnest({_SQL_TOKS.replace("text", "lower(text)")}) AS word
+    FROM documents WHERE trim(text) <> ''
+  )
+  WHERE length(word) >= 2 GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT {sep2} || array_to_string(
+    list_transform(range(1, length(word) + 1), i -> word[i::INT : i::INT]),
+    {sep2}) || {sep2} AS ws, wc
+  FROM wf
+)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT sy[i::INT] AS lhs, sy[i::INT + 1] AS rhs, SUM(wc)::BIGINT AS cnt
+  FROM (
+    SELECT wc,
+      list_filter(string_split(ws, {sep2}), x -> x <> '') AS sy
+    FROM v{k - 1}
+  ), UNNEST(range(1, len(sy))) AS u(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{k}
+  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+v{k} AS MATERIALIZED (
+  SELECT replace(ws,
+    chr(9) || b.lhs || {sep2} || b.rhs || chr(9),
+    chr(9) || b.lhs || b.rhs || chr(9)) AS ws, wc
+  FROM v{k - 1}, b{k} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS merge_idx, lhs, rhs, "
+        f"lhs || rhs AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic weighted source mixing
 # ---------------------------------------------------------------------------
 
@@ -1022,6 +1183,7 @@ QUERIES = {
     "curation_ngram_contamination": ngram_contamination,
     "curation_substr_contamination": substring_contamination,
     "curation_bpe_pairs": bpe_pair_counts,
+    "curation_bpe_train": bpe_train,
     "curation_url_strip": url_strip,
     "curation_mix_sources": mix_weighted_sources,
     "curation_train_split": train_test_split,
@@ -1035,6 +1197,7 @@ ORACLE = {
     "curation_ngram_contamination": _CONTAM_SQL,
     "curation_substr_contamination": _SUBSTR_SQL,
     "curation_bpe_pairs": _BPE_SQL,
+    "curation_bpe_train": _bpe_train_sql(),
     "curation_url_strip": _URL_SQL,
     "curation_mix_sources": _MIX_SQL,
     "curation_train_split": _SPLIT_SQL,

@@ -266,3 +266,56 @@ def test_train_split_partitions_and_stability(spark):
     full = members(docs)
     half = members(docs.filter(F.col("doc_id") % 2 == 0))
     assert half <= full  # growth/shrink never reassigns
+
+
+def test_bpe_train_matches_python_replay(spark):
+    """The K-merge greedy loop must equal a pure-Python BPE replay over
+    the same (word, count) vocabulary — proves the packed-string
+    replace() merge IS greedy left-to-right non-overlapping BPE, not
+    just that two engines share a quirk."""
+    from collections import Counter
+
+    from ingestprocessstoreinnrt_spark.catalog import fan_out, load_table
+    from ingestprocessstoreinnrt_spark.operators import curation
+    from tests.conftest import SF_ORACLE
+
+    docs = fan_out(load_table(spark, SF_ORACLE, "documents"))
+    wf = {
+        r.word: r.wc
+        for r in curation._bpe_word_freq(docs).collect()
+    }
+    vocab = {tuple(w): c for w, c in wf.items()}
+    expect = []
+    for k in range(1, curation.BPE_MERGES + 1):
+        counts = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((k, lhs, rhs, lhs + rhs, cnt))
+        merged = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            merged[t] = merged.get(t, 0) + c
+        vocab = merged
+    got = [
+        (r.merge_idx, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in curation.bpe_train(spark, SF_ORACLE).collect()
+    ]
+    assert got == expect
