@@ -175,7 +175,7 @@ _UNPROVEN_AGE_ORDER = [
     "curation_gopher_repetition", "bi_cheapest_supplier",
     "ml_regression_metrics", "dedup_keep_longest",
     # r5 additions
-    "dedup_keep_longest_lsh", "curation_bpe_train",
+    "dedup_keep_longest_lsh", "curation_bpe_train", "ml_logistic_score",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

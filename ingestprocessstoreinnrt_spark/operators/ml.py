@@ -2091,7 +2091,260 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# logistic-regression quality/langid scorer (fixed-round IRLS)
+# ---------------------------------------------------------------------------
+#
+# LLM pipelines gate documents on a learned quality score (fastText
+# style); the engine had naive Bayes but no logistic scorer.  This fits
+# y = (lang = 'en') on two langid-style features — mean token length
+# and English-stopword share — by K rounds of IRLS (Newton-Raphson on
+# the log-likelihood): beta += (X'WX)^-1 X'(y - p), W = diag(p(1-p)).
+#
+# Cross-engine exactness: Java's Math.exp and libm disagree by 1 ulp on
+# ~10% of inputs (measured), so the sigmoid is quantized to 6 dp the
+# moment it is computed — every downstream quantity flows from that
+# shared grid.  The per-round sufficient statistics (6 unique X'WX
+# cells + 3 gradient cells, features exact BIGINT ratios) are quantized
+# per-term at 1e-6 and summed as BIGINT — order-independent, so shuffle
+# nondeterminism cannot move the fit.  The 3x3 Newton solve is Cramer
+# with the IDENTICAL expression tree in Python (driver, Spark side) and
+# SQL (DuckDB side) — the ml_ols_multi template, iterated.
+#
+# Scale shape: each round is ONE map-side-combined aggregate to a
+# single 9-cell row (collect = metadata, the kmeans convergence-scalar
+# pattern); the feature frame is computed once and cached.  At 100 TB:
+# K scans of a 3-column double frame, zero window functions, zero
+# joins.  Composes with curation_gate_funnel as `p >= threshold`.
+
+LOGISTIC_ROUNDS = 4
+_LOGI_STOP = (
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+)
+_LOGI_Q = 1_000_000  # 1e-6 per-term quantum for the BIGINT stat sums
+
+
+def _logi_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.lower(F.col("text")))
+    d = docs.filter(F.trim(F.col("text")) != "").select(
+        (F.col("lang") == F.lit("en")).cast("long").alias("y"),
+        toks.alias("toks"),
+    )
+    nd = F.size("toks").cast("double")
+    return d.select(
+        "y",
+        (F.length(F.concat_ws("", "toks")).cast("double") / nd).alias(
+            "x1"
+        ),
+        (
+            F.size(
+                F.filter("toks", lambda t: t.isin(*_LOGI_STOP))
+            ).cast("double")
+            / nd
+        ).alias("x2"),
+    ).cache()
+
+
+def _q6(c):
+    """Quantized-term BIGINT sum -> double (order-independent)."""
+    return (
+        F.sum(F.floor(c * _LOGI_Q + F.lit(0.5)).cast("long")).cast(
+            "double"
+        )
+        / F.lit(float(_LOGI_Q))
+    )
+
+
+def _cramer3(a11, a12, a13, a22, a23, a33, r1, r2, r3):
+    """Solve the symmetric 3x3 system; SAME expression tree as the SQL
+    twin (IEEE doubles, identical op order -> bit-identical)."""
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    n1 = (
+        r1 * (a22 * a33 - a23 * a23)
+        - a12 * (r2 * a33 - a23 * r3)
+        + a13 * (r2 * a23 - a22 * r3)
+    )
+    n2 = (
+        a11 * (r2 * a33 - a23 * r3)
+        - r1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * r3 - r2 * a13)
+    )
+    n3 = (
+        a11 * (a22 * r3 - r2 * a23)
+        - a12 * (a12 * r3 - r2 * a13)
+        + r1 * (a12 * a23 - a22 * a13)
+    )
+    if det == 0.0:
+        return 0.0, 0.0, 0.0
+    return n1 / det, n2 / det, n3 / det
+
+
+def logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_docs, n_pos, b0, b1, b2, tp, fp, fn, tn, accuracy)
+    after LOGISTIC_ROUNDS IRLS rounds of lang='en' ~ mean token length
+    + stopword share."""
+    feats = _logi_feats(spark, sf_dir)
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(LOGISTIC_ROUNDS):
+        b0, b1, b2 = (F.lit(v) for v in beta)
+        z = b0 + b1 * F.col("x1") + b2 * F.col("x2")
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        w = p * (F.lit(1.0) - p)
+        r = F.col("y").cast("double") - p
+        x1, x2 = F.col("x1"), F.col("x2")
+        s = feats.agg(
+            _q6(w).alias("a11"),
+            _q6(w * x1).alias("a12"),
+            _q6(w * x2).alias("a13"),
+            _q6(w * x1 * x1).alias("a22"),
+            _q6(w * x1 * x2).alias("a23"),
+            _q6(w * x2 * x2).alias("a33"),
+            _q6(r).alias("r1"),
+            _q6(r * x1).alias("r2"),
+            _q6(r * x2).alias("r3"),
+        ).collect()[0]
+        d1, d2, d3 = _cramer3(
+            s.a11, s.a12, s.a13, s.a22, s.a23, s.a33, s.r1, s.r2, s.r3
+        )
+        beta = (beta[0] + d1, beta[1] + d2, beta[2] + d3)
+    b0, b1, b2 = (F.lit(v) for v in beta)
+    z = b0 + b1 * F.col("x1") + b2 * F.col("x2")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    pred = (p >= F.lit(0.5)).cast("long")
+    y = F.col("y")
+    return feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(((pred == 1) & (y == 1)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((pred == 1) & (y == 0)).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((pred == 0) & (y == 1)).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(((pred == 0) & (y == 0)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+    ).select(
+        "n_docs",
+        "n_pos",
+        F.round(F.lit(beta[0]), 6).alias("b0"),
+        F.round(F.lit(beta[1]), 6).alias("b1"),
+        F.round(F.lit(beta[2]), 6).alias("b2"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def _logistic_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _LOGI_STOP)
+    q = float(_LOGI_Q)
+
+    def q6(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(FLOOR(({expr}) * {q} + 0.5) AS BIGINT)) "
+            f"AS DOUBLE) / {q}"
+        )
+
+    ctes = [
+        f"""feats AS MATERIALIZED (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+    length(array_to_string(toks, ''))::DOUBLE / len(toks)::DOUBLE AS x1,
+    len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE
+      / len(toks)::DOUBLE AS x2
+  FROM (
+    SELECT lang,
+      regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+  )
+),
+be0 AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2)"""
+    ]
+    for k in range(1, LOGISTIC_ROUNDS + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT
+    {q6('w')} AS a11, {q6('w * x1')} AS a12, {q6('w * x2')} AS a13,
+    {q6('w * x1 * x1')} AS a22, {q6('w * x1 * x2')} AS a23,
+    {q6('w * x2 * x2')} AS a33,
+    {q6('y - p')} AS r1, {q6('(y - p) * x1')} AS r2,
+    {q6('(y - p) * x2')} AS r3
+  FROM (
+    SELECT y::DOUBLE AS y, x1, x2, p, p * (1.0 - p) AS w
+    FROM (
+      SELECT y, x1, x2,
+        ROUND(1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))), 6)
+          AS p
+      FROM feats, be{k - 1} b
+    )
+  )
+),
+be{k} AS MATERIALIZED (
+  SELECT
+    CASE WHEN det = 0.0 THEN b0 ELSE b0 + n1 / det END AS b0,
+    CASE WHEN det = 0.0 THEN b1 ELSE b1 + n2 / det END AS b1,
+    CASE WHEN det = 0.0 THEN b2 ELSE b2 + n3 / det END AS b2
+  FROM (
+    SELECT b.b0, b.b1, b.b2,
+      a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13) AS det,
+      r1 * (a22 * a33 - a23 * a23)
+        - a12 * (r2 * a33 - a23 * r3)
+        + a13 * (r2 * a23 - a22 * r3) AS n1,
+      a11 * (r2 * a33 - a23 * r3)
+        - r1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * r3 - r2 * a13) AS n2,
+      a11 * (a22 * r3 - r2 * a23)
+        - a12 * (a12 * r3 - r2 * a13)
+        + r1 * (a12 * a23 - a22 * a13) AS n3
+    FROM s{k}, be{k - 1} b
+  )
+)"""
+        )
+    K = LOGISTIC_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT COUNT(*)::BIGINT AS n_docs,
+  CAST(SUM(y) AS BIGINT) AS n_pos,
+  ROUND(ANY_VALUE(b0), 6) AS b0,
+  ROUND(ANY_VALUE(b1), 6) AS b1,
+  ROUND(ANY_VALUE(b2), 6) AS b2,
+  SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+  SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+  SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+  SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+  ROUND(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END)::DOUBLE
+        / COUNT(*)::DOUBLE, 6) AS accuracy
+FROM (
+  SELECT y, b.b0, b.b1, b.b2,
+    CASE WHEN ROUND(1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))),
+               6) >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM feats, be{K} b
+)"""
+    )
+
+
 QUERIES = {
+    "ml_logistic_score": logistic_score,
     "ml_welch_ttest": welch_ttest,
     "ml_chi2_independence": chi2_independence,
     "ml_decile_lift": decile_lift,
@@ -2113,6 +2366,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_logistic_score": _logistic_sql(),
     "ml_welch_ttest": _TTEST_SQL,
     "ml_chi2_independence": _CHI2_SQL,
     "ml_decile_lift": _lift_sql(),

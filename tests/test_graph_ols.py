@@ -365,3 +365,32 @@ def test_welch_ttest_matches_numpy(spark):
         # 1e-4 quantization perturbs the statistic slightly
         assert abs(got[et].t_stat - t) < 5e-3
         assert got[et].n == len(x)
+
+
+def test_logistic_score_matches_unquantized_irls(spark):
+    """Independent replay: unquantized numpy IRLS over the same
+    features must land within the quantization budget of the engine's
+    betas (proves the quantized loop IS Newton-Raphson on the logistic
+    likelihood, not just two engines sharing a quirk), and the
+    confusion counts must be internally consistent."""
+    import numpy as np
+
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from tests.conftest import SF_ORACLE
+
+    feats = ml._logi_feats(spark, SF_ORACLE).collect()
+    X = np.array([[1.0, r.x1, r.x2] for r in feats])
+    y = np.array([float(r.y) for r in feats])
+    beta = np.zeros(3)
+    for _ in range(ml.LOGISTIC_ROUNDS):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = p * (1.0 - p)
+        beta = beta + np.linalg.solve(
+            X.T @ (X * w[:, None]), X.T @ (y - p)
+        )
+    row = ml.logistic_score(spark, SF_ORACLE).collect()[0]
+    got = np.array([row.b0, row.b1, row.b2])
+    assert np.all(np.abs(got - beta) < 1e-3), (got, beta)
+    assert row.tp + row.fp + row.fn + row.tn == row.n_docs
+    assert row.tp + row.fn == row.n_pos
+    assert abs(row.accuracy - (row.tp + row.tn) / row.n_docs) < 1e-6
