@@ -176,6 +176,7 @@ _UNPROVEN_AGE_ORDER = [
     "ml_regression_metrics", "dedup_keep_longest",
     # r5 additions
     "dedup_keep_longest_lsh", "curation_bpe_train", "ml_logistic_score",
+    "multimodal_frame_sample", "multimodal_resize_plan",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -351,11 +351,183 @@ GROUP BY media_type
 ORDER BY media_type
 """
 
+# ---------------------------------------------------------------------------
+# video frame sampling (1 -> many mapInPandas) and resize planning
+# ---------------------------------------------------------------------------
+#
+# The two remaining media-pipeline verbs: uniform frame sampling (the
+# K-frames-per-clip policy every video training pipeline runs before
+# feature extraction) and aspect-preserving resize planning.  As with
+# decode, the DECODE of real codecs is environment-gated; what is real
+# and tested is the Spark-side plumbing — the 1->many Arrow batch
+# shape (one input clip emits K frame rows), hash partitioning, stable
+# output schemas, and integer-exact sampling/resize math a DuckDB twin
+# reproduces.  Swapping the fake framer for cv2/pyav touches only the
+# body of the batch function.
+
+FRAME_BYTES = 64  # fake codec: one "frame" per 64 payload bytes
+FRAME_K = 4  # uniform sample size per clip
+FRAME_MS = 100  # 10 fps
+RESIZE_MAX = 256  # max output side
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_md5_8", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Uniform K-frame sample per clip: indices floor(i*n/K), i<K,
+    de-duplicated (short clips yield fewer than K).  Emits one row per
+    sampled frame — the 1->many mapInPandas shape."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in FRAME_SCHEMA.fields
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) // FRAME_BYTES
+                if n == 0:
+                    continue
+                for idx in sorted({i * n // FRAME_K for i in range(FRAME_K)}):
+                    frame = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    out["media_id"].append(mid)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(idx * FRAME_MS)
+                    out["frame_md5_8"].append(
+                        hashlib.md5(frame).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(out)
+
+    return media.repartition(F.col("media_id")).mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )
+
+
+def multimodal_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return sample_frames(media_from_documents(spark, sf_dir))
+
+
+_FRAME_SQL = f"""
+WITH clips AS (
+  SELECT doc_id AS media_id, text,
+    strlen(text) // {FRAME_BYTES} AS n
+  FROM documents
+  WHERE strlen(text) >= {FRAME_BYTES}
+),
+idx AS (
+  SELECT media_id, text, n,
+    unnest(list_distinct(list_transform(
+      range(0, {FRAME_K}), i -> (i * n) // {FRAME_K}))) AS frame_idx
+  FROM clips
+)
+SELECT media_id, n::BIGINT AS n_frames, frame_idx::BIGINT AS frame_idx,
+  (frame_idx * {FRAME_MS})::BIGINT AS frame_ts_ms,
+  substr(md5(substr(text, (frame_idx * {FRAME_BYTES})::INT + 1,
+                    {FRAME_BYTES})), 1, 8) AS frame_md5_8
+FROM idx
+"""
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+        T.StructField("out_pixels", T.LongType()),
+    ]
+)
+
+
+def plan_resize(decoded: DataFrame) -> DataFrame:
+    """Aspect-preserving resize plan over decoded dimensions: cap the
+    longer side at RESIZE_MAX with INTEGER arithmetic only
+    (side * RESIZE_MAX // max_side, floor at 1) so both engines agree
+    bit-for-bit; pass-through when already inside the cap.  The pixel
+    work itself is the environment-gated stage; the plan (and the
+    Arrow batch plumbing) is what the engine owns."""
+
+    def _plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["fake_width"].astype("int64")
+            h = pdf["fake_height"].astype("int64")
+            mx = w.where(w >= h, h)
+            resized = mx > RESIZE_MAX
+            tw = (w * RESIZE_MAX // mx).clip(lower=1).where(resized, w)
+            th = (h * RESIZE_MAX // mx).clip(lower=1).where(resized, h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "target_w": tw.astype("int32"),
+                    "target_h": th.astype("int32"),
+                    "resized": resized,
+                    "out_pixels": (tw * th).astype("int64"),
+                }
+            )
+
+    return decoded.mapInPandas(_plan, schema=RESIZE_SCHEMA)
+
+
+def multimodal_resize_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return plan_resize(
+        decode_media(
+            media_from_documents(spark, sf_dir),
+            use_deterministic_fake=True,
+        )
+    )
+
+
+_RESIZE_SQL = f"""
+WITH decoded AS ({_DECODE_SQL}),
+dims AS (
+  SELECT media_id, fake_width::BIGINT AS w, fake_height::BIGINT AS h,
+    GREATEST(fake_width, fake_height)::BIGINT AS mx
+  FROM decoded
+)
+SELECT media_id, w::INT AS width, h::INT AS height,
+  CASE WHEN mx > {RESIZE_MAX}
+       THEN GREATEST(w * {RESIZE_MAX} // mx, 1) ELSE w END::INT
+    AS target_w,
+  CASE WHEN mx > {RESIZE_MAX}
+       THEN GREATEST(h * {RESIZE_MAX} // mx, 1) ELSE h END::INT
+    AS target_h,
+  mx > {RESIZE_MAX} AS resized,
+  (CASE WHEN mx > {RESIZE_MAX}
+        THEN GREATEST(w * {RESIZE_MAX} // mx, 1) ELSE w END
+   * CASE WHEN mx > {RESIZE_MAX}
+          THEN GREATEST(h * {RESIZE_MAX} // mx, 1) ELSE h END)::BIGINT
+    AS out_pixels
+FROM dims
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_format_rollup": multimodal_format_rollup,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize_plan": multimodal_resize_plan,
 }
 ORACLE = {
     "multimodal_decode": _DECODE_SQL,
     "multimodal_format_rollup": _FORMAT_ROLLUP_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
+    "multimodal_resize_plan": _RESIZE_SQL,
 }
