@@ -177,6 +177,7 @@ _UNPROVEN_AGE_ORDER = [
     # r5 additions
     "dedup_keep_longest_lsh", "curation_bpe_train", "ml_logistic_score",
     "multimodal_frame_sample", "multimodal_resize_plan",
+    "ml_calibration_bins", "curation_quality_gate",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

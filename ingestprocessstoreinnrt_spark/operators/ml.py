@@ -2130,11 +2130,13 @@ def _logi_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.lower(F.col("text")))
     d = docs.filter(F.trim(F.col("text")) != "").select(
+        "source",
         (F.col("lang") == F.lit("en")).cast("long").alias("y"),
         toks.alias("toks"),
     )
     nd = F.size("toks").cast("double")
     return d.select(
+        "source",
         "y",
         (F.length(F.concat_ws("", "toks")).cast("double") / nd).alias(
             "x1"
@@ -2186,11 +2188,17 @@ def _cramer3(a11, a12, a13, a22, a23, a33, r1, r2, r3):
     return n1 / det, n2 / det, n3 / det
 
 
-def logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: (n_docs, n_pos, b0, b1, b2, tp, fp, fn, tn, accuracy)
-    after LOGISTIC_ROUNDS IRLS rounds of lang='en' ~ mean token length
-    + stopword share."""
-    feats = _logi_feats(spark, sf_dir)
+def _logi_p(beta: tuple) -> "F.Column":
+    """Quantized sigmoid score column over (x1, x2) for a fitted beta."""
+    b0, b1, b2 = (F.lit(v) for v in beta)
+    z = b0 + b1 * F.col("x1") + b2 * F.col("x2")
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def _fit_logistic(feats: DataFrame) -> tuple:
+    """LOGISTIC_ROUNDS of IRLS over the cached feature frame; returns
+    the final beta triple (shared by the scorer, the calibration
+    bins, and the curation quality gate)."""
     beta = (0.0, 0.0, 0.0)
     for _ in range(LOGISTIC_ROUNDS):
         b0, b1, b2 = (F.lit(v) for v in beta)
@@ -2214,9 +2222,16 @@ def logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.a11, s.a12, s.a13, s.a22, s.a23, s.a33, s.r1, s.r2, s.r3
         )
         beta = (beta[0] + d1, beta[1] + d2, beta[2] + d3)
-    b0, b1, b2 = (F.lit(v) for v in beta)
-    z = b0 + b1 * F.col("x1") + b2 * F.col("x2")
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return beta
+
+
+def logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_docs, n_pos, b0, b1, b2, tp, fp, fn, tn, accuracy)
+    after LOGISTIC_ROUNDS IRLS rounds of lang='en' ~ mean token length
+    + stopword share."""
+    feats = _logi_feats(spark, sf_dir)
+    beta = _fit_logistic(feats)
+    p = _logi_p(beta)
     pred = (p >= F.lit(0.5)).cast("long")
     y = F.col("y")
     return feats.agg(
@@ -2252,7 +2267,9 @@ def logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logistic_sql() -> str:
+def _logistic_ctes() -> str:
+    """feats/be0/s1..beK CTE chain — shared by the scorer oracle, the
+    calibration-bins oracle, and the curation quality-gate oracle."""
     stop_list = ", ".join(f"'{s}'" for s in _LOGI_STOP)
     q = float(_LOGI_Q)
 
@@ -2264,12 +2281,13 @@ def _logistic_sql() -> str:
 
     ctes = [
         f"""feats AS MATERIALIZED (
-  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+  SELECT source,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
     length(array_to_string(toks, ''))::DOUBLE / len(toks)::DOUBLE AS x1,
     len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE
       / len(toks)::DOUBLE AS x2
   FROM (
-    SELECT lang,
+    SELECT source, lang,
       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
     FROM documents WHERE trim(text) <> ''
   )
@@ -2318,11 +2336,18 @@ be{k} AS MATERIALIZED (
   )
 )"""
         )
-    K = LOGISTIC_ROUNDS
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    return ",\n".join(ctes)
+
+
+# the scored frame every logistic consumer selects from
+_LOGI_SCORED = f"""SELECT source, y,
+    ROUND(1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))), 6) AS p,
+    b.b0, b.b1, b.b2
+  FROM feats, be{LOGISTIC_ROUNDS} b"""
+
+
+def _logistic_sql() -> str:
+    return f"""WITH {_logistic_ctes()}
 SELECT COUNT(*)::BIGINT AS n_docs,
   CAST(SUM(y) AS BIGINT) AS n_pos,
   ROUND(ANY_VALUE(b0), 6) AS b0,
@@ -2335,16 +2360,124 @@ SELECT COUNT(*)::BIGINT AS n_docs,
   ROUND(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END)::DOUBLE
         / COUNT(*)::DOUBLE, 6) AS accuracy
 FROM (
-  SELECT y, b.b0, b.b1, b.b2,
-    CASE WHEN ROUND(1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))),
-               6) >= 0.5 THEN 1 ELSE 0 END AS pred
-  FROM feats, be{K} b
+  SELECT y, b0, b1, b2,
+    CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM ({_LOGI_SCORED})
 )"""
+
+
+# ---------------------------------------------------------------------------
+# calibration bins (reliability diagram over the logistic scores)
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n, mean_predicted, observed_rate) per predicted-probability
+    decile — the reliability diagram of the logistic scorer.  One extra
+    scan over the cached feature frame; the binning is integer floor on
+    the 6-dp-quantized score, so bin membership is engine-exact."""
+    feats = _logi_feats(spark, sf_dir)
+    beta = _fit_logistic(feats)
+    sel = feats.select(_logi_p(beta).alias("p"), "y")
+    b = F.least(
+        F.floor(F.col("p") * CAL_BINS).cast("long"),
+        F.lit(CAL_BINS - 1),
     )
+    return (
+        sel.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("p") * _LOGI_Q + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(float(_LOGI_Q))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mp"),
+            (
+                F.sum("y").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("obs"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round("mp", 6).alias("mean_predicted"),
+            F.round("obs", 6).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _cal_bins_sql() -> str:
+    q = float(_LOGI_Q)
+    return f"""WITH {_logistic_ctes()}
+SELECT bin, COUNT(*)::BIGINT AS n,
+  ROUND(CAST(SUM(CAST(FLOOR(p * {q} + 0.5) AS BIGINT)) AS DOUBLE)
+        / {q} / COUNT(*)::DOUBLE, 6) AS mean_predicted,
+  ROUND(CAST(SUM(y) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE, 6)
+    AS observed_rate
+FROM (
+  SELECT y, p,
+    LEAST(CAST(FLOOR(p * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1}) AS bin
+  FROM ({_LOGI_SCORED})
+)
+GROUP BY bin
+ORDER BY bin"""
+
+
+# ---------------------------------------------------------------------------
+# curation quality gate (the learned-score gate composed per source)
+# ---------------------------------------------------------------------------
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_pass, accept_share) — the learned quality
+    gate (logistic p >= 0.5) evaluated per source, the decision table
+    a mixture-weight planner reads.  Same cached feature frame and
+    fit; one conditional aggregate."""
+    feats = _logi_feats(spark, sf_dir)
+    beta = _fit_logistic(feats)
+    gate = (_logi_p(beta) >= F.lit(0.5)).cast("long")
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(gate).cast("long").alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            F.round(
+                F.col("n_pass").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("accept_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def _quality_gate_sql() -> str:
+    return f"""WITH {_logistic_ctes()}
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+  ROUND(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)::DOUBLE
+        / COUNT(*)::DOUBLE, 6) AS accept_share
+FROM ({_LOGI_SCORED})
+GROUP BY source
+ORDER BY source"""
 
 
 QUERIES = {
     "ml_logistic_score": logistic_score,
+    "ml_calibration_bins": calibration_bins,
+    "curation_quality_gate": quality_gate,
     "ml_welch_ttest": welch_ttest,
     "ml_chi2_independence": chi2_independence,
     "ml_decile_lift": decile_lift,
@@ -2367,6 +2500,8 @@ QUERIES = {
 
 ORACLE = {
     "ml_logistic_score": _logistic_sql(),
+    "ml_calibration_bins": _cal_bins_sql(),
+    "curation_quality_gate": _quality_gate_sql(),
     "ml_welch_ttest": _TTEST_SQL,
     "ml_chi2_independence": _CHI2_SQL,
     "ml_decile_lift": _lift_sql(),
