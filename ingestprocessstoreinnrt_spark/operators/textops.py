@@ -1468,6 +1468,151 @@ ORDER BY doc_id, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+#
+# Rapid Automatic Keyword Extraction: split each document into
+# candidate phrases at stopwords (gaps-and-islands over the token
+# positions — windows partitioned by doc, never global), score each
+# word w as degree(w)/freq(w) over the whole corpus (degree = sum of
+# lengths of phrases containing w — co-occurrence credit; freq =
+# occurrence count; both VOCABULARY-grain aggregates), then score a
+# phrase as the sum of its member word scores and keep each document's
+# best phrase.  Word scores are quantized to 1e-6 BIGINTs before the
+# per-phrase sum so the float never meets shuffle order.
+
+_RAKE_STOP = LANG_MARKERS["en"]
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, top_phrase, phrase_score, n_phrases) — each document's
+    highest-scoring RAKE candidate phrase (ties -> earliest phrase)."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.lower(F.col("text")))
+    pos = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .filter(~F.col("term").isin(*_RAKE_STOP))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ph = pos.withColumn(
+        "island", F.col("pos") - F.row_number().over(wd)
+    )
+    # corpus-wide word stats need each occurrence's phrase length first
+    plen = ph.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id", "island")
+        ),
+    )
+    wstats = plen.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    scored = plen.join(wstats, "term").withColumn(
+        "wscore_q",
+        F.floor(
+            F.col("degree").cast("double")
+            / F.col("freq").cast("double")
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    phrases = scored.groupBy("doc_id", "island").agg(
+        F.sum("wscore_q").alias("score_q"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "term"))
+                ),
+                lambda x: x["term"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    best = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score_q").desc(), F.col("island").asc()
+        )
+    )
+    return (
+        phrases.withColumn("rn", best)
+        .withColumn(
+            "n_phrases",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("top_phrase"),
+            F.round(
+                F.col("score_q").cast("double") / F.lit(1000000.0), 6
+            ).alias("phrase_score"),
+            "n_phrases",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _rake_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _RAKE_STOP)
+    return f"""
+WITH pos AS (
+  SELECT doc_id, u.i::BIGINT - 1 AS pos, toks[u.i::INT] AS term
+  FROM (
+    SELECT doc_id,
+      regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+  ), UNNEST(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[u.i::INT] NOT IN ({stop_list})
+),
+ph AS (
+  SELECT doc_id, pos, term,
+    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM pos
+),
+plen AS (
+  SELECT doc_id, pos, term, island,
+    COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+  FROM ph
+),
+wstats AS (
+  SELECT term, COUNT(*)::BIGINT AS freq,
+    CAST(SUM(plen) AS BIGINT) AS degree
+  FROM plen GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, p.pos, p.term, p.island,
+    CAST(FLOOR(w.degree::DOUBLE / w.freq::DOUBLE * 1000000.0 + 0.5)
+         AS BIGINT) AS wscore_q
+  FROM plen p JOIN wstats w USING (term)
+),
+phrases AS (
+  SELECT doc_id, island,
+    CAST(SUM(wscore_q) AS BIGINT) AS score_q,
+    string_agg(term, ' ' ORDER BY pos) AS phrase
+  FROM scored GROUP BY doc_id, island
+),
+r AS (
+  SELECT doc_id, phrase, score_q, island,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_q DESC, island ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_phrases
+  FROM phrases
+)
+SELECT doc_id, phrase AS top_phrase,
+  ROUND(score_q::DOUBLE / 1000000.0, 6) AS phrase_score,
+  n_phrases::BIGINT AS n_phrases
+FROM r WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_vocab_growth": vocab_growth,
     "curation_token_budget": token_budget_fill,
@@ -1478,6 +1623,7 @@ QUERIES = {
     "text_zipf_slope": zipf_slope,
     "text_pmi_collocations": pmi_collocations,
     "text_hash_features": hash_features,
+    "text_rake_keywords": rake_keywords,
     "text_unigram_entropy": unigram_entropy,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1500,6 +1646,7 @@ ORACLE = {
     "text_zipf_slope": _ZIPF_SQL,
     "text_pmi_collocations": _PMI_SQL,
     "text_hash_features": _HASH_FEATURES_SQL,
+    "text_rake_keywords": _rake_sql(),
     "text_unigram_entropy": _ENTROPY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FP_SQL,

@@ -611,7 +611,116 @@ ORDER BY event_type, hour_us
 """
 
 
+# ---------------------------------------------------------------------------
+# offline CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+#
+# Per user, the classic offline CUSUM scan: the changepoint estimate is
+# argmax_i |S_i| with S_i = sum_{j<=i} (x_j - xbar) (Page 1954 /
+# Pettitt-style mean-shift location).  Exact integers end to end: with
+# values quantized x1e4 and P_i = prefix sum, T = total, the scaled
+# statistic D_i = |n*P_i - i*T| = n*|S_i| is a BIGINT, so the argmax
+# never touches a float (bound documented: n * sum|qv| < 2^63 — at 1e6
+# rows/user and |value| <= 1e3 that is 1e19/1e4... i.e. keep
+# rows-per-key under ~1e5 at this quantization, the sf1 regime; at
+# larger keys pre-aggregate to hourly buckets first, same operator).
+#
+# Scale shape: ONE shuffle grain — prefix/total/count windows and the
+# final (D desc, i asc) ranking window are all partitioned by user_id,
+# so Spark plans a single exchange with per-key sorts; nothing global.
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n, cp_idx, cp_ts_us, cusum_stat) — the most likely
+    mean-shift position in each user's event-value sequence; ties
+    break to the EARLIEST index."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("tus"),
+        "event_id",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("qv"),
+    )
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("user_id")
+    d = ev.select(
+        "user_id",
+        "tus",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("tus", "event_id"))
+        .alias("i"),
+        F.sum("qv").over(wo).alias("p"),
+        F.sum("qv").over(wp).alias("t"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).select(
+        "user_id",
+        "tus",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("t")).alias(
+            "dd"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("dd").desc(), F.col("i").asc()
+        )
+    )
+    return (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("i").cast("long").alias("cp_idx"),
+            F.col("tus").cast("long").alias("cp_ts_us"),
+            F.round(
+                F.col("dd").cast("double")
+                / (F.col("n").cast("double") * F.lit(10000.0)),
+                6,
+            ).alias("cusum_stat"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CUSUM_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+),
+d AS (
+  SELECT user_id, tus,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS i,
+    SUM(qv) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+    SUM(qv) OVER (PARTITION BY user_id) AS t,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+),
+s AS (
+  SELECT user_id, tus, i, n, ABS(n * p - i * t) AS dd FROM d
+),
+r AS (
+  SELECT user_id, tus, i, n, dd,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY dd DESC, i ASC) AS rn
+  FROM s
+)
+SELECT user_id, n::BIGINT AS n, i::BIGINT AS cp_idx,
+  tus::BIGINT AS cp_ts_us,
+  ROUND(dd::DOUBLE / (n::DOUBLE * 10000.0), 6) AS cusum_stat
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "ts_cusum_changepoint": cusum_changepoint,
     "ts_hourly_autocorr": hourly_autocorr,
     "ts_ohlc_bars": ohlc_bars,
     "ts_seasonal_anomaly": seasonal_anomaly,
@@ -621,6 +730,7 @@ QUERIES = {
     "ts_ewma": ewma_smooth,
 }
 ORACLE = {
+    "ts_cusum_changepoint": _CUSUM_SQL,
     "ts_hourly_autocorr": _AUTOCORR_SQL,
     "ts_ohlc_bars": _OHLC_SQL,
     "ts_seasonal_anomaly": _SEASONAL_SQL,

@@ -714,3 +714,63 @@ def test_pca_power_matches_numpy_eigendecomposition(spark):
     assert abs(lam - w[-1]) < 1e-3
     assert np.linalg.norm(v - top) < 1e-2
     assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
+def test_rake_keywords_matches_bruteforce(spark):
+    """Pure-Python RAKE (phrase split at stopwords, word score =
+    corpus degree/freq, phrase score = sum of member scores) must agree
+    with the windowed implementation on every document."""
+    from collections import defaultdict
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import textops
+    from tests.conftest import SF_ORACLE
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+        if r.text.strip()
+    }
+    stop = set(textops._RAKE_STOP)
+    phrases_by_doc: dict[int, list] = {}
+    freq: dict[str, int] = defaultdict(int)
+    deg: dict[str, int] = defaultdict(int)
+    for did, text in docs.items():
+        toks = text.strip().lower().split()
+        cur, out = [], []
+        for i, t in enumerate(toks):
+            if t in stop:
+                if cur:
+                    out.append(cur)
+                cur = []
+            else:
+                cur.append((i, t))
+        if cur:
+            out.append(cur)
+        phrases_by_doc[did] = out
+        for ph in out:
+            for _, t in ph:
+                freq[t] += 1
+                deg[t] += len(ph)
+    expect = {}
+    for did, phs in phrases_by_doc.items():
+        if not phs:
+            continue
+        best = None
+        for ph in phs:
+            sq = sum(
+                int((deg[t] / freq[t]) * 1e6 + 0.5) for _, t in ph
+            )
+            key = (-sq, ph[0][0])
+            if best is None or key < best[0]:
+                best = (key, ph, sq)
+        expect[did] = (
+            " ".join(t for _, t in best[1]),
+            round(best[2] / 1e6, 6),
+            len(phs),
+        )
+    got = {
+        r.doc_id: (r.top_phrase, r.phrase_score, r.n_phrases)
+        for r in textops.rake_keywords(spark, SF_ORACLE).collect()
+    }
+    assert got == expect

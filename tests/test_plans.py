@@ -339,3 +339,32 @@ def test_r4_ops_have_clean_plans(spark):
         qs["ts_ohlc_bars"](spark, SF_ORACLE)
     ).split("== Physical Plan ==")[-1]
     assert len(re.findall(r"\(\d+\) Exchange", ohlc)) <= 2
+
+
+def test_r5_ops_have_clean_plans(spark):
+    """New r5 operators: no cartesian products, no nested-loop joins
+    anywhere (none of these needs a single-row anchor); the multimodal
+    frame sampler plans exactly one exchange (the media_id hash
+    repartition feeding mapInPandas) and the resize plan adds no
+    exchange beyond it."""
+    import re
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in (
+        "dedup_keep_longest_lsh",
+        "multimodal_frame_sample",
+        "multimodal_resize_plan",
+        "curation_quality_gate",
+        "ml_calibration_bins",
+    ):
+        body = E.formatted_plan(qs[name](spark, SF_ORACLE)).split(
+            "== Physical Plan =="
+        )[-1]
+        assert "CartesianProduct" not in body, name
+        assert "BroadcastNestedLoopJoin" not in body, name
+    frames = E.formatted_plan(
+        qs["multimodal_frame_sample"](spark, SF_ORACLE)
+    ).split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", frames)) == 1

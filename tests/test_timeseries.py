@@ -154,3 +154,48 @@ def test_ohlc_open_close_are_positional(spark):
         assert b.high == max(v for _, _, v in rows)
         assert b.low == min(v for _, _, v in rows)
         assert b.n_events == len(rows)
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    """Pure-Python offline CUSUM over each user's ordered values must
+    agree with the windowed integer formulation (D_i = |n*P_i - i*T| is
+    n*|S_i|; argmax with earliest-tie)."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import timeseries as ts
+    from tests.conftest import SF_ORACLE
+
+    rows = (
+        load_table(spark, SF_ORACLE, "events")
+        .selectExpr(
+            "user_id", "unix_micros(ts) AS tus", "event_id",
+            "CAST(FLOOR(value * 10000.0 + 0.5) AS LONG) AS qv",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.tus, r.event_id, r.qv))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n = len(evs)
+        t = sum(q for _, _, q in evs)
+        best = (-1, None, None)  # (dd, -i asc via first-wins, tus)
+        p = 0
+        for i, (tus, _, q) in enumerate(evs, start=1):
+            p += q
+            dd = abs(n * p - i * t)
+            if dd > best[0]:
+                best = (dd, i, tus)
+        # HALF_UP like both engines (python round is half-even)
+        stat = best[0] / (n * 10000.0)
+        import math
+
+        expect[u] = (
+            n, best[1], best[2], math.floor(stat * 1e6 + 0.5) / 1e6,
+        )
+    got = {
+        r.user_id: (r.n, r.cp_idx, r.cp_ts_us, r.cusum_stat)
+        for r in ts.cusum_changepoint(spark, SF_ORACLE).collect()
+    }
+    assert got == expect
