@@ -178,7 +178,7 @@ _UNPROVEN_AGE_ORDER = [
     "dedup_keep_longest_lsh", "curation_bpe_train", "ml_logistic_score",
     "multimodal_frame_sample", "multimodal_resize_plan",
     "ml_calibration_bins", "curation_quality_gate",
-    "ts_cusum_changepoint", "text_rake_keywords",
+    "ts_cusum_changepoint", "text_rake_keywords", "dedup_fuzzy_names",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

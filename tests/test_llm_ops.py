@@ -774,3 +774,39 @@ def test_rake_keywords_matches_bruteforce(spark):
         for r in textops.rake_keywords(spark, SF_ORACLE).collect()
     }
     assert got == expect
+
+
+def test_fuzzy_names_matches_python_dp(spark):
+    """Both engines' levenshtein must be the classic unit-cost DP; the
+    blocked join must emit exactly the brute-force in-block pairs."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators.dedup import (
+        FUZZY_D,
+        fuzzy_name_pairs,
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    names = {}
+    for r in load_table(spark, SF_ORACLE, "part").collect():
+        names[r.p_name] = names.get(r.p_name, 0) + 1
+    want = set()
+    for a in names:
+        for b in names:
+            if a < b and a.split()[-1] == b.split()[-1]:
+                d = lev(a.split()[0], b.split()[0])
+                if d <= FUZZY_D:
+                    want.add((a, b, d, names[a], names[b]))
+    got = {
+        (r.name_a, r.name_b, r.dist, r.n_parts_a, r.n_parts_b)
+        for r in fuzzy_name_pairs(spark, SF_ORACLE).collect()
+    }
+    assert got == want
