@@ -160,6 +160,8 @@ def main() -> None:
         "pipeline_dedup_corpus": "dedup",
         # curation rides textops' cached token stats
         "pipeline_curated_corpus": "curation",
+        # the learned quality gate rides ml's cached logistic features
+        "curation_quality_gate": "ml",
         # textops-module samplers share its token frame
         "sample_stratified": "text",
         "sample_weighted": "text",
