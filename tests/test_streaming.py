@@ -751,3 +751,74 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
         if u in per_user:
             assert s >= per_user[u]
         per_user[u] = e
+
+
+def test_streaming_logistic_scoring_equals_batch(spark, workdir):
+    """Deployment shape of the learned quality gate: fit OFFLINE on the
+    full corpus, score ONLINE as documents stream in — 4 micro-batches
+    through the stateless score expression must reproduce the batch
+    per-source gate table bit-exactly (same betas, same quantized
+    sigmoid, no state)."""
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    feats = ml._logi_feats(spark, SF_ORACLE)
+    beta = ml._fit_logistic(feats)
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    src = workdir + "/docs_stream"
+    docs.withColumn(
+        "chunk", F.pmod(F.col("doc_id"), F.lit(4))
+    ).write.partitionBy("chunk").parquet(src)
+
+    got_parts = []
+    for c in range(4):
+        stream = spark.readStream.schema(docs.schema).parquet(
+            f"{src}/chunk={c}"
+        )
+
+        def score_batch(bdf, _bid, acc=got_parts):
+            from ingestprocessstoreinnrt_spark.functions.text import tokens
+
+            toks = tokens(F.lower(F.col("text")))
+            d = bdf.filter(F.trim(F.col("text")) != "").select(
+                "source",
+                toks.alias("toks"),
+            )
+            nd = F.size("toks").cast("double")
+            f = d.select(
+                "source",
+                (
+                    F.length(F.concat_ws("", "toks")).cast("double") / nd
+                ).alias("x1"),
+                (
+                    F.size(
+                        F.filter(
+                            "toks", lambda t: t.isin(*ml._LOGI_STOP)
+                        )
+                    ).cast("double")
+                    / nd
+                ).alias("x2"),
+            )
+            acc.extend(
+                f.select(
+                    "source", (ml._logi_p(beta) >= 0.5).alias("ok")
+                ).collect()
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", f"{workdir}/sckpt{c}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stream_tab: dict = {}
+    for r in got_parts:
+        n, p = stream_tab.get(r.source, (0, 0))
+        stream_tab[r.source] = (n + 1, p + (1 if r.ok else 0))
+    batch_tab = {
+        r.source: (r.n_docs, r.n_pass)
+        for r in ml.quality_gate(spark, SF_ORACLE).collect()
+    }
+    assert stream_tab == batch_tab
