@@ -538,10 +538,12 @@ def _bpe_word_freq(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(merge_idx, lhs, rhs, merged, pair_count) for the first
-    BPE_MERGES greedy merges; ties broken (count DESC, lhs ASC,
-    rhs ASC) identically in both engines."""
+def _run_bpe(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], DataFrame]:
+    """Run the K-merge loop; returns (merge records, final vocabulary
+    frame with columns word/ws/wc) — shared by the trainer query and
+    the encoder query."""
     S = _BPE_SEP
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     chars = F.transform(
@@ -551,6 +553,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         _bpe_word_freq(docs)
         .select(
+            "word",
             F.concat(
                 F.lit(S * 2), F.array_join(chars, S * 2), F.lit(S * 2)
             ).alias("ws"),
@@ -598,6 +601,14 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.withColumn(
             "ws", F.replace(F.col("ws"), F.lit(pat), F.lit(rep))
         ).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_idx, lhs, rhs, merged, pair_count) for the first
+    BPE_MERGES greedy merges; ties broken (count DESC, lhs ASC,
+    rhs ASC) identically in both engines."""
+    merges, _ = _run_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "merge_idx long, lhs string, rhs string, "
@@ -605,9 +616,56 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_idx")
 
 
-def _bpe_train_sql() -> str:
-    """Unrolled K-iteration twin; every v/b CTE is MATERIALIZED (the
-    PCA lesson: DuckDB re-evaluates plain CTEs per reference)."""
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: per document, the token count after the
+    learned BPE_MERGES merges — (doc_id, n_words, n_chars,
+    n_bpe_tokens, compression).  The fitted vocabulary (word ->
+    merged-symbol string) joins the per-doc word explode at VOCABULARY
+    grain; words the trainer never saw are single-character words (the
+    length >= 2 gate) and count as one symbol."""
+    _, vocab = _run_bpe(spark, sf_dir)
+    S = _BPE_SEP
+    n_syms = F.size(
+        F.filter(F.split(F.col("ws"), S * 2), lambda x: x != F.lit(""))
+    ).cast("long")
+    word_syms = vocab.select("word", n_syms.alias("n_syms"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+        )
+    )
+    return (
+        words.join(word_syms, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_syms"), F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_ctes() -> str:
+    """Unrolled K-iteration CTE chain (wf/v0/p,b,v 1..K) shared by the
+    trainer and encoder twins; every v/b CTE is MATERIALIZED (the PCA
+    lesson: DuckDB re-evaluates plain CTEs per reference)."""
     sep2 = "chr(9) || chr(9)"
     ctes = [
         f"""wf AS MATERIALIZED (
@@ -619,7 +677,7 @@ def _bpe_train_sql() -> str:
   WHERE length(word) >= 2 GROUP BY word
 ),
 v0 AS MATERIALIZED (
-  SELECT {sep2} || array_to_string(
+  SELECT word, {sep2} || array_to_string(
     list_transform(range(1, length(word) + 1), i -> word[i::INT : i::INT]),
     {sep2}) || {sep2} AS ws, wc
   FROM wf
@@ -641,22 +699,51 @@ b{k} AS MATERIALIZED (
   ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
 ),
 v{k} AS MATERIALIZED (
-  SELECT replace(ws,
+  SELECT word, replace(ws,
     chr(9) || b.lhs || {sep2} || b.rhs || chr(9),
     chr(9) || b.lhs || b.rhs || chr(9)) AS ws, wc
   FROM v{k - 1}, b{k} b
 )"""
         )
+    return ",\n".join(ctes)
+
+
+def _bpe_train_sql() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k}::BIGINT AS merge_idx, lhs, rhs, "
         f"lhs || rhs AS merged, cnt AS pair_count FROM b{k}"
         for k in range(1, BPE_MERGES + 1)
     )
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        f"WITH {_bpe_ctes()}"
         + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_idx"
     )
+
+
+def _bpe_encode_sql() -> str:
+    sep2 = "chr(9) || chr(9)"
+    return f"""WITH {_bpe_ctes()},
+vocabf AS (
+  SELECT word,
+    len(list_filter(string_split(ws, {sep2}), x -> x <> ''))::BIGINT
+      AS n_syms
+  FROM v{BPE_MERGES}
+),
+docw AS (
+  SELECT doc_id,
+    unnest({_SQL_TOKS.replace("text", "lower(text)")}) AS word
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+  COUNT(*)::BIGINT AS n_words,
+  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+  CAST(SUM(COALESCE(n_syms, 1)) AS BIGINT) AS n_bpe_tokens,
+  ROUND(CAST(SUM(length(word)) AS BIGINT)::DOUBLE
+        / CAST(SUM(COALESCE(n_syms, 1)) AS BIGINT)::DOUBLE, 6)
+    AS compression
+FROM docw LEFT JOIN vocabf USING (word)
+GROUP BY doc_id
+ORDER BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -1184,6 +1271,7 @@ QUERIES = {
     "curation_substr_contamination": substring_contamination,
     "curation_bpe_pairs": bpe_pair_counts,
     "curation_bpe_train": bpe_train,
+    "curation_bpe_encode": bpe_encode,
     "curation_url_strip": url_strip,
     "curation_mix_sources": mix_weighted_sources,
     "curation_train_split": train_test_split,
@@ -1198,6 +1286,7 @@ ORACLE = {
     "curation_substr_contamination": _SUBSTR_SQL,
     "curation_bpe_pairs": _BPE_SQL,
     "curation_bpe_train": _bpe_train_sql(),
+    "curation_bpe_encode": _bpe_encode_sql(),
     "curation_url_strip": _URL_SQL,
     "curation_mix_sources": _MIX_SQL,
     "curation_train_split": _SPLIT_SQL,

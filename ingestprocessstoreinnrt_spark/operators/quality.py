@@ -519,7 +519,102 @@ FROM g, t
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy / data-governance gate)
+# ---------------------------------------------------------------------------
+#
+# Before a table ships to analysts, governance asks: how many rows sit
+# in quasi-identifier equivalence classes smaller than k (re-
+# identifiable)?  Two generalization levels are audited side by side —
+# coarse QI = (nation, market segment) and fine QI = (nation, segment,
+# account balance rounded to 100s) — the comparison a generalization
+# planner reads.  Pure wordcount shape per level: one map-side-combined
+# groupBy to class grain, one tiny aggregate over class sizes.
+
+K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(level, n_rows, n_classes, min_class_size, rows_below_k,
+    share_below_k) for k = K_ANON at two QI generalization levels."""
+    cust = load_table(spark, sf_dir, "customer")
+    coarse = cust.select(
+        F.lit("coarse:nation+segment").alias("level"),
+        F.col("c_nationkey").cast("string").alias("q1"),
+        F.col("c_mktsegment").alias("q2"),
+        F.lit("").alias("q3"),
+    )
+    fine = cust.select(
+        F.lit("fine:+acctbal_100").alias("level"),
+        F.col("c_nationkey").cast("string").alias("q1"),
+        F.col("c_mktsegment").alias("q2"),
+        (
+            F.floor(F.col("c_acctbal") / 100.0).cast("long")
+        ).cast("string").alias("q3"),
+    )
+    classes = (
+        coarse.unionByName(fine)
+        .groupBy("level", "q1", "q2", "q3")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    return (
+        classes.groupBy("level")
+        .agg(
+            F.sum("m").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("m").cast("long").alias("min_class_size"),
+            F.sum(F.when(F.col("m") < K_ANON, F.col("m")).otherwise(0))
+            .cast("long")
+            .alias("rows_below_k"),
+        )
+        .select(
+            "level",
+            "n_rows",
+            "n_classes",
+            "min_class_size",
+            "rows_below_k",
+            F.round(
+                F.col("rows_below_k").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("share_below_k"),
+        )
+        .orderBy("level")
+    )
+
+
+_KANON_SQL = f"""
+WITH qi AS (
+  SELECT 'coarse:nation+segment' AS level,
+    c_nationkey::VARCHAR AS q1, c_mktsegment AS q2, '' AS q3
+  FROM customer
+  UNION ALL
+  SELECT 'fine:+acctbal_100' AS level,
+    c_nationkey::VARCHAR AS q1, c_mktsegment AS q2,
+    CAST(FLOOR(c_acctbal / 100.0) AS BIGINT)::VARCHAR AS q3
+  FROM customer
+),
+classes AS (
+  SELECT level, q1, q2, q3, COUNT(*)::BIGINT AS m
+  FROM qi GROUP BY level, q1, q2, q3
+)
+SELECT level,
+  CAST(SUM(m) AS BIGINT) AS n_rows,
+  COUNT(*)::BIGINT AS n_classes,
+  MIN(m)::BIGINT AS min_class_size,
+  CAST(SUM(CASE WHEN m < {K_ANON} THEN m ELSE 0 END) AS BIGINT)
+    AS rows_below_k,
+  ROUND(CAST(SUM(CASE WHEN m < {K_ANON} THEN m ELSE 0 END) AS BIGINT)
+          ::DOUBLE
+        / CAST(SUM(m) AS BIGINT)::DOUBLE, 6) AS share_below_k
+FROM classes
+GROUP BY level
+ORDER BY level
+"""
+
+
 QUERIES = {
+    "quality_k_anonymity": k_anonymity_audit,
     "quality_column_profile": column_profile,
     "quality_benford": benford_digits,
     "quality_key_skew": key_skew_profile,
@@ -528,6 +623,7 @@ QUERIES = {
     "quality_schema_drift": schema_drift,
 }
 ORACLE = {
+    "quality_k_anonymity": _KANON_SQL,
     "quality_column_profile": _profile_sql(),
     "quality_benford": _BENFORD_SQL,
     "quality_key_skew": _KEY_SKEW_SQL,

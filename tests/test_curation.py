@@ -319,3 +319,55 @@ def test_bpe_train_matches_python_replay(spark):
         for r in curation.bpe_train(spark, SF_ORACLE).collect()
     ]
     assert got == expect
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """Per-doc BPE token counts must equal applying the replayed greedy
+    merges to every word (single-char words = 1 symbol)."""
+    from ingestprocessstoreinnrt_spark.catalog import fan_out, load_table
+    from ingestprocessstoreinnrt_spark.operators import curation
+    from tests.conftest import SF_ORACLE
+
+    merges = [
+        (r.lhs, r.rhs)
+        for r in curation.bpe_train(spark, SF_ORACLE).collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+        if r.text.strip()
+    }
+    cache: dict[str, int] = {}
+    expect = {}
+    for did, text in docs.items():
+        toks = text.strip().lower().split()
+        nb = 0
+        for w in toks:
+            if w not in cache:
+                cache[w] = encode(w) if len(w) >= 2 else 1
+            nb += cache[w]
+        expect[did] = (len(toks), sum(len(w) for w in toks), nb)
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in curation.bpe_encode(spark, SF_ORACLE).collect()
+    }
+    assert got == expect
