@@ -584,7 +584,71 @@ ORDER BY user_id, session_start_us
 """
 
 
+# ---------------------------------------------------------------------------
+# event transition matrix (Markov / Sankey input)
+# ---------------------------------------------------------------------------
+#
+# Per user, each event's predecessor type via ONE lag window on the
+# (user_id) shuffle grain ('<start>' for a user's first event), then a
+# corpus-wide (prev, next) count — the first-order Markov chain product
+# analytics tools draw as a Sankey.  The probability normalization runs
+# on the |types|^2 transition table (metadata grain), never on events.
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, event_type, n_transitions, prob) — row-stochastic
+    first-order transition matrix of user event streams."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.coalesce(
+            F.lag("event_type").over(w), F.lit("<start>")
+        ).alias("prev_type"),
+        "event_type",
+    )
+    counts = t.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "prob",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wp).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT COALESCE(
+      LAG(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id),
+      '<start>') AS prev_type,
+    event_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, COUNT(*)::BIGINT AS n_transitions
+  FROM t GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_transitions,
+  ROUND(n_transitions::DOUBLE /
+        CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+             AS BIGINT)::DOUBLE, 6) AS prob
+FROM counts
+ORDER BY prev_type, event_type
+"""
+
+
 QUERIES = {
+    "win_event_transitions": event_transitions,
     "win_gap_distribution": gap_distribution,
     "win_running_totals": running_totals,
     "win_user_sessions": user_sessions,
@@ -598,6 +662,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_event_transitions": _TRANSITIONS_SQL,
     "win_gap_distribution": _GAPS_SQL,
     "win_running_totals": _RUNNING_SQL,
     "win_user_sessions": _SESSIONS_SQL,
