@@ -180,7 +180,7 @@ _UNPROVEN_AGE_ORDER = [
     "ml_calibration_bins", "curation_quality_gate",
     "ts_cusum_changepoint", "text_rake_keywords", "dedup_fuzzy_names",
     "curation_bpe_encode", "quality_k_anonymity",
-    "win_event_transitions",
+    "win_event_transitions", "funnel_conversion_latency",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -84,10 +84,11 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.explode(stages).alias("r")).select("r.*")
 
 
-def _funnel_sql() -> str:
+def _chain_ctes() -> str:
+    """e/d0/d1/d2/users CTE chain (per-user ordered stage times) —
+    shared by the funnel-counts and conversion-latency oracles."""
     s0, s1, s2 = FUNNEL_STAGES
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
 ),
 d0 AS (
@@ -111,7 +112,13 @@ users AS (
   SELECT user_id, ANY_VALUE(t0) AS t0, ANY_VALUE(t1) AS t1,
          ANY_VALUE(t2) AS t2
   FROM d2 GROUP BY user_id
-),
+)"""
+
+
+def _funnel_sql() -> str:
+    s0, s1, s2 = FUNNEL_STAGES
+    return f"""
+WITH {_chain_ctes()},
 c AS (
   SELECT
     CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
@@ -122,6 +129,88 @@ c AS (
 SELECT '{s0}' AS stage, 1 AS depth, n0 AS n_users FROM c
 UNION ALL SELECT '{s1}', 2, n1 FROM c
 UNION ALL SELECT '{s2}', 3, n2 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# stage-to-stage conversion latency (the "how fast" companion to the
+# funnel's "how many")
+# ---------------------------------------------------------------------------
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage_pair, n_conversions, p50_minutes, p90_minutes,
+    max_minutes) — time between a user's ordered funnel stages, for
+    the three pairs of FUNNEL_STAGES.  Reuses user_chains (one window
+    pass on the user grain); percentiles via the proven
+    percentile <-> quantile_cont bridge over integer microsecond
+    deltas, converted to minutes only at output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    chains = user_chains(ev)
+    s0, s1, s2 = FUNNEL_STAGES
+    deltas = chains.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(f"{s0}->{s1}").alias("stage_pair"),
+                    (F.col("t1") - F.col("t0")).alias("delta_us"),
+                ),
+                F.struct(
+                    F.lit(f"{s1}->{s2}").alias("stage_pair"),
+                    (F.col("t2") - F.col("t1")).alias("delta_us"),
+                ),
+                F.struct(
+                    F.lit(f"{s0}->{s2}").alias("stage_pair"),
+                    (F.col("t2") - F.col("t0")).alias("delta_us"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*").filter(F.col("delta_us").isNotNull())
+    m = 60_000_000.0
+    return (
+        deltas.groupBy("stage_pair")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.expr("percentile(delta_us, 0.5)").alias("p50_us"),
+            F.expr("percentile(delta_us, 0.9)").alias("p90_us"),
+            F.max("delta_us").alias("max_us"),
+        )
+        .select(
+            "stage_pair",
+            "n_conversions",
+            F.round(F.col("p50_us") / m, 6).alias("p50_minutes"),
+            F.round(F.col("p90_us") / m, 6).alias("p90_minutes"),
+            F.round(F.col("max_us").cast("double") / m, 6).alias(
+                "max_minutes"
+            ),
+        )
+        .orderBy("stage_pair")
+    )
+
+
+def _latency_sql() -> str:
+    s0, s1, s2 = FUNNEL_STAGES
+    return f"""
+WITH {_chain_ctes()},
+deltas AS (
+  SELECT stage_pair, delta_us FROM (
+    SELECT '{s0}->{s1}' AS stage_pair, t1 - t0 AS delta_us FROM users
+    UNION ALL
+    SELECT '{s1}->{s2}', t2 - t1 FROM users
+    UNION ALL
+    SELECT '{s0}->{s2}', t2 - t0 FROM users
+  ) WHERE delta_us IS NOT NULL
+)
+SELECT stage_pair,
+  COUNT(*)::BIGINT AS n_conversions,
+  ROUND(quantile_cont(delta_us, 0.5) / 60000000.0, 6) AS p50_minutes,
+  ROUND(quantile_cont(delta_us, 0.9) / 60000000.0, 6) AS p90_minutes,
+  ROUND(MAX(delta_us)::DOUBLE / 60000000.0, 6) AS max_minutes
+FROM deltas
+GROUP BY stage_pair
+ORDER BY stage_pair
 """
 
 
@@ -165,9 +254,11 @@ GROUP BY cw, wk - cw
 
 QUERIES = {
     "funnel_ordered": funnel_counts,
+    "funnel_conversion_latency": conversion_latency,
     "funnel_retention_cohorts": retention_cohorts,
 }
 ORACLE = {
     "funnel_ordered": _funnel_sql(),
+    "funnel_conversion_latency": _latency_sql(),
     "funnel_retention_cohorts": _RETENTION_SQL,
 }
