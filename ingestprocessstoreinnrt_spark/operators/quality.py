@@ -613,8 +613,76 @@ ORDER BY level
 """
 
 
+# l-diversity companion: a k-anonymous class is still unsafe if every
+# member shares the sensitive value — diversity counts DISTINCT
+# sensitive values (account-balance bucket) per QI class.
+
+L_DIVERSITY = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_classes, min_l, classes_below_l, rows_below_l,
+    share_below_l) for the coarse QI (nation, segment) with sensitive
+    attribute = acctbal rounded to 1000s."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("q1"),
+        F.col("c_mktsegment").alias("q2"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("sens"),
+    )
+    classes = cust.groupBy("q1", "q2").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.countDistinct("sens").cast("long").alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum((F.col("l") < L_DIVERSITY).cast("long"))
+        .cast("long")
+        .alias("classes_below_l"),
+        F.sum(
+            F.when(F.col("l") < L_DIVERSITY, F.col("m")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_below_l"),
+        F.round(
+            F.sum(
+                F.when(F.col("l") < L_DIVERSITY, F.col("m")).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.sum("m").cast("double"),
+            6,
+        ).alias("share_below_l"),
+    )
+
+
+_LDIV_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey AS q1, c_mktsegment AS q2,
+    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sens
+  FROM customer
+),
+classes AS (
+  SELECT q1, q2, COUNT(*)::BIGINT AS m,
+    COUNT(DISTINCT sens)::BIGINT AS l
+  FROM c GROUP BY q1, q2
+)
+SELECT COUNT(*)::BIGINT AS n_classes,
+  MIN(l)::BIGINT AS min_l,
+  CAST(SUM(CASE WHEN l < {L_DIVERSITY} THEN 1 ELSE 0 END) AS BIGINT)
+    AS classes_below_l,
+  CAST(SUM(CASE WHEN l < {L_DIVERSITY} THEN m ELSE 0 END) AS BIGINT)
+    AS rows_below_l,
+  ROUND(CAST(SUM(CASE WHEN l < {L_DIVERSITY} THEN m ELSE 0 END)
+             AS BIGINT)::DOUBLE
+        / CAST(SUM(m) AS BIGINT)::DOUBLE, 6) AS share_below_l
+FROM classes
+"""
+
+
 QUERIES = {
     "quality_k_anonymity": k_anonymity_audit,
+    "quality_l_diversity": l_diversity_audit,
     "quality_column_profile": column_profile,
     "quality_benford": benford_digits,
     "quality_key_skew": key_skew_profile,
@@ -624,6 +692,7 @@ QUERIES = {
 }
 ORACLE = {
     "quality_k_anonymity": _KANON_SQL,
+    "quality_l_diversity": _LDIV_SQL,
     "quality_column_profile": _profile_sql(),
     "quality_benford": _BENFORD_SQL,
     "quality_key_skew": _KEY_SKEW_SQL,
