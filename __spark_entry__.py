@@ -181,7 +181,8 @@ _UNPROVEN_AGE_ORDER = [
     "ts_cusum_changepoint", "text_rake_keywords", "dedup_fuzzy_names",
     "curation_bpe_encode", "quality_k_anonymity",
     "win_event_transitions", "funnel_conversion_latency",
-    "quality_l_diversity", "dedup_best_match",
+    "quality_l_diversity", "dedup_best_match", "bi_cube_revenue",
+    "sketch_hll_intersection",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

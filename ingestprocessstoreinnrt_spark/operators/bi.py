@@ -429,6 +429,54 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# CUBE twin of the rollup: ALL 2^k grouping-set combinations (the
+# cross-tab a BI tool pivots freely), same one-scan Expand shape —
+# rollup covers the prefix hierarchy, cube the full lattice.
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+    )
+    return (
+        li.cube("ship_year", "l_returnflag")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .select(
+            "ship_year",
+            "l_returnflag",
+            F.col("grp_id").cast("long").alias("grp_id"),
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+_REVENUE_CUBE_SQL = f"""
+SELECT
+  ship_year,
+  l_returnflag,
+  GROUPING(ship_year, l_returnflag)::BIGINT AS grp_id,
+  COUNT(*) AS n_items,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM (
+  SELECT year(l_shipdate)::BIGINT AS ship_year, l_returnflag,
+    l_extendedprice, l_discount
+  FROM lineitem
+)
+GROUP BY CUBE (ship_year, l_returnflag)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pareto / revenue-concentration analysis
 # ---------------------------------------------------------------------------
@@ -1208,6 +1256,7 @@ QUERIES = {
     "bi_metrics_unpivot": metrics_unpivot,
     "bi_pricing_rollup": pricing_rollup,
     "bi_rollup_levels": pricing_rollup_levels,
+    "bi_cube_revenue": revenue_cube,
     "bi_first_n": first_n_events,
     "bi_percentiles": order_percentiles,
     "bi_index_search": index_search,
@@ -1232,6 +1281,7 @@ ORACLE = {
     "bi_metrics_unpivot": _UNPIVOT_SQL,
     "bi_pricing_rollup": _PRICING_ROLLUP_SQL,
     "bi_rollup_levels": _PRICING_ROLLUP_LEVELS_SQL,
+    "bi_cube_revenue": _REVENUE_CUBE_SQL,
     "bi_first_n": _FIRST_N_SQL,
     "bi_percentiles": _PERCENTILES_SQL,
     "bi_index_search": _INDEX_SEARCH_SQL,

@@ -415,6 +415,128 @@ _HLL_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# HLL set algebra: intersection by inclusion-exclusion
+# ---------------------------------------------------------------------------
+#
+# |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the union sketch is the
+# elementwise register MAX — the estimate audiences/overlap tooling
+# ships (no exact co-group of two 100 TB sides; three 1024-register
+# sketches meet on the driver-free single-row plan).  The exact
+# intersection rides along for observed error.
+
+HLL_IX_A, HLL_IX_B = "view", "purchase"
+
+
+def _hll_est_row(regs: DataFrame, alias: str) -> DataFrame:
+    """One-row estimate from a (j, r) register frame — the SAME
+    expression tree as _hll_frame / the SQL twin."""
+    s = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("hit"),
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({_HLL_W_BITS + 1} - r as int))")
+        ).cast("long").alias("sp"),
+    )
+    zero = F.lit(HLL_M).cast("long") - F.col("hit")
+    s_total = (
+        F.col("sp") + zero * F.lit(1 << (_HLL_W_BITS + 1)).cast("long")
+    )
+    raw = F.lit(_HLL_NUMER) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LC_GATE)) & (zero > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
+    ).otherwise(raw)
+    return s.select(est.alias(alias))
+
+
+def hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(set_a, set_b, est_a, est_b, est_union, est_intersection,
+    exact_intersection) — audience-overlap estimate between the users
+    of two event types."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == HLL_IX_A).select("user_id")
+    b = ev.filter(F.col("event_type") == HLL_IX_B).select("user_id")
+    ra = hll_registers(a, "user_id")
+    rb = hll_registers(b, "user_id")
+    ru = (
+        ra.unionByName(rb).groupBy("j").agg(F.max("r").alias("r"))
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return (
+        _hll_est_row(ra, "est_a")
+        .crossJoin(_hll_est_row(rb, "est_b"))
+        .crossJoin(_hll_est_row(ru, "est_union"))
+        .crossJoin(exact)
+        .select(
+            F.lit(HLL_IX_A).alias("set_a"),
+            F.lit(HLL_IX_B).alias("set_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            (
+                F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+
+
+def _hll_ix_sql() -> str:
+    rb_ = _HLL_W_BITS + 1
+    hsh = SQL_STABLE_HASH64.format(x="user_id::VARCHAR")
+
+    def regs(etype: str) -> str:
+        return f"""SELECT j, MAX(rho) AS r FROM (
+  SELECT h % {HLL_M} AS j,
+    CASE WHEN (h // {HLL_M}) = 0 THEN {rb_}
+         ELSE {rb_} - length(bin(h // {HLL_M})) END AS rho
+  FROM (SELECT {hsh} AS h FROM events
+        WHERE event_type = '{etype}')
+) GROUP BY j"""
+
+    def est(rel: str, alias: str) -> str:
+        st = f"(sp + ({HLL_M}::BIGINT - hit) * {1 << rb_}::BIGINT)"
+        return f"""SELECT CASE
+  WHEN ({_HLL_NUMER!r} / {st}::DOUBLE) <= {_HLL_LC_GATE!r}
+       AND ({HLL_M}::BIGINT - hit) > 0
+  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+       / ({HLL_M}::BIGINT - hit)::DOUBLE)
+  ELSE {_HLL_NUMER!r} / {st}::DOUBLE END AS {alias}
+FROM (SELECT COUNT(*)::BIGINT AS hit,
+        CAST(SUM(1::BIGINT << ({rb_} - r)) AS BIGINT) AS sp
+      FROM {rel})"""
+
+    return f"""
+WITH ra AS ({regs(HLL_IX_A)}),
+rb AS ({regs(HLL_IX_B)}),
+ru AS (
+  SELECT j, MAX(r) AS r FROM (
+    SELECT * FROM ra UNION ALL SELECT * FROM rb
+  ) GROUP BY j
+),
+ea AS ({est('ra', 'est_a')}),
+eb AS ({est('rb', 'est_b')}),
+eu AS ({est('ru', 'est_union')}),
+ex AS (
+  SELECT COUNT(*)::BIGINT AS exact_intersection FROM
+    (SELECT DISTINCT user_id FROM events
+     WHERE event_type = '{HLL_IX_A}')
+    JOIN (SELECT DISTINCT user_id FROM events
+          WHERE event_type = '{HLL_IX_B}') USING (user_id)
+)
+SELECT '{HLL_IX_A}' AS set_a, '{HLL_IX_B}' AS set_b,
+  est_a, est_b, est_union,
+  est_a + est_b - est_union AS est_intersection,
+  exact_intersection
+FROM ea, eb, eu, ex
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch algebra: per-group KMV sketches UNION-merge to the global one
 # ---------------------------------------------------------------------------
 #
@@ -532,6 +654,7 @@ QUERIES = {
     "sketch_kmv_by_group": kmv_distinct_by_group,
     "sketch_sample_quantiles": sample_quantiles,
     "sketch_hll_distinct": hll_distinct,
+    "sketch_hll_intersection": hll_intersection,
 }
 ORACLE = {
     "sketch_kmv_merge": _KMV_MERGE_SQL,
@@ -539,4 +662,5 @@ ORACLE = {
     "sketch_kmv_by_group": _KMV_GROUP_SQL,
     "sketch_sample_quantiles": _SQ_SQL,
     "sketch_hll_distinct": _HLL_SQL,
+    "sketch_hll_intersection": _hll_ix_sql(),
 }
