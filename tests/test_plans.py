@@ -358,6 +358,15 @@ def test_r5_ops_have_clean_plans(spark):
         "multimodal_resize_plan",
         "curation_quality_gate",
         "ml_calibration_bins",
+        "ts_cusum_changepoint",
+        "text_rake_keywords",
+        "dedup_fuzzy_names",
+        "quality_k_anonymity",
+        "quality_l_diversity",
+        "win_event_transitions",
+        "funnel_conversion_latency",
+        "bi_cube_revenue",
+        "curation_bpe_encode",
     ):
         body = E.formatted_plan(qs[name](spark, SF_ORACLE)).split(
             "== Physical Plan =="
