@@ -182,7 +182,7 @@ _UNPROVEN_AGE_ORDER = [
     "curation_bpe_encode", "quality_k_anonymity",
     "win_event_transitions", "funnel_conversion_latency",
     "quality_l_diversity", "dedup_best_match", "bi_cube_revenue",
-    "sketch_hll_intersection",
+    "sketch_hll_intersection", "graph_bellman_ford", "ml_km_survival",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -301,6 +301,134 @@ FROM d{BFS_HOPS}
 
 
 # ---------------------------------------------------------------------------
+# weighted shortest paths: fixed-round Bellman-Ford (nearest landmark)
+# ---------------------------------------------------------------------------
+#
+# The weighted companion to bfs_landmarks: cheapest cost (min summed
+# edge price) from the landmark suppliers to every vertex within
+# BELLMAN_ROUNDS relaxations.  (cost, landmark) is packed into ONE
+# BIGINT — cost*2^20 + landmark — so each relaxation is a plain
+# map-side-combinable MIN that carries the argmin for free, and ties
+# break (cost, then landmark id) deterministically.  Bound: cost_q <
+# 4 rounds * max price*100 ~ 4e7, landmark < 2^20, pack < 2^46.
+# Sixth iterative family; fixed rounds -> unrolled-CTE oracle.
+
+BELLMAN_ROUNDS = 4
+_BF_SHIFT = 1 << 20
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _EDGE_MOD == 0)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min("w").alias("w"))
+    )
+
+
+def bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, nearest_landmark, cost_q, cost) — cheapest
+    BELLMAN_ROUNDS-hop-bounded route cost from the BFS_LANDMARKS
+    landmark suppliers over the undirected priced shipment graph."""
+    we = _weighted_edges(spark, sf_dir)
+    und = we.unionByName(
+        we.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    lm = (
+        load_table(spark, sf_dir, "supplier")
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .orderBy("node")
+        .limit(BFS_LANDMARKS)
+    )
+    dist = lm.select("node", F.col("node").alias("p"))  # cost 0
+    for _ in range(BELLMAN_ROUNDS):
+        relax = und.join(dist, und.src == dist.node).select(
+            F.col("dst").alias("node"),
+            (
+                (F.expr(f"p DIV {_BF_SHIFT}") + F.col("w"))
+                * F.lit(_BF_SHIFT)
+                + F.pmod(F.col("p"), F.lit(_BF_SHIFT))
+            ).alias("p"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("p").alias("p"))
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.pmod(F.col("p"), F.lit(_BF_SHIFT))
+        .cast("long")
+        .alias("nearest_landmark"),
+        F.expr(f"p DIV {_BF_SHIFT}").cast("long").alias("cost_q"),
+        F.round(
+            F.expr(f"p DIV {_BF_SHIFT}").cast("double") / 100.0, 6
+        ).alias("cost"),
+    ).orderBy("node")
+
+
+def _bellman_sql() -> str:
+    ctes = [
+        f"""we AS (
+  SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+    MIN(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % {_EDGE_MOD} = 0
+  GROUP BY 1, 2
+)""",
+        "und AS (SELECT src, dst, w FROM we "
+        "UNION ALL SELECT dst, src, w FROM we)",
+        f"""d0 AS (
+  SELECT node, node AS p FROM (
+    SELECT s_suppkey * 2 AS node FROM supplier
+    ORDER BY node LIMIT {BFS_LANDMARKS})
+)""",
+    ]
+    for t in range(1, BELLMAN_ROUNDS + 1):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT node, MIN(p) AS p FROM (
+    SELECT node, p FROM d{t - 1}
+    UNION ALL
+    SELECT und.dst AS node,
+      ((p // {_BF_SHIFT}) + w) * {_BF_SHIFT} + (p % {_BF_SHIFT}) AS p
+    FROM und JOIN d{t - 1} ON und.src = d{t - 1}.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node::BIGINT AS node,
+  (p % {_BF_SHIFT})::BIGINT AS nearest_landmark,
+  (p // {_BF_SHIFT})::BIGINT AS cost_q,
+  ROUND((p // {_BF_SHIFT})::DOUBLE / 100.0, 6) AS cost
+FROM d{BELLMAN_ROUNDS}
+ORDER BY node
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-core peeling (fixed rounds)
 # ---------------------------------------------------------------------------
 #
@@ -484,10 +612,12 @@ QUERIES = {
     "graph_components": components,
     "graph_bfs_landmarks": bfs_landmarks,
     "graph_kcore_peel": kcore_peel,
+    "graph_bellman_ford": bellman_ford,
 }
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
     "graph_components": _COMPONENTS_SQL,
     "graph_bfs_landmarks": _bfs_sql(),
     "graph_kcore_peel": _kcore_sql(),
+    "graph_bellman_ford": _bellman_sql(),
 }

@@ -2474,8 +2474,144 @@ GROUP BY source
 ORDER BY source"""
 
 
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (churn / retention analysis)
+# ---------------------------------------------------------------------------
+#
+# User "lifetime" = days between first and last event; users still
+# active in the final KM_CENSOR_DAYS of the dataset are CENSORED (their
+# true lifetime is unknown, they only guarantee "at least this long").
+# Standard product-analytics estimator: S(t) = prod_{t_i <= t}
+# (1 - d_i / n_i) over distinct event times.
+#
+# Exactness: d_i, n_i are integers; each factor's ln((n-d)/n) is
+# evaluated on identical doubles in both engines (ln matches libm —
+# the HLL precedent), quantized to 1e-9 BIGINTs, and cumulated with an
+# integer window sum — order-independent.  survival = exp(cum) is the
+# one post-hoc float; rounded to 6 dp it is knife-edge-safe to ~1e-11
+# per row over a metadata-scale (distinct lifetimes) output.  A time
+# where d_i = n_i drives S to exactly 0.0 (ln(0) is gated, not
+# evaluated).  Scale shape: one user-grain aggregate, then everything
+# runs at DISTINCT-LIFETIME grain (~tens of rows).
+
+KM_CENSOR_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_days, n_at_risk, n_events, n_censored, survival) — the KM
+    curve of user activity lifetimes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus")
+    )
+    mx = ev.agg(F.max("tus").alias("mx"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("tus").alias("t0"),
+            F.max("tus").alias("t1"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            F.expr(f"(t1 - t0) DIV {_DAY_US}").alias("t"),
+            (
+                F.col("t1") < F.col("mx") - KM_CENSOR_DAYS * _DAY_US
+            ).cast("long").alias("ev"),
+        )
+    )
+    grid = users.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    wcur = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(
+            Window.orderBy("t").rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+        )
+    ).alias("n")
+    g = grid.select("t", "d", "c", at_risk)
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.floor(
+            F.log(
+                (F.col("n") - F.col("d")).cast("double")
+                / F.col("n").cast("double")
+            )
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = F.max((F.col("d") == F.col("n")).cast("long")).over(wcur)
+    out = g.select(
+        "t",
+        "d",
+        "c",
+        "n",
+        F.sum(term).over(wcur).alias("cum_q"),
+        dead.alias("dead"),
+    )
+    return out.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("cum_q").cast("double") / 1e9), 6)
+        )
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+_KM_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+),
+mx AS (SELECT MAX(tus) AS mx FROM e),
+users AS (
+  SELECT (MAX(tus) - MIN(tus)) // {_DAY_US} AS t,
+    CASE WHEN MAX(tus) < mx - {KM_CENSOR_DAYS * _DAY_US}
+         THEN 1 ELSE 0 END::BIGINT AS ev
+  FROM e, mx GROUP BY user_id, mx
+),
+grid AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+    CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM users GROUP BY t
+),
+g AS (
+  SELECT t, d, c,
+    CAST(SUM(d + c) OVER (ORDER BY t
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+  FROM grid
+),
+s AS (
+  SELECT t, d, c, n,
+    CAST(SUM(CASE WHEN d < n THEN
+      CAST(FLOOR(ln((n - d)::DOUBLE / n::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+      ELSE 0 END) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_q,
+    MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM g
+)
+SELECT t::BIGINT AS t_days, n AS n_at_risk, d AS n_events,
+  c AS n_censored,
+  CASE WHEN dead = 1 THEN 0.0
+       ELSE ROUND(exp(cum_q::DOUBLE / 1e9), 6) END AS survival
+FROM s
+ORDER BY t_days
+"""
+
+
 QUERIES = {
     "ml_logistic_score": logistic_score,
+    "ml_km_survival": km_survival,
     "ml_calibration_bins": calibration_bins,
     "curation_quality_gate": quality_gate,
     "ml_welch_ttest": welch_ttest,
@@ -2500,6 +2636,7 @@ QUERIES = {
 
 ORACLE = {
     "ml_logistic_score": _logistic_sql(),
+    "ml_km_survival": _KM_SQL,
     "ml_calibration_bins": _cal_bins_sql(),
     "curation_quality_gate": _quality_gate_sql(),
     "ml_welch_ttest": _TTEST_SQL,

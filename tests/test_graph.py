@@ -77,3 +77,46 @@ def test_pagerank_converged_equals_fixed_depth(spark):
                 eager=True
             )
         assert max_delta(prev, prev2) > tol
+
+
+def test_bellman_ford_matches_python_replay(spark):
+    """K-round relaxation from the landmark set must equal a pure-Python
+    Bellman-Ford limited to the same number of rounds (hop-bounded
+    cheapest cost, ties to the lowest landmark id)."""
+    from ingestprocessstoreinnrt_spark.operators import graph
+    from tests.conftest import SF_ORACLE
+
+    we = {
+        (r.src, r.dst): r.w
+        for r in graph._weighted_edges(spark, SF_ORACLE).collect()
+    }
+    und: dict = {}
+    for (s, d), w in we.items():
+        und.setdefault(s, []).append((d, w))
+        und.setdefault(d, []).append((s, w))
+    # landmark set = lowest supplier NODES overall (match the query:
+    # lowest s_suppkey*2 from the supplier table, not just the graph)
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+
+    landmarks = [
+        r[0] * 2
+        for r in load_table(spark, SF_ORACLE, "supplier")
+        .select("s_suppkey")
+        .orderBy("s_suppkey")
+        .limit(graph.BFS_LANDMARKS)
+        .collect()
+    ]
+    best = {n: (0, n) for n in landmarks}
+    for _ in range(graph.BELLMAN_ROUNDS):
+        nxt = dict(best)
+        for u, (cu, lu) in best.items():
+            for v, w in und.get(u, []):
+                cand = (cu + w, lu)
+                if v not in nxt or cand < nxt[v]:
+                    nxt[v] = cand
+        best = nxt
+    got = {
+        r.node: (r.cost_q, r.nearest_landmark)
+        for r in graph.bellman_ford(spark, SF_ORACLE).collect()
+    }
+    assert got == best

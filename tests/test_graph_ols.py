@@ -394,3 +394,58 @@ def test_logistic_score_matches_unquantized_irls(spark):
     assert row.tp + row.fp + row.fn + row.tn == row.n_docs
     assert row.tp + row.fn == row.n_pos
     assert abs(row.accuracy - (row.tp + row.tn) / row.n_docs) < 1e-6
+
+
+def test_km_survival_matches_python_replay(spark):
+    """Pure-Python Kaplan-Meier over the same (lifetime, event) pairs
+    must reproduce every curve point to 6 dp."""
+    import math
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from tests.conftest import SF_ORACLE
+
+    rows = (
+        load_table(spark, SF_ORACLE, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS tus")
+        .collect()
+    )
+    mx = max(r.tus for r in rows)
+    per: dict = {}
+    for r in rows:
+        t0, t1 = per.get(r.user_id, (r.tus, r.tus))
+        per[r.user_id] = (min(t0, r.tus), max(t1, r.tus))
+    day = ml._DAY_US
+    pairs = [
+        (
+            (t1 - t0) // day,
+            1 if t1 < mx - ml.KM_CENSOR_DAYS * day else 0,
+        )
+        for t0, t1 in per.values()
+    ]
+    grid: dict = {}
+    for t, e in pairs:
+        d, c = grid.get(t, (0, 0))
+        grid[t] = (d + e, c + (1 - e))
+    expect = []
+    remaining = len(pairs)
+    s = 1.0
+    cum_q = 0
+    dead = False
+    for t in sorted(grid):
+        d, c = grid[t]
+        n = remaining
+        if d == n:
+            dead = True
+        elif d > 0 or True:
+            cum_q += math.floor(math.log((n - d) / n) * 1e9 + 0.5)
+        surv = 0.0 if dead else math.floor(
+            math.exp(cum_q / 1e9) * 1e6 + 0.5
+        ) / 1e6
+        expect.append((t, n, d, c, surv))
+        remaining -= d + c
+    got = [
+        (r.t_days, r.n_at_risk, r.n_events, r.n_censored, r.survival)
+        for r in ml.km_survival(spark, SF_ORACLE).collect()
+    ]
+    assert got == expect
