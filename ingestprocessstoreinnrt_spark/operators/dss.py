@@ -175,6 +175,48 @@ ORDER BY p_brand
 """
 
 # ---------------------------------------------------------------------------
+# Q6 — forecast revenue change (pure scan-side predicate band, single
+# row; the canonical predicate-pushdown benchmark: every filter lands
+# in PushedFilters, no join, no group — the whole query is one
+# map-side-combined aggregate over a pruned scan)
+# ---------------------------------------------------------------------------
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: revenue that a discount-band repeal would reclaim —
+    SUM(price * discount) over one ship year, discount in
+    [0.05, 0.07], quantity < 24."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "forecast_revenue",
+            ),
+        )
+    )
+
+
+_FORECAST_REVENUE_SQL = f"""
+SELECT COUNT(*)::BIGINT AS n_items,
+  {sql_dsum('l_extendedprice * l_discount', 'forecast_revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q18 — large-volume orders (HAVING filter on fact agg, then top-k)
 # ---------------------------------------------------------------------------
 
@@ -881,6 +923,7 @@ QUERIES = {
     "bi_order_count_dist": order_count_dist,
     "bi_promo_share": promo_share,
     "bi_small_qty_revenue": small_qty_revenue,
+    "bi_forecast_revenue": forecast_revenue,
     "bi_large_orders": large_orders,
     "bi_nation_profit": nation_profit,
     "bi_sole_late_supplier": sole_late_supplier,
@@ -897,6 +940,7 @@ ORACLE = {
     "bi_order_count_dist": _ORDER_COUNT_DIST_SQL,
     "bi_promo_share": _PROMO_SHARE_SQL,
     "bi_small_qty_revenue": _SMALL_QTY_SQL,
+    "bi_forecast_revenue": _FORECAST_REVENUE_SQL,
     "bi_large_orders": _LARGE_ORDERS_SQL,
     "bi_nation_profit": _NATION_PROFIT_SQL,
     "bi_sole_late_supplier": _SOLE_LATE_SQL,

@@ -342,15 +342,16 @@ def test_r4_ops_have_clean_plans(spark):
 
 
 def test_r5_ops_have_clean_plans(spark):
-    """New r5 operators: no cartesian products, no nested-loop joins
-    anywhere (none of these needs a single-row anchor); the multimodal
-    frame sampler plans exactly one exchange (the media_id hash
-    repartition feeding mapInPandas) and the resize plan adds no
-    exchange beyond it."""
+    """New r5 operators: no cartesian products; the only nested-loop
+    join is km_survival's single-row global-max anchor (whitelisted,
+    metadata-scale by construction); the multimodal frame sampler
+    plans exactly one exchange (the media_id hash repartition feeding
+    mapInPandas) and the resize plan adds no exchange beyond it."""
     import re
 
     import __spark_entry__ as e
 
+    bnlj_whitelist = {"ml_km_survival"}  # 1-row MAX(ts) anchor ride-in
     qs = e.queries()
     for name in (
         "dedup_keep_longest_lsh",
@@ -367,13 +368,35 @@ def test_r5_ops_have_clean_plans(spark):
         "funnel_conversion_latency",
         "bi_cube_revenue",
         "curation_bpe_encode",
+        "graph_bellman_ford",
+        "ml_km_survival",
+        "bi_forecast_revenue",
     ):
         body = E.formatted_plan(qs[name](spark, SF_ORACLE)).split(
             "== Physical Plan =="
         )[-1]
         assert "CartesianProduct" not in body, name
-        assert "BroadcastNestedLoopJoin" not in body, name
+        bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", body))
+        assert bnlj <= (1 if name in bnlj_whitelist else 0), name
     frames = E.formatted_plan(
         qs["multimodal_frame_sample"](spark, SF_ORACLE)
     ).split("== Physical Plan ==")[-1]
     assert len(re.findall(r"\(\d+\) Exchange", frames)) == 1
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """bi_forecast_revenue is the canonical pushdown shape: all four
+    band predicates must land in PushedFilters and the scan must read
+    only the four referenced columns."""
+    import __spark_entry__ as e
+
+    plan = E.formatted_plan(
+        e.queries()["bi_forecast_revenue"](spark, SF_ORACLE)
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_discount", "l_quantity", "l_shipdate"):
+        assert col in pushed, (col, pushed)
+    read = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read  # pruned
