@@ -183,7 +183,7 @@ _UNPROVEN_AGE_ORDER = [
     "win_event_transitions", "funnel_conversion_latency",
     "quality_l_diversity", "dedup_best_match", "bi_cube_revenue",
     "sketch_hll_intersection", "graph_bellman_ford", "ml_km_survival",
-    "bi_forecast_revenue",
+    "bi_forecast_revenue", "ts_rolling_corr",
 ]
 _AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
 

@@ -719,7 +719,114 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling correlation between two event series
+# ---------------------------------------------------------------------------
+#
+# The quant-desk staple: trailing correlation of two hourly series
+# ('view' vs 'purchase' hourly value sums).  Exactness: the five
+# sufficient statistics are BIGINT window sums of x1e4-quantized
+# values (order-independent); Pearson is assembled in doubles with one
+# fixed expression order, sqrt matches libm — the ml_correlation
+# pattern put under a ROWS window.  A trailing ROWS frame (last
+# CORR_WINDOW observations), not RANGE, so hour gaps do not change
+# the arithmetic between engines.
+
+CORR_WINDOW = 24
+
+
+def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour_us, n_window, corr) — trailing CORR_WINDOW-bucket Pearson
+    correlation between hourly 'view' and 'purchase' value sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("qv"),
+    )
+    hourly = ev.groupBy("h").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("qv")).otherwise(
+                0
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("qv")
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-(CORR_WINDOW - 1), 0)
+    g = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6),
+    )
+    return g.select(
+        (F.col("h") * HOUR_US).cast("long").alias("hour_us"),
+        F.col("n").cast("long").alias("n_window"),
+        corr.alias("corr"),
+    ).orderBy("hour_us")
+
+
+_ROLLING_CORR_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {HOUR_US} AS h, event_type,
+    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+),
+hourly AS (
+  SELECT h,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN qv ELSE 0 END)
+         AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN qv ELSE 0 END)
+         AS BIGINT) AS y
+  FROM e GROUP BY h
+),
+g AS (
+  SELECT h,
+    COUNT(*) OVER wr AS n,
+    CAST(SUM(x) OVER wr AS BIGINT) AS sx,
+    CAST(SUM(y) OVER wr AS BIGINT) AS sy,
+    CAST(SUM(x * x) OVER wr AS BIGINT) AS sxx,
+    CAST(SUM(y * y) OVER wr AS BIGINT) AS syy,
+    CAST(SUM(x * y) OVER wr AS BIGINT) AS sxy
+  FROM hourly
+  WINDOW wr AS (ORDER BY h
+    ROWS BETWEEN {CORR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT (h * {HOUR_US})::BIGINT AS hour_us, n::BIGINT AS n_window,
+  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+        AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+    THEN ROUND(
+      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+    ELSE NULL END AS corr
+FROM g
+ORDER BY hour_us
+"""
+
+
 QUERIES = {
+    "ts_rolling_corr": rolling_corr,
     "ts_cusum_changepoint": cusum_changepoint,
     "ts_hourly_autocorr": hourly_autocorr,
     "ts_ohlc_bars": ohlc_bars,
@@ -730,6 +837,7 @@ QUERIES = {
     "ts_ewma": ewma_smooth,
 }
 ORACLE = {
+    "ts_rolling_corr": _ROLLING_CORR_SQL,
     "ts_cusum_changepoint": _CUSUM_SQL,
     "ts_hourly_autocorr": _AUTOCORR_SQL,
     "ts_ohlc_bars": _OHLC_SQL,

@@ -371,6 +371,7 @@ def test_r5_ops_have_clean_plans(spark):
         "graph_bellman_ford",
         "ml_km_survival",
         "bi_forecast_revenue",
+        "ts_rolling_corr",
     ):
         body = E.formatted_plan(qs[name](spark, SF_ORACLE)).split(
             "== Physical Plan =="
