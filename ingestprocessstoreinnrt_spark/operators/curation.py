@@ -699,10 +699,10 @@ b{k} AS MATERIALIZED (
   ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
 ),
 v{k} AS MATERIALIZED (
-  SELECT word, replace(ws,
+  SELECT word, CASE WHEN b.lhs IS NULL THEN ws ELSE replace(ws,
     chr(9) || b.lhs || {sep2} || b.rhs || chr(9),
-    chr(9) || b.lhs || b.rhs || chr(9)) AS ws, wc
-  FROM v{k - 1}, b{k} b
+    chr(9) || b.lhs || b.rhs || chr(9)) END AS ws, wc
+  FROM v{k - 1} LEFT JOIN b{k} b ON TRUE
 )"""
         )
     return ",\n".join(ctes)

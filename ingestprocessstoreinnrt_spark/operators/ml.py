@@ -2225,12 +2225,27 @@ def _fit_logistic(feats: DataFrame) -> tuple:
     return beta
 
 
+# session memo of the fitted beta per sf_dir (mirrors the dedup pair
+# frame session cache): logistic_score / calibration_bins /
+# curation_quality_gate share one IRLS fit instead of paying the
+# LOGISTIC_ROUNDS x 4-aggregate driver loop three times
+_LOGI_BETA: dict[str, tuple] = {}
+
+
+def _fitted_logistic(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, tuple]:
+    feats = _logi_feats(spark, sf_dir)
+    if sf_dir not in _LOGI_BETA:
+        _LOGI_BETA[sf_dir] = _fit_logistic(feats)
+    return feats, _LOGI_BETA[sf_dir]
+
+
 def logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (n_docs, n_pos, b0, b1, b2, tp, fp, fn, tn, accuracy)
     after LOGISTIC_ROUNDS IRLS rounds of lang='en' ~ mean token length
     + stopword share."""
-    feats = _logi_feats(spark, sf_dir)
-    beta = _fit_logistic(feats)
+    feats, beta = _fitted_logistic(spark, sf_dir)
     p = _logi_p(beta)
     pred = (p >= F.lit(0.5)).cast("long")
     y = F.col("y")
@@ -2378,8 +2393,7 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile — the reliability diagram of the logistic scorer.  One extra
     scan over the cached feature frame; the binning is integer floor on
     the 6-dp-quantized score, so bin membership is engine-exact."""
-    feats = _logi_feats(spark, sf_dir)
-    beta = _fit_logistic(feats)
+    feats, beta = _fitted_logistic(spark, sf_dir)
     sel = feats.select(_logi_p(beta).alias("p"), "y")
     b = F.least(
         F.floor(F.col("p") * CAL_BINS).cast("long"),
@@ -2440,8 +2454,7 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (logistic p >= 0.5) evaluated per source, the decision table
     a mixture-weight planner reads.  Same cached feature frame and
     fit; one conditional aggregate."""
-    feats = _logi_feats(spark, sf_dir)
-    beta = _fit_logistic(feats)
+    feats, beta = _fitted_logistic(spark, sf_dir)
     gate = (_logi_p(beta) >= F.lit(0.5)).cast("long")
     return (
         feats.groupBy("source")

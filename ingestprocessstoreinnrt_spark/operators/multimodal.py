@@ -419,6 +419,13 @@ def multimodal_frame_sample(
     return sample_frames(media_from_documents(spark, sf_dir))
 
 
+# ASCII ASSUMPTION: the Spark side slices the UTF-8 payload BYTES while
+# this twin mixes byte-based strlen() with character-based substr();
+# DuckDB cannot slice BLOBs, so the twin is only cell-exact when
+# byte==character — i.e. pure-ASCII text.  The generated corpus is
+# ASCII (guarded by tests/test_reference_data.py::test_documents_ascii);
+# a non-ASCII corpus would shift frame boundaries and frame_md5_8 here
+# while the Spark result stays byte-correct.
 _FRAME_SQL = f"""
 WITH clips AS (
   SELECT doc_id AS media_id, text,

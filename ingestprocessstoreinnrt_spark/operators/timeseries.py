@@ -620,10 +620,12 @@ ORDER BY event_type, hour_us
 # Pettitt-style mean-shift location).  Exact integers end to end: with
 # values quantized x1e4 and P_i = prefix sum, T = total, the scaled
 # statistic D_i = |n*P_i - i*T| = n*|S_i| is a BIGINT, so the argmax
-# never touches a float (bound documented: n * sum|qv| < 2^63 — at 1e6
-# rows/user and |value| <= 1e3 that is 1e19/1e4... i.e. keep
-# rows-per-key under ~1e5 at this quantization, the sf1 regime; at
-# larger keys pre-aggregate to hourly buckets first, same operator).
+# never touches a float.  The bound n * sum|qv| < 2^63 is RUNTIME
+# GUARDED (not just documented): keys where sum|qv| > 2^61 DIV n keep
+# their row but emit NULL changepoint columns, identically in both
+# engines (DuckDB would otherwise throw on BIGINT overflow while Spark
+# wraps).  At larger keys pre-aggregate to hourly buckets first, same
+# operator.
 #
 # Scale shape: ONE shuffle grain — prefix/total/count windows and the
 # final (D desc, i asc) ranking window are all partitioned by user_id,
@@ -654,15 +656,26 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i"),
         F.sum("qv").over(wo).alias("p"),
         F.sum("qv").over(wp).alias("t"),
+        F.sum(F.abs("qv")).over(wp).alias("ta"),
         F.count(F.lit(1)).over(wp).alias("n"),
     ).select(
         "user_id",
         "tus",
         "i",
         "n",
-        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("t")).alias(
-            "dd"
-        ),
+        # overflow guard: dd = |n*p - i*t| <= 2*n*ta, so requiring
+        # ta <= 2^61/n (integer div, n>=1) bounds dd < 2^63 with the
+        # guard expression itself overflow-free; violating keys keep
+        # their row but NULL the changepoint, identically in DuckDB
+        F.expr("ta <= 2305843009213693952L DIV n").alias("ok"),
+        # dd gated on ok: Spark would silently wrap on overflow but
+        # DuckDB throws, so the product must not be evaluated at all
+        # for violating keys (their rows all get dd=0 -> argmax i=1,
+        # then the cp columns are NULLed below)
+        F.expr(
+            "CASE WHEN ta <= 2305843009213693952L DIV n"
+            " THEN abs(n * p - i * t) ELSE 0L END"
+        ).alias("dd"),
     )
     rn = F.row_number().over(
         Window.partitionBy("user_id").orderBy(
@@ -675,12 +688,17 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("n").cast("long").alias("n"),
-            F.col("i").cast("long").alias("cp_idx"),
-            F.col("tus").cast("long").alias("cp_ts_us"),
-            F.round(
-                F.col("dd").cast("double")
-                / (F.col("n").cast("double") * F.lit(10000.0)),
-                6,
+            F.when(F.col("ok"), F.col("i").cast("long")).alias("cp_idx"),
+            F.when(F.col("ok"), F.col("tus").cast("long")).alias(
+                "cp_ts_us"
+            ),
+            F.when(
+                F.col("ok"),
+                F.round(
+                    F.col("dd").cast("double")
+                    / (F.col("n").cast("double") * F.lit(10000.0)),
+                    6,
+                ),
             ).alias("cusum_stat"),
         )
         .orderBy("user_id")
@@ -699,21 +717,28 @@ d AS (
     SUM(qv) OVER (PARTITION BY user_id ORDER BY tus, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
     SUM(qv) OVER (PARTITION BY user_id) AS t,
+    SUM(ABS(qv)) OVER (PARTITION BY user_id) AS ta,
     COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM e
 ),
 s AS (
-  SELECT user_id, tus, i, n, ABS(n * p - i * t) AS dd FROM d
+  SELECT user_id, tus, i, n,
+    ta <= 2305843009213693952 // n AS ok,
+    CASE WHEN ta <= 2305843009213693952 // n
+         THEN ABS(n * p - i * t) ELSE 0 END AS dd
+  FROM d
 ),
 r AS (
-  SELECT user_id, tus, i, n, dd,
+  SELECT user_id, tus, i, n, ok, dd,
     ROW_NUMBER() OVER (PARTITION BY user_id
                        ORDER BY dd DESC, i ASC) AS rn
   FROM s
 )
-SELECT user_id, n::BIGINT AS n, i::BIGINT AS cp_idx,
-  tus::BIGINT AS cp_ts_us,
-  ROUND(dd::DOUBLE / (n::DOUBLE * 10000.0), 6) AS cusum_stat
+SELECT user_id, n::BIGINT AS n,
+  CASE WHEN ok THEN i::BIGINT END AS cp_idx,
+  CASE WHEN ok THEN tus::BIGINT END AS cp_ts_us,
+  CASE WHEN ok THEN
+    ROUND(dd::DOUBLE / (n::DOUBLE * 10000.0), 6) END AS cusum_stat
 FROM r WHERE rn = 1
 ORDER BY user_id
 """

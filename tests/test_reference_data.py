@@ -107,3 +107,19 @@ def test_reference_bi_queries(ref_trips):
     assert cash["sum(total_cash_trips)"] > 0.5 * cash["sum(total_trips)"]
     docs = index.taxi_trip_documents(ref_trips)
     assert docs.count() == ref_trips.count()
+
+
+def test_documents_ascii():
+    """The multimodal frame oracle (_FRAME_SQL) mixes byte-based
+    strlen with character-based substr; it is cell-exact only while
+    the documents corpus is pure ASCII (DuckDB cannot slice BLOBs).
+    Guard that assumption at every sf the driver touches."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(
+            f"SELECT COUNT(*) FROM '/root/testdata/{sf}/documents.parquet'"
+            " WHERE strlen(text) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} non-ASCII documents break _FRAME_SQL"
