@@ -371,3 +371,69 @@ def test_bpe_encode_matches_python_replay(spark):
         for r in curation.bpe_encode(spark, SF_ORACLE).collect()
     }
     assert got == expect
+
+
+def test_remove_repetition_python_replay(spark):
+    """Conservation: the rebuilt text md5 matches an independent
+    Python replay of the keep-first span policy, and token counts
+    conserve (clean + dropped span tokens == original tokens)."""
+    import hashlib
+
+    got = {
+        r.doc_id: r
+        for r in curation.remove_repetition(spark, SF_SMOKE).collect()
+    }
+    docs = curation.load_table(spark, SF_SMOKE, "documents").collect()
+    n_checked = n_docs_with_drops = 0
+    for d in docs:
+        toks = d.text.split()
+        if not toks:
+            assert d.doc_id not in got
+            continue
+        spans = [
+            " ".join(toks[i : i + curation.REP_SPAN])
+            for i in range(0, len(toks), curation.REP_SPAN)
+        ]
+        seen: set[str] = set()
+        kept = []
+        for s in spans:
+            if s in seen:
+                continue
+            seen.add(s)
+            kept.append(s)
+        clean = " ".join(kept)
+        r = got[d.doc_id]
+        assert r.n_spans == len(spans)
+        assert r.n_dropped == len(spans) - len(kept)
+        assert r.clean_tokens == len(clean.split()) if clean else 0
+        assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+        # token conservation
+        dropped_toks = sum(
+            len(s.split()) for s in spans
+        ) - sum(len(s.split()) for s in kept)
+        assert r.clean_tokens + dropped_toks == len(toks)
+        n_checked += 1
+        n_docs_with_drops += r.n_dropped > 0
+    assert n_checked > 0
+
+
+def test_strip_boilerplate_agrees_with_dedup_paragraphs(spark):
+    """Compositional conservation: the rewrite drops EXACTLY the
+    occurrences dedup_paragraphs diagnoses (same n_dup_paras, same
+    kept_tokens), and at least one doc actually loses a paragraph."""
+    from ingestprocessstoreinnrt_spark.operators import dedup
+
+    diag = {
+        r.doc_id: r
+        for r in dedup.dedup_paragraphs(spark, SF_SMOKE).collect()
+    }
+    rewrite = curation.strip_boilerplate(spark, SF_SMOKE).collect()
+    assert set(diag) == {r.doc_id for r in rewrite}
+    any_dropped = False
+    for r in rewrite:
+        d = diag[r.doc_id]
+        assert r.n_paras == d.n_paras
+        assert r.n_dropped == d.n_dup_paras
+        assert r.kept_tokens == d.kept_tokens
+        any_dropped |= r.n_dropped > 0
+    assert any_dropped
