@@ -120,6 +120,13 @@ def windowed_stream_bench(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_1m = round(os.getloadavg()[0], 2)
+    if load_1m > 8:
+        print(
+            f"WARNING: loadavg {load_1m} > 8 — timings will measure "
+            "contention, not plans; prefer a quiet box",
+            file=sys.stderr,
+        )
     import __spark_entry__ as e
     from ingestprocessstoreinnrt_spark.session import get_spark
 
@@ -210,6 +217,11 @@ def main() -> None:
         "queries": timings,
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # machine-load stamp: r5's mid-round 15 s readings were pure
+        # box contention and cost a re-run to disprove — record the
+        # conditions so contended numbers are self-identifying
+        "load_1m": load_1m,
+        "cpus": os.cpu_count(),
     }
     # The driver's BENCH_r{N}.json keeps only the last 2 KB of stdout,
     # so cross-round comparison sees ~26 of 150+ queries.  Persist the

@@ -401,3 +401,41 @@ def test_q6_filters_reach_the_scan(spark):
     read = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "l_extendedprice" in read
     assert "l_orderkey" not in read  # pruned
+
+
+def test_r6_ops_have_clean_plans(spark):
+    """Round-6 additions: the corpus rewriters and SemDeDup must plan
+    without any cartesian; SemDeDup's only nested-loop join is the
+    single-row broadcast centroid ride-in (metadata-scale, same shape
+    as ann_ivf's), and its pair generation is the salted equi-join."""
+    from ingestprocessstoreinnrt_spark.operators import curation, dedup
+
+    for df in (
+        curation.remove_repetition(spark, SF_ORACLE),
+        curation.strip_boilerplate(spark, SF_ORACLE),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body
+        assert "BroadcastNestedLoopJoin" not in body
+
+    s = E.formatted_plan(dedup.dedup_semantic(spark, SF_ORACLE)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "CartesianProduct" not in s
+    # The BNLJ lines are all the SAME plan node — the single-row
+    # centroid ride-in (ml._cdf_of: a one-row broadcast, the
+    # whitelisted stat-anchor shape), textually repeated because the
+    # cached assignment frame feeds every arm of the salted pair join.
+    # The corpus-scale joins (pair generation + verify lookups) must
+    # all be equi-joins, so distinct BNLJ node ids stay at 1.
+    import re
+
+    bnlj_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", s
+        )
+    }
+    # <=2: the ride-in can plan as separate nodes for the fit-frame
+    # arm vs the assignment arm depending on cache materialization
+    assert len(bnlj_ids) <= 2, s
