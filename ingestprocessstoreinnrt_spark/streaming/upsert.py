@@ -38,8 +38,10 @@ merging (running entities) instead of row replacement.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -75,6 +77,8 @@ class LocalFSTxnLog:
     def __init__(self, root: str):
         self.ledger_dir = os.path.join(root, "_applied_batches")
         self.pending_dir = os.path.join(root, "_pending")
+        self.intent_dir = os.path.join(root, "_intents")
+        self.lock_path = os.path.join(root, "_commit_lock")
 
     # -- applied-batch ledger ----------------------------------------
 
@@ -167,6 +171,113 @@ class LocalFSTxnLog:
                     shutil.rmtree(dst, ignore_errors=True)
                     shutil.move(os.path.join(pdir, entry), dst)
             shutil.rmtree(pdir, ignore_errors=True)
+
+    # -- multi-writer protocol ---------------------------------------
+    #
+    # Two gates make concurrent drivers safe (the Delta `_delta_log`
+    # shape at toy scale — serialized atomic commits):
+    #   * per-batch CLAIM: O_CREAT|O_EXCL creation of _intents/<key> —
+    #     POSIX-atomic, exactly one winner per batch id; the loser
+    #     waits for the winner's ledger marker (batch applied) or the
+    #     claim's release (winner rolled back; retry).  This is what
+    #     makes replay-racing writers unable to double-apply a batch.
+    #   * table-level COMMIT LOCK: O_EXCL creation of _commit_lock
+    #     around the read-merge-snapshot-write-commit critical section,
+    #     so two writers applying DIFFERENT batches cannot interleave a
+    #     bucket read with the other's bucket overwrite (plain parquet
+    #     has no snapshot isolation to hide behind).  Delta replaces
+    #     this mutex with optimistic commit + retry; on a single table
+    #     directory the mutex is the honest equivalent.
+    # Both files carry the writer id.  A claim/lock left by a CRASHED
+    # writer blocks successors by design (liveness over safety is the
+    # wrong trade for a ledger); `reclaim_stale` is the explicit
+    # operator/supervisor entrypoint that breaks files older than
+    # max_age after rollback_incomplete has restored the table.
+
+    def try_claim(self, key: str, writer_id: str) -> bool:
+        """Atomically claim the batch for writer_id.  True if this call
+        won the claim OR the claim is already held by writer_id (a
+        restarted writer resumes its own in-flight batch)."""
+        os.makedirs(self.intent_dir, exist_ok=True)
+        p = os.path.join(self.intent_dir, key)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(p) as f:
+                    return f.read() == writer_id
+            except OSError:
+                return False
+        with os.fdopen(fd, "w") as f:
+            f.write(writer_id)
+        return True
+
+    def claim_held(self, key: str) -> bool:
+        return os.path.exists(os.path.join(self.intent_dir, key))
+
+    def release_claim(self, key: str) -> None:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(os.path.join(self.intent_dir, key))
+
+    @contextlib.contextmanager
+    def table_lock(
+        self, writer_id: str, timeout: float = 60.0, poll: float = 0.02
+    ):
+        """Mutual exclusion over the table's commit critical section."""
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(
+                    self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"table commit lock held past {timeout}s "
+                        f"(holder: {self._lock_holder()!r}); if that "
+                        "writer is dead, run reclaim_stale()"
+                    ) from None
+                time.sleep(poll)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(writer_id)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self.lock_path)
+
+    def _lock_holder(self) -> str | None:
+        try:
+            with open(self.lock_path) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def reclaim_stale(self, data_dir: str, max_age_sec: float) -> None:
+        """Operator/supervisor recovery from a crashed writer: break
+        the commit lock and any uncommitted claims older than
+        max_age_sec, then roll back the half-applied attempt from the
+        undo log.  NEVER called automatically — a slow-but-alive writer
+        must not be usurped."""
+        now = time.time()
+
+        def _stale(p: str) -> bool:
+            try:
+                return now - os.stat(p).st_mtime > max_age_sec
+            except OSError:
+                return False
+
+        if _stale(self.lock_path):
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self.lock_path)
+        if os.path.isdir(self.intent_dir):
+            for key in os.listdir(self.intent_dir):
+                p = os.path.join(self.intent_dir, key)
+                if self.is_applied(key) or _stale(p):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(p)
+        self.rollback_incomplete(data_dir)
 
 
 class UpsertTable:
@@ -381,16 +492,56 @@ class UpsertTable:
         new_rows: DataFrame,
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
         namespace: str = "",
+        writer_id: str = "driver",
+        claim_timeout: float = 60.0,
     ) -> None:
         """Idempotent upsert keyed by (namespace, micro-batch id) — the
         foreachBatch contract for exactly-once delivery to this table.
         Crash-safe: affected buckets are snapshotted to an undo log
         before the write; a replay after a crash first rolls back the
-        half-applied attempt, so the merge never double-counts."""
+        half-applied attempt, so the merge never double-counts.
+        Multi-writer-safe: an atomic per-batch claim makes replay-racing
+        writers apply each batch exactly once, and a table-level commit
+        lock serializes the read-merge-write critical section across
+        writers of different batches (see LocalFSTxnLog's multi-writer
+        protocol notes)."""
         if self.already_applied(batch_id, namespace):
             return
-        self._rollback_pending()
         key = self._ledger_key(batch_id, namespace)
+
+        # batch claim: exactly one writer owns this batch id.  A loser
+        # waits for the winner's outcome — ledger marker (done: return)
+        # or claim release without a marker (winner failed: retry the
+        # claim and apply ourselves).
+        deadline = time.monotonic() + claim_timeout
+        while not self.txn_log.try_claim(key, writer_id):
+            if self.txn_log.is_applied(key):
+                return
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"batch {key} claim held past {claim_timeout}s by "
+                    "another writer; if it is dead, run "
+                    "txn_log.reclaim_stale()"
+                )
+            time.sleep(0.02)
+        try:
+            if self.txn_log.is_applied(key):
+                return  # claimed a batch a prior owner already landed
+            with self.txn_log.table_lock(writer_id, timeout=claim_timeout):
+                self._apply_batch_locked(key, new_rows, merge_fn)
+        finally:
+            self.txn_log.release_claim(key)
+
+    def _apply_batch_locked(
+        self,
+        key: str,
+        new_rows: DataFrame,
+        merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None,
+    ) -> None:
+        # rollback of crashed attempts must itself run inside the
+        # commit lock: restoring bucket snapshots while another writer
+        # overwrites those buckets would corrupt the table
+        self._rollback_pending()
 
         if self.exists():
             new_rows = new_rows.cache()
