@@ -359,6 +359,132 @@ FROM j GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# decontamination REWRITE: remove eval-overlapping spans from train docs
+# ---------------------------------------------------------------------------
+#
+# The rewrite stage of ngram_contamination (which only diagnoses): in
+# every TRAIN doc, any token covered by a positional CONTAM_N-gram
+# whose text occurs anywhere in the EVAL split is removed, and the
+# survivors are reassembled in order (GPT-3 appendix C's span-removal
+# decontamination at token grain).  Output text proven cell-exact via
+# md5 like the other corpus-mutating verbs.
+#
+# Scale shape: eval grams reduce to ONE distinct gram set keyed by
+# gram (the small side of a gram-keyed hash join at 100 TB — never
+# broadcast-unbounded, same join as ngram_contamination); covered
+# positions and token reassembly are TOKEN-grain narrow ops keyed by
+# doc_id.  Hash-gram trick as everywhere: Spark joins 64-bit shingle
+# hashes, the oracle raw strings — a collision would flip a removal
+# and fail the md5 gate, so the green row doubles as collision proof.
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_md5) for every non-empty
+    TRAIN-split doc."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ev = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = (
+        _gram_frame(docs, ev).select("gram").distinct()
+    )
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    train = docs.filter(~ev).filter(F.trim(F.col("text")) != "").select(
+        "doc_id", words.alias("w")
+    )
+    gram_at = lambda i: F.xxhash64(  # noqa: E731 — mirrors _gram_frame
+        F.concat_ws(
+            " ", *[F.element_at(F.col("w"), i + j) for j in range(CONTAM_N)]
+        )
+    )
+    starts = train.filter(F.size("w") >= CONTAM_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (CONTAM_N - 1)),
+                lambda i: F.struct(i.alias("s"), gram_at(i).alias("gram")),
+            )
+        ).alias("sg"),
+    ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.gram").alias("gram"))
+    covered = (
+        starts.join(eval_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (CONTAM_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = train.select(
+        "doc_id", F.posexplode("w").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    kept = F.when(
+        F.col("cp").isNull(), F.struct(F.col("p"), F.col("word"))
+    )
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept)), lambda x: x["word"]
+        ),
+        " ",
+    )
+    return (
+        toks.join(
+            covered.withColumn("cp", F.lit(1)),
+            ["doc_id", "p"],
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("cp").cast("long").alias("n_removed"),
+            clean.alias("ct"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.md5(F.col("ct")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH evg AS (
+  SELECT DISTINCT gram
+  FROM ({_SQL_GRAMS.format(side=f"doc_id % {EVAL_MOD} = 0")})
+),
+tr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+  WHERE doc_id % {EVAL_MOD} <> 0 AND trim(text) <> ''
+),
+pg AS (
+  SELECT doc_id, u.i AS s
+  FROM tr, UNNEST(range(1, len(w) - {CONTAM_N - 2})) AS u(i)
+  WHERE len(w) >= {CONTAM_N}
+    AND array_to_string(w[u.i : u.i + {CONTAM_N - 1}], ' ')
+        IN (SELECT gram FROM evg)
+),
+cov AS (
+  SELECT DISTINCT doc_id, s + t.o AS p
+  FROM pg, UNNEST([{", ".join(str(j) for j in range(CONTAM_N))}]) AS t(o)
+),
+tok AS (
+  SELECT doc_id, u.p, w[u.p] AS word
+  FROM tr, UNNEST(range(1, len(w) + 1)) AS u(p)
+)
+SELECT tok.doc_id, COUNT(*)::BIGINT AS n_tokens,
+  COUNT(cov.p)::BIGINT AS n_removed,
+  md5(COALESCE(string_agg(
+    CASE WHEN cov.p IS NULL THEN word END, ' ' ORDER BY tok.p), ''))
+    AS clean_md5
+FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # URL extraction / boilerplate stripping
 # ---------------------------------------------------------------------------
 
@@ -1511,6 +1637,7 @@ QUERIES = {
     "curation_train_split": train_test_split,
     "curation_remove_repetition": remove_repetition,
     "curation_strip_boilerplate": strip_boilerplate,
+    "curation_decontaminate": decontaminate,
 }
 ORACLE = {
     "curation_pack_sequences": _PACK_SQL,
@@ -1528,4 +1655,5 @@ ORACLE = {
     "curation_train_split": _SPLIT_SQL,
     "curation_remove_repetition": _REMOVE_REP_SQL,
     "curation_strip_boilerplate": _strip_boiler_sql(),
+    "curation_decontaminate": _DECONTAM_SQL,
 }

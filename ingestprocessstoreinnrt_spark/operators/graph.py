@@ -263,7 +263,7 @@ def bfs_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bfs_sql() -> str:
+def _bfs_ctes() -> list:
     ctes = [
         f"""edges AS (
   SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
@@ -289,13 +289,72 @@ def _bfs_sql() -> str:
   ) GROUP BY node, landmark
 )"""
         )
+    return ctes
+
+
+def _bfs_sql() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bfs_ctes())
         + f"""
 SELECT node::BIGINT AS node, landmark::BIGINT AS landmark,
   dist::BIGINT AS dist
 FROM d{BFS_HOPS}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality (landmark-sampled)
+# ---------------------------------------------------------------------------
+#
+# The standard large-graph centrality estimate (Boldi & Vigna,
+# "Axioms for Centrality", 2014): harmonic centrality sums 1/d over
+# all reachable sources; at scale it is estimated from a landmark
+# sample — exactly the frame bfs_landmarks already computes.  The sum
+# of reciprocals is kept EXACT cross-engine by integer division:
+# contribution = 1_000_000 // dist (BIGINT), so the aggregate is an
+# exact integer in both engines (no float-order hazard).  One extra
+# map-side-combinable aggregate over the (node, landmark) frame.
+
+HARMONIC_Q = 1_000_000
+
+
+def harmonic_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, n_reached, harmonic_q): landmark-sampled harmonic
+    centrality, quantized as SUM(1e6 // dist) over landmarks at
+    dist > 0; n_reached counts reachable landmarks (self included)."""
+    dist = bfs_landmarks(spark, sf_dir)
+    return (
+        dist.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(
+                F.when(
+                    F.col("dist") > 0,
+                    # DIV, not float /+floor: the repo's exact
+                    # integral-division convention (DuckDB //)
+                    F.expr(f"{HARMONIC_Q} DIV dist"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("harmonic_q"),
+        )
+        .orderBy("node")
+    )
+
+
+def _harmonic_sql() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bfs_ctes())
+        + f"""
+SELECT node::BIGINT AS node, COUNT(*)::BIGINT AS n_reached,
+  SUM(CASE WHEN dist > 0 THEN {HARMONIC_Q} // dist ELSE 0 END)::BIGINT
+    AS harmonic_q
+FROM d{BFS_HOPS}
+GROUP BY node
+ORDER BY node
 """
     )
 
@@ -613,6 +672,7 @@ QUERIES = {
     "graph_bfs_landmarks": bfs_landmarks,
     "graph_kcore_peel": kcore_peel,
     "graph_bellman_ford": bellman_ford,
+    "graph_harmonic_landmarks": harmonic_landmarks,
 }
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
@@ -620,4 +680,5 @@ ORACLE = {
     "graph_bfs_landmarks": _bfs_sql(),
     "graph_kcore_peel": _kcore_sql(),
     "graph_bellman_ford": _bellman_sql(),
+    "graph_harmonic_landmarks": _harmonic_sql(),
 }

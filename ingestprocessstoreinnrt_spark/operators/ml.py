@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load_table
 from ..functions.scalars import quantize
+from ..plans.hints import maybe_broadcast
 
 FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -2622,7 +2623,92 @@ ORDER BY t_days
 """
 
 
+# ---------------------------------------------------------------------------
+# smoothed target encoding (the feature-engineering staple)
+# ---------------------------------------------------------------------------
+#
+# m-estimate encoding of a categorical cell against a binary target:
+# enc = (n_pos + m * global_rate) / (n + m).  The training-data op that
+# turns high-cardinality categoricals into a single dense feature
+# without leaking low-support cells (m pulls sparse cells to the
+# global rate).  Cell = (c_mktsegment, c_nationkey), target = the
+# order is urgent (o_orderpriority '1-URGENT').
+#
+# Exact cross-engine: with g = (g_pos, g_n) the global sums, the
+# encoding is the single division
+#   (g_n * n_pos + m * g_pos) / (g_n * (n + m))
+# over BIGINT products — no intermediate float, one fixed-order IEEE
+# division in both engines.
+#
+# 100 TB shape: one broadcast dim join (customer is the dim side of
+# orders here; at real scale the small side is whichever carries the
+# category), one map-side-combinable aggregate over the cells, and the
+# global row rides in as a broadcast single-row cross join.
+
+TARGET_ENC_M = 20  # smoothing pseudo-count
+
+
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    labeled = orders.join(
+        maybe_broadcast(cust),
+        orders.o_custkey == cust.c_custkey,
+    )
+    cells = labeled.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    g = labeled.agg(
+        F.count(F.lit(1)).alias("g_n"), F.sum("y").alias("g_pos")
+    )
+    m = TARGET_ENC_M
+    enc = (
+        (F.col("g_n") * F.col("n_pos") + F.lit(m) * F.col("g_pos"))
+        .cast("double")
+        / (F.col("g_n") * (F.col("n") + F.lit(m))).cast("double")
+    )
+    return (
+        cells.join(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "n",
+            "n_pos",
+            F.round(enc, 9).alias("enc"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+_TARGET_ENC_SQL = f"""
+WITH labeled AS (
+  SELECT c_mktsegment, c_nationkey,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END::BIGINT AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cells AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, SUM(y) AS n_pos
+  FROM labeled GROUP BY c_mktsegment, c_nationkey
+),
+g AS (SELECT COUNT(*) AS g_n, SUM(y) AS g_pos FROM labeled)
+SELECT c_mktsegment, c_nationkey::BIGINT AS c_nationkey, n, n_pos,
+  ROUND((g_n * n_pos + {TARGET_ENC_M} * g_pos)::DOUBLE /
+        (g_n * (n + {TARGET_ENC_M}))::DOUBLE, 9) AS enc
+FROM cells, g
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
 QUERIES = {
+    "ml_target_encoding": target_encoding,
     "ml_logistic_score": logistic_score,
     "ml_km_survival": km_survival,
     "ml_calibration_bins": calibration_bins,
@@ -2648,6 +2734,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_target_encoding": _TARGET_ENC_SQL,
     "ml_logistic_score": _logistic_sql(),
     "ml_km_survival": _KM_SQL,
     "ml_calibration_bins": _cal_bins_sql(),

@@ -648,7 +648,135 @@ FROM ms, ds, e
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch algebra II: theta-style set DIFFERENCE from two KMV sketches
+# ---------------------------------------------------------------------------
+#
+# |A \ B| from the k smallest hashes of each side (theta-sketch a-not-b,
+# Dasgupta et al., "Theta-Sketch Framework", 2016): theta = min of the
+# two sketch thresholds (an unsaturated sketch covers its whole set, so
+# its threshold is the full hash space); below theta BOTH samples are
+# complete, so the anti-join count there is an exact sample count and
+# the estimate is one division: cnt * SPACE / theta.  A = customers
+# with an urgent order, B = customers with a non-urgent order; the
+# exact |A \ B| rides along for the error to be visible.
+#
+# 100 TB shape: each sketch is a k-row TakeOrdered (per-partition
+# k-min + driver merge, kilobytes of shuffle); the difference is an
+# anti-join of two k-row frames — metadata scale end to end.
+
+
+def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def sk(pred):
+        return (
+            orders.filter(pred)
+            .select(
+                stable_hash64(F.col("o_custkey").cast("string")).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    ska = sk(urgent).cache()
+    skb = sk(~urgent).cache()
+
+    def theta_of(s):
+        return s.agg(
+            F.count(F.lit(1)).alias("k"), F.max("h").alias("kth")
+        ).select(
+            F.when(F.col("k") < KMV_K, F.lit(_HASH_SPACE))
+            .otherwise(F.col("kth"))
+            .alias("theta")
+        )
+
+    th = (
+        theta_of(ska)
+        .crossJoin(theta_of(skb).withColumnRenamed("theta", "theta_b"))
+        .select(
+            F.least(F.col("theta"), F.col("theta_b")).alias("theta")
+        )
+    )
+    diff_cnt = (
+        ska.join(skb, "h", "left_anti")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    )
+    exact = (
+        orders.filter(urgent)
+        .select("o_custkey")
+        .distinct()
+        .join(
+            orders.filter(~urgent).select("o_custkey").distinct(),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_diff"))
+    )
+    return (
+        th.crossJoin(diff_cnt)
+        .crossJoin(exact)
+        .select(
+            "theta",
+            "n_sample",
+            (
+                F.col("n_sample").cast("double")
+                * (F.lit(_HASH_SPACE) / F.col("theta").cast("double"))
+            ).alias("approx_diff"),
+            "exact_diff",
+        )
+    )
+
+
+_KMV_DIFF_SQL = f"""
+WITH ha AS (
+  SELECT DISTINCT {SQL_STABLE_HASH64.format(x="o_custkey::VARCHAR")} AS h
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+hb AS (
+  SELECT DISTINCT {SQL_STABLE_HASH64.format(x="o_custkey::VARCHAR")} AS h
+  FROM orders WHERE NOT (o_orderpriority = '1-URGENT')
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+tha AS (
+  SELECT CASE WHEN COUNT(*) < {KMV_K} THEN {_HASH_SPACE}
+         ELSE MAX(h) END AS theta_a FROM ska
+),
+thb AS (
+  SELECT CASE WHEN COUNT(*) < {KMV_K} THEN {_HASH_SPACE}
+         ELSE MAX(h) END AS theta_b FROM skb
+),
+th AS (
+  SELECT LEAST(theta_a, theta_b) AS theta FROM tha, thb
+),
+dc AS (
+  SELECT COUNT(*)::BIGINT AS n_sample
+  FROM ska, th
+  WHERE ska.h < th.theta AND ska.h NOT IN (SELECT h FROM skb)
+),
+ex AS (
+  SELECT COUNT(*)::BIGINT AS exact_diff FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT')
+  )
+)
+SELECT theta, n_sample,
+  n_sample::DOUBLE * ({_HASH_SPACE} / theta::DOUBLE) AS approx_diff,
+  exact_diff
+FROM th, dc, ex
+"""
+
+
 QUERIES = {
+    "sketch_kmv_difference": kmv_set_difference,
     "sketch_kmv_merge": kmv_union_merge,
     "sketch_kmv_distinct": kmv_distinct_customers,
     "sketch_kmv_by_group": kmv_distinct_by_group,
@@ -657,6 +785,7 @@ QUERIES = {
     "sketch_hll_intersection": hll_intersection,
 }
 ORACLE = {
+    "sketch_kmv_difference": _KMV_DIFF_SQL,
     "sketch_kmv_merge": _KMV_MERGE_SQL,
     "sketch_kmv_distinct": _KMV_SQL,
     "sketch_kmv_by_group": _KMV_GROUP_SQL,

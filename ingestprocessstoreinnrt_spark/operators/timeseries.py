@@ -850,7 +850,105 @@ ORDER BY hour_us
 """
 
 
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+#
+# seasonal_decompose's additive model over the hourly event-count
+# series per event_type: trend = centered 25-hour moving average
+# (period 24 + 1 for symmetry), seasonal = hour-of-day mean of the
+# detrended series, residual = the rest.  Only full-window hours are
+# emitted (the classical edge rule).
+#
+# Exact cross-engine by integer numerators: counts are BIGINT, the
+# trend window sum S is BIGINT, so detrended = (25*cnt - S)/25 has an
+# exact BIGINT numerator `num`; the seasonal mean is SUM(num) over the
+# (event_type, hod) cell — again an exact BIGINT — divided ONCE.
+# Every emitted double is one fixed-order expression over exact ints.
+#
+# 100 TB shape: the corpus-sized work is the (event_type, hour)
+# count aggregate (map-side combinable); the window/seasonal passes
+# run on the AGGREGATED series, whose length grows with the time span
+# x type cardinality, not data volume — the two-level pattern from the
+# r5 window audit.
+
+STL_HALF = 12
+STL_W = 2 * STL_HALF + 1  # 25-hour centered window
+
+
+def stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-STL_HALF, STL_HALF)
+    )
+    t = (
+        hourly.withColumn("s", F.sum("cnt").over(wt))
+        .withColumn("c", F.count(F.lit(1)).over(wt))
+        .filter(F.col("c") == STL_W)
+        .withColumn(
+            "num", F.lit(STL_W) * F.col("cnt") - F.col("s")
+        )
+        .withColumn("hod", F.pmod(F.col("h"), F.lit(24)))
+    )
+    ws = Window.partitionBy("event_type", "hod")
+    seasonal = F.col("snum").cast("double") / (
+        F.lit(float(STL_W)) * F.col("sn")
+    )
+    return (
+        t.withColumn("snum", F.sum("num").over(ws))
+        .withColumn("sn", F.count(F.lit(1)).over(ws))
+        .select(
+            "event_type",
+            (F.col("h") * HOUR_US).alias("hour_us"),
+            "cnt",
+            (F.col("s").cast("double") / F.lit(float(STL_W))).alias(
+                "trend"
+            ),
+            seasonal.alias("seasonal"),
+            (
+                F.col("num").cast("double") / F.lit(float(STL_W))
+                - seasonal
+            ).alias("residual"),
+        )
+    )
+
+
+_STL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS h, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, h
+),
+t AS (
+  SELECT *, {STL_W} * cnt - s AS num, h % 24 AS hod FROM (
+    SELECT event_type, h, cnt,
+      SUM(cnt) OVER w AS s, COUNT(*) OVER w AS c
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN {STL_HALF} PRECEDING
+                 AND {STL_HALF} FOLLOWING)
+  ) WHERE c = {STL_W}
+)
+SELECT event_type, h * {HOUR_US} AS hour_us, cnt,
+  s::DOUBLE / {STL_W}.0 AS trend,
+  snum::DOUBLE / ({STL_W}.0 * sn) AS seasonal,
+  num::DOUBLE / {STL_W}.0 - snum::DOUBLE / ({STL_W}.0 * sn) AS residual
+FROM (
+  SELECT *, SUM(num) OVER c AS snum, COUNT(*) OVER c AS sn
+  FROM t WINDOW c AS (PARTITION BY event_type, hod)
+)
+"""
+
+
 QUERIES = {
+    "ts_stl_decompose": stl_decompose,
     "ts_rolling_corr": rolling_corr,
     "ts_cusum_changepoint": cusum_changepoint,
     "ts_hourly_autocorr": hourly_autocorr,
@@ -862,6 +960,7 @@ QUERIES = {
     "ts_ewma": ewma_smooth,
 }
 ORACLE = {
+    "ts_stl_decompose": _STL_SQL,
     "ts_rolling_corr": _ROLLING_CORR_SQL,
     "ts_cusum_changepoint": _CUSUM_SQL,
     "ts_hourly_autocorr": _AUTOCORR_SQL,

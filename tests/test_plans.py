@@ -410,9 +410,27 @@ def test_r6_ops_have_clean_plans(spark):
     as ann_ivf's), and its pair generation is the salted equi-join."""
     from ingestprocessstoreinnrt_spark.operators import curation, dedup
 
+    from ingestprocessstoreinnrt_spark.operators import (
+        graph,
+        ml,
+        timeseries,
+    )
+
+    # single-row stat-anchor ride-ins (global sums / centroid rows)
+    # legitimately plan as BNLJ; corpus-scale ops must not
+    for df in (
+        ml.target_encoding(spark, SF_ORACLE),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body
+
     for df in (
         curation.remove_repetition(spark, SF_ORACLE),
         curation.strip_boilerplate(spark, SF_ORACLE),
+        curation.decontaminate(spark, SF_ORACLE),
+        dedup.containment_pairs(spark, SF_ORACLE),
+        timeseries.stl_decompose(spark, SF_ORACLE),
+        graph.harmonic_landmarks(spark, SF_ORACLE),
     ):
         body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
         assert "CartesianProduct" not in body
