@@ -416,15 +416,123 @@ WHERE rank <= {JACCARD_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# resource-allocation index — degree-weighted link prediction
+# ---------------------------------------------------------------------------
+#
+# RA(u, v) = Σ_{z ∈ N(u) ∩ N(v)} 1/deg(z) (Zhou, Lü & Zhang 2009): the
+# common-neighbor score that discounts hub pivots — a shared rare
+# neighbor is stronger evidence than a shared hub.  Complements
+# graph_jaccard_neighbors (which normalizes by the ENDPOINT degrees,
+# not the pivot's).  Cross-engine determinism is free: the per-pivot
+# weight is the exact integer RA_SCALE DIV deg(z), so pair scores are
+# BIGINT sums — no float division anywhere until nothing is left to
+# compare.  Scale shape: same wedge equi-join as the triangle census
+# (bounded by Σ degree², low→high orientation bounds it by degeneracy
+# at 100 TB); the degree frame is a maybe_broadcast dimension.
+
+RA_SCALE = 1_000_000_000  # 1/deg as an exact integer: SCALE DIV deg
+RA_TOPK = 50
+
+
+def resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by resource-allocation index over the thresholded
+    co-purchase graph: (p1, p2, common, ra_scaled, rank) with
+    ra_scaled = Σ RA_SCALE DIV deg(pivot) — exact BIGINT."""
+    e = (
+        _pair_counts(_order_items(spark, sf_dir))
+        .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.union(e.select(F.col("p2"), F.col("p1"))).toDF("a", "n")
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # stamp each wedge pivot with its exact integer weight up front so
+    # the wedge join carries one extra BIGINT, not a second join later
+    wadj = adj.join(
+        maybe_broadcast(
+            deg.select(F.col("a").alias("n"), F.col("deg"))
+        ),
+        "n",
+    ).select(
+        F.col("n").alias("pivot"),
+        F.col("a").alias("b"),
+        F.expr(f"{RA_SCALE}L DIV deg").alias("wt"),
+    )
+    w2 = wadj.select(F.col("pivot").alias("pivot2"), F.col("b").alias("c"))
+    scored = (
+        wadj.join(
+            w2,
+            (F.col("pivot") == F.col("pivot2")) & (F.col("b") < F.col("c")),
+        )
+        .groupBy("b", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("wt").cast("long").alias("ra_scaled"),
+        )
+    )
+    keys = [
+        F.col("ra_scaled").desc(),
+        F.col("common").desc(),
+        F.col("b").asc(),
+        F.col("c").asc(),
+    ]
+    top = scored.orderBy(*keys).limit(RA_TOPK)
+    return (
+        top.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
+        .select(
+            F.col("b").alias("p1"),
+            F.col("c").alias("p2"),
+            "common",
+            "ra_scaled",
+            "rank",
+        )
+    )
+
+
+_RA_SQL = f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+adj AS (
+  SELECT p1 AS a, p2 AS n FROM e UNION ALL SELECT p2, p1 FROM e
+),
+deg AS (SELECT a, COUNT(*)::BIGINT AS deg FROM adj GROUP BY a),
+wadj AS (
+  SELECT adj.n AS pivot, adj.a AS b,
+    CAST({RA_SCALE} // deg.deg AS BIGINT) AS wt
+  FROM adj JOIN deg ON adj.n = deg.a
+),
+scored AS (
+  SELECT w1.b AS b, w2.b AS c, COUNT(*)::BIGINT AS common,
+    CAST(SUM(w1.wt) AS BIGINT) AS ra_scaled
+  FROM wadj w1 JOIN wadj w2 ON w1.pivot = w2.pivot AND w1.b < w2.b
+  GROUP BY 1, 2
+)
+SELECT b AS p1, c AS p2, common, ra_scaled, rank
+FROM (
+  SELECT b, c, common, ra_scaled,
+    ROW_NUMBER() OVER (
+      ORDER BY ra_scaled DESC, common DESC, b ASC, c ASC
+    )::BIGINT AS rank
+  FROM scored
+) r
+WHERE rank <= {RA_TOPK}
+"""
+
+
 QUERIES = {
     "bi_basket_lift": basket_pair_lift,
     "graph_triangles": graph_triangles,
     "graph_degree_stats": degree_stats,
     "graph_jaccard_neighbors": jaccard_neighbors,
+    "graph_resource_allocation": resource_allocation,
 }
 ORACLE = {
     "bi_basket_lift": _BASKET_SQL,
     "graph_triangles": _TRI_SQL,
     "graph_degree_stats": _DEGREE_SQL,
     "graph_jaccard_neighbors": _JACCARD_SQL,
+    "graph_resource_allocation": _RA_SQL,
 }

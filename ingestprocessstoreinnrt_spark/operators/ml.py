@@ -2695,10 +2695,13 @@ WITH labeled AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
 ),
 cells AS (
-  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, SUM(y) AS n_pos
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+    SUM(y)::BIGINT AS n_pos
   FROM labeled GROUP BY c_mktsegment, c_nationkey
 ),
-g AS (SELECT COUNT(*) AS g_n, SUM(y) AS g_pos FROM labeled)
+g AS (
+  SELECT COUNT(*) AS g_n, SUM(y)::BIGINT AS g_pos FROM labeled
+)
 SELECT c_mktsegment, c_nationkey::BIGINT AS c_nationkey, n, n_pos,
   ROUND((g_n * n_pos + {TARGET_ENC_M} * g_pos)::DOUBLE /
         (g_n * (n + {TARGET_ENC_M}))::DOUBLE, 9) AS enc
