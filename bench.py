@@ -118,15 +118,40 @@ def windowed_stream_bench(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_1m = round(os.getloadavg()[0], 2)
-    if load_1m > 8:
+# Quiet-box gate (VERDICT r6 item 2): above this 1-minute loadavg,
+# timings measure contention, not plans — wait for quiet, and re-sweep
+# any family that still ran contended.
+LOAD_GATE = 4.0
+LOAD_WAIT_SEC = 600
+
+
+def _wait_for_quiet() -> float:
+    """Block until loadavg(1m) < LOAD_GATE or LOAD_WAIT_SEC elapses.
+    Returns the final loadavg.  r6's closing bench shipped at load 7.17
+    and its 1.33x headline was ~0 real regression — a gate, not a
+    warning, is what makes cross-round diffs measure code."""
+    deadline = time.monotonic() + LOAD_WAIT_SEC
+    load = os.getloadavg()[0]
+    while load > LOAD_GATE and time.monotonic() < deadline:
         print(
-            f"WARNING: loadavg {load_1m} > 8 — timings will measure "
-            "contention, not plans; prefer a quiet box",
+            f"bench: loadavg {load:.2f} > {LOAD_GATE} — waiting for a "
+            "quiet box...",
             file=sys.stderr,
         )
+        time.sleep(30)
+        load = os.getloadavg()[0]
+    if load > LOAD_GATE:
+        print(
+            f"WARNING: still loadavg {load:.2f} after {LOAD_WAIT_SEC}s — "
+            "proceeding; contended families will be re-swept",
+            file=sys.stderr,
+        )
+    return round(load, 2)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_1m = _wait_for_quiet()
     import __spark_entry__ as e
     from ingestprocessstoreinnrt_spark.session import get_spark
 
@@ -135,21 +160,29 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     next(iter(qs.values()))(spark, sf_dir).count()
 
-    # cache-affinity order: queries()' dict order serves the driver's
-    # correctness-capture window (oldest-unproven first), but for
-    # timing, consumers of a shared cached frame should run AFTER the
-    # query that populates it (pipeline_dedup_corpus reuses
+    # CANONICAL order (VERDICT r6 item 2): queries()' dict order follows
+    # the driver's correctness-window rotation and changes every round,
+    # which silently moved shared-cache population costs between queries
+    # (r6: dedup_minhash_lsh 11.2 s cold-first vs 5.9 s warm — rotation
+    # luck, not code).  Benchmarks sort by NAME, rotation-independent,
+    # so the same query pays the same warm-up every round.
+    names = sorted(qs)
+
+    # cache-affinity order: consumers of a shared cached frame run AFTER
+    # the query that populates it (pipeline_dedup_corpus reuses
     # dedup_jaccard_full's verified pair frame; ~5 s cold vs ~2 s
-    # warm).  Timings are per-query either way — this only moves the
-    # one-time cache population onto the query that owns it.
+    # warm).  Timings are per-query either way — this only pins the
+    # one-time cache population onto the query that owns it.  The LSH
+    # survivorship pair is order-free since r7 (dedup.lsh_pair_frame is
+    # the family cache owner), listed anyway for stable attribution.
     run_after = {
         "pipeline_dedup_corpus": "dedup_jaccard_full",
         # survivorship compositions reuse their pair-frame caches
         "dedup_keep_longest": "dedup_jaccard_full",
         "dedup_keep_longest_lsh": "dedup_minhash_lsh",
     }
-    names = [n for n in qs if n not in run_after]
-    for late, anchor in run_after.items():
+    names = [n for n in names if n not in run_after]
+    for late, anchor in sorted(run_after.items()):
         names.insert(names.index(anchor) + 1, late)
 
     # Cache hygiene: shared caches (token frames, pair frames, qvec
@@ -193,17 +226,45 @@ def main() -> None:
     pos = {n: i for i, n in enumerate(names)}
     names.sort(key=lambda n: (fam_order.index(family(n)), pos[n]))
 
-    timings: dict[str, float] = {}
-    prev_family: str | None = None
-    for name in names:
-        if prev_family is not None and family(name) != prev_family:
-            spark.catalog.clearCache()
-        prev_family = family(name)
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    by_family: dict[str, list[str]] = {}
+    for n in names:
+        by_family.setdefault(family(n), []).append(n)
+
+    def sweep_family(members: list[str]) -> dict[str, float]:
+        """Run one family cold (cache + family memos cleared first)."""
+        spark.catalog.clearCache()
+        from ingestprocessstoreinnrt_spark.operators import dedup as _dd
+
+        _dd._LSH_PAIRS_MEMO.clear()  # family-cold includes the memo
+        out: dict[str, float] = {}
+        for name in members:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    def sweep_all() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for fam in fam_order:
+            out.update(sweep_family(by_family[fam]))
+        return out
+
+    # NOTE on the gate: loadavg DURING the sweep measures bench's own
+    # local[32] work, not contention — external load is only observable
+    # while Spark is idle.  So: gate before the sweep; if the sweep had
+    # to start contended anyway (gate timeout), re-run the WHOLE sweep
+    # once quiet returns and keep per-query minimums (contention only
+    # ever slows a query down, never speeds it up).
+    started_contended = load_1m > LOAD_GATE
+    timings = sweep_all()
+    reran = False
+    if started_contended:
+        retry_load = _wait_for_quiet()
+        if retry_load <= LOAD_GATE:
+            second = sweep_all()
+            timings = {n: min(timings[n], second[n]) for n in timings}
+            reran = True
     spark.catalog.clearCache()
 
     streaming = streaming_bench(spark)
@@ -221,6 +282,8 @@ def main() -> None:
         # box contention and cost a re-run to disprove — record the
         # conditions so contended numbers are self-identifying
         "load_1m": load_1m,
+        "started_contended": started_contended,
+        "contended_resweep": reran,
         "cpus": os.cpu_count(),
     }
     # The driver's BENCH_r{N}.json keeps only the last 2 KB of stdout,
