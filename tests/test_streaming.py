@@ -949,6 +949,77 @@ def test_claim_loser_waits_then_skips(spark, workdir):
     assert got == {1: 5}, got  # late writer applied NOTHING
 
 
+def test_reclaim_recovers_crash_inside_commit_lock(spark, workdir):
+    """VERDICT r6 item 8 — the one recovery path previously only
+    code-read: a writer dies HOLDING the commit lock, after the bucket
+    snapshot and the table write but before commit (the most dangerous
+    window: the table carries the half-applied merge).  reclaim_stale
+    must break the lock + claim AND roll the half-applied write back,
+    so the successor's re-apply lands the batch exactly once.  The
+    additive merge makes a double-apply arithmetically visible
+    (5 +7 +7 = 19 would betray a missing rollback)."""
+    import pytest as _pytest
+
+    t = UpsertTable(spark, workdir + "/t", ["k"], num_buckets=2)
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "n"])  # noqa: E731
+    merge = lambda cur, new: (  # noqa: E731
+        new
+        if cur is None
+        else cur.unionByName(new)
+        .groupBy("k")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    t.apply_batch(0, mk([(1, 5)]), merge, writer_id="w0")
+
+    # -- dead writer: replays _apply_batch_locked's exact sequence but
+    # stops (process death) after the table write, before commit,
+    # still holding claim + commit lock
+    key = t._ledger_key(1, "")
+    assert t.txn_log.try_claim(key, "dead-writer")
+    fd = os.open(
+        t.txn_log.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
+    with os.fdopen(fd, "w") as f:
+        f.write("dead-writer")
+    new_rows = mk([(1, 7)])
+    new_buckets = t._affected_buckets(new_rows)
+    merged = t._finalize(t._merge_existing(new_rows, merge, new_buckets))
+    t.txn_log.begin(key)
+    t.txn_log.snapshot_buckets(
+        key, t._data(), t._affected_buckets(merged)
+    )
+    t._write_prebucketed(merged)
+    # <- writer dies here: no commit, no release, lock file remains
+
+    # the table is observably half-applied and the batch unmarked
+    assert {r.n for r in t.read().filter("k=1").collect()} == {12}
+    assert not t.already_applied(1)
+
+    # a successor is blocked by the dead writer's claim…
+    with _pytest.raises(TimeoutError):
+        t.apply_batch(
+            1, mk([(1, 7)]), merge, writer_id="w2", claim_timeout=0.3
+        )
+    # …and by the lock even for a DIFFERENT batch
+    with _pytest.raises(TimeoutError):
+        t.apply_batch(
+            2, mk([(1, 1)]), merge, writer_id="w2", claim_timeout=0.3
+        )
+
+    t.txn_log.reclaim_stale(t._data(), max_age_sec=0.0)
+    # lock + claim broken, half-applied write rolled back to 5
+    assert not os.path.exists(t.txn_log.lock_path)
+    assert not t.txn_log.claim_held(key)
+    assert {r.n for r in t.read().filter("k=1").collect()} == {5}
+
+    # successor re-applies: exactly once, not 19
+    t.apply_batch(1, mk([(1, 7)]), merge, writer_id="w2")
+    assert {r.n for r in t.read().filter("k=1").collect()} == {12}
+    assert t.already_applied(1)
+    assert not os.listdir(t.txn_log.intent_dir)
+    assert not os.path.exists(t.txn_log.lock_path)
+
+
 def test_reclaim_stale_breaks_dead_writer(spark, workdir):
     """A crashed writer's claim + lock block successors until the
     explicit reclaim entrypoint breaks them and rolls back."""
