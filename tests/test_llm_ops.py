@@ -96,6 +96,56 @@ def test_keep_longest_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"LSH survivorship recall {recall:.3f}"
 
 
+def test_incremental_dedup_batch_union_equals_whole_corpus(spark, tmp_path):
+    """VERDICT r6 item 3 equivalence proof: running the corpus through
+    incremental_lsh_verdicts in 3 sequential batches — each judged
+    against the UpsertTable-persisted signature index of everything
+    ingested before it — yields EXACTLY the whole-corpus LSH pair set,
+    each pair found exactly once (no batch overlap, no misses)."""
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    d = dedup._token_frame(docs)
+    sig_table = UpsertTable(
+        spark, str(tmp_path / "sigs"), ["doc_id", "band"], num_buckets=4
+    )
+    tok_table = UpsertTable(
+        spark, str(tmp_path / "toks"), ["doc_id"], num_buckets=4
+    )
+    got: dict = {}
+    for i in range(3):
+        part = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        index = (
+            sig_table.read()
+            if sig_table.exists()
+            else dedup._band_frame(part).filter(F.lit(False))
+        )
+        known = (
+            tok_table.read().unionByName(part)
+            if tok_table.exists()
+            else part
+        )
+        verdicts = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.incremental_lsh_verdicts(
+                part, index, known
+            ).collect()
+        }
+        assert not (set(verdicts) & set(got)), "pair found twice"
+        got.update(verdicts)
+        # ingest the batch into the persisted index (the foreachBatch
+        # upsert pattern, batch mode)
+        sig_table.upsert(dedup._band_frame(part))
+        tok_table.upsert(part)
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(spark, SF_ORACLE).collect()
+    }
+    assert got == want  # exact jaccard equality: same expression
+
+
 def test_salted_pair_join_matches_plain_join(spark):
     """The mega-bucket guard must be lossless: a keyed frame with one
     degenerate 120-row bucket (cap=10 -> 12-way salt split) and several

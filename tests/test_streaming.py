@@ -536,6 +536,76 @@ def test_streaming_incremental_agg_equals_batch_query(spark, workdir):
     assert _rows(got, "o_custkey") == _rows(want, "o_custkey")
 
 
+def test_streaming_incremental_dedup_equals_batch(spark, workdir):
+    """Streaming twin of dedup_incremental (VERDICT r6 item 3): docs
+    arrive in 3 file micro-batches; each batch's near-dup verdicts are
+    computed against the UpsertTable-persisted signature index BEFORE
+    the batch's own signatures upsert (exactly-once via apply_batch).
+    The union of streamed verdicts equals the whole-corpus LSH pairs —
+    the corpus is never rescanned, only the doc_id-keyed index/token
+    tables grow."""
+    from ingestprocessstoreinnrt_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    src = workdir + "/docs_stream"
+    docs.withColumn(
+        "chunk", F.pmod(F.col("doc_id"), F.lit(3))
+    ).write.partitionBy("chunk").parquet(src)
+
+    sig_table = UpsertTable(
+        spark, workdir + "/sigs", ["doc_id", "band"], num_buckets=4
+    )
+    tok_table = UpsertTable(
+        spark, workdir + "/toks", ["doc_id"], num_buckets=4
+    )
+    out_dir = workdir + "/verdicts"
+
+    def handle(batch_df, chunk: int):
+        part = dedup._token_frame(batch_df)
+        index = (
+            sig_table.read()
+            if sig_table.exists()
+            else dedup._band_frame(part).filter(F.lit(False))
+        )
+        known = (
+            tok_table.read().unionByName(part)
+            if tok_table.exists()
+            else part
+        )
+        v = dedup.incremental_lsh_verdicts(part, index, known)
+        # verdicts must MATERIALIZE before the index mutates (the
+        # upsert rewrites bucket files a lazy plan would re-read)
+        v.write.mode("overwrite").parquet(f"{out_dir}/chunk={chunk}")
+        sig_table.apply_batch(
+            chunk, dedup._band_frame(part), namespace="sigs"
+        )
+        tok_table.apply_batch(chunk, part, namespace="toks")
+
+    for c in range(3):
+        stream = spark.readStream.schema(docs.schema).parquet(
+            f"{src}/chunk={c}"
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid, c=c: handle(df, c)
+            )
+            .option("checkpointLocation", f"{workdir}/ckpt{c}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
 def test_streaming_hll_registers_merge_to_batch_sketch(spark, workdir):
     """HLL is a streaming-native sketch: per micro-batch register
     partials merge into the upsert table with MAX — after 4 arbitrary
