@@ -75,6 +75,21 @@ def test_ann_ivf_has_no_corpus_self_join(spark):
     )
 
 
+def test_ann_ivf_multiprobe_same_pruned_plan(spark):
+    """The recall tier must keep the base IVF plan shape: candidates
+    reach the corpus only through the broadcast equi-join on the
+    inverted-list id (cid) — no corpus self-join, no cartesian against
+    the corpus (the single-row centroid ride-in is the one intended
+    BNLJ)."""
+    from ingestprocessstoreinnrt_spark.operators import similarity
+
+    df = similarity.ann_ivf_multiprobe(spark, SF_ORACLE)
+    assert not E.uses_sort_merge_join(df)
+    body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "cid" in body  # probe equi-join keyed on the list id
+
+
 def test_quantile_bins_has_no_global_window(spark):
     """Binning must come from broadcast boundary comparison; a Window
     operator here means a global NTILE serializing the corpus through
