@@ -31,14 +31,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OPS = [
-    "dedup_minhash_lsh",
-    "dedup_keep_longest_lsh",
-    "dedup_clusters",
-    "graph_pagerank",
-    "graph_components",
-    "ts_resample_ffill",
-]
+# override with SF10_PROBE_OPS=a,b,c — round 7 added the text/curation
+# hot-family sweep (curation_bpe_train, text_tfidf_topterms, text_bm25,
+# curation_decontaminate) on top of the r6 dedup/graph defaults
+OPS = os.environ.get(
+    "SF10_PROBE_OPS",
+    "dedup_minhash_lsh,dedup_keep_longest_lsh,dedup_clusters,"
+    "graph_pagerank,graph_components,ts_resample_ffill",
+).split(",")
 
 DEFAULT_DIRS = [
     "/root/testdata/sf0.1",
