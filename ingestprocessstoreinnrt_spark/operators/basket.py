@@ -522,12 +522,102 @@ WHERE rank <= {RA_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# local clustering coefficient — per-node transitivity
+# ---------------------------------------------------------------------------
+#
+# cc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1)) over the thresholded
+# co-purchase graph: the standard "how clique-like is this node's
+# neighborhood" score (community cores vs bridge hubs).  Triangle
+# counts reuse the census wedge walk (cost bounded by Σ deg², same as
+# graph_triangles), degrees reuse the edge explode; the division is
+# the only new arithmetic, quantized to 6 dp for the cross-engine
+# gate.  Nodes with deg < 2 have no defined coefficient and are
+# excluded (0/0).
+
+
+def clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_id, degree, n_triangles, cc_q) for every node with
+    degree >= 2, ordered by part_id."""
+    e = triangle_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = e.select(F.col("p1").alias("a2"), F.col("p2").alias("c"))
+    wedges = e1.join(
+        e2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c"))
+    )
+    tri = wedges.join(
+        e.select(F.col("p1").alias("b"), F.col("p2").alias("c")),
+        ["b", "c"],
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("p1", "p2")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(per_node, "part_id", "left")
+        .select(
+            "part_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - 1).cast("double")
+                ),
+                6,
+            ).alias("cc_q"),
+        )
+        .orderBy("part_id")
+    )
+
+
+_CLUSTERING_SQL = f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1
+  JOIN e e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+  JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+),
+per_node AS (
+  SELECT part_id, COUNT(*)::BIGINT AS n_triangles FROM (
+    SELECT unnest([a, b, c]) AS part_id FROM tri
+  ) GROUP BY part_id
+),
+deg AS (
+  SELECT part_id, COUNT(*)::BIGINT AS degree FROM (
+    SELECT unnest([p1, p2]) AS part_id FROM e
+  ) GROUP BY part_id
+)
+SELECT deg.part_id, degree,
+  COALESCE(n_triangles, 0)::BIGINT AS n_triangles,
+  round(2.0 * COALESCE(n_triangles, 0)::DOUBLE
+        / (degree::DOUBLE * (degree - 1)::DOUBLE), 6) AS cc_q
+FROM deg LEFT JOIN per_node USING (part_id)
+WHERE degree >= 2
+ORDER BY deg.part_id
+"""
+
+
 QUERIES = {
     "bi_basket_lift": basket_pair_lift,
     "graph_triangles": graph_triangles,
     "graph_degree_stats": degree_stats,
     "graph_jaccard_neighbors": jaccard_neighbors,
     "graph_resource_allocation": resource_allocation,
+    "graph_clustering_coeff": clustering_coeff,
 }
 ORACLE = {
     "bi_basket_lift": _BASKET_SQL,
@@ -535,4 +625,5 @@ ORACLE = {
     "graph_degree_stats": _DEGREE_SQL,
     "graph_jaccard_neighbors": _JACCARD_SQL,
     "graph_resource_allocation": _RA_SQL,
+    "graph_clustering_coeff": _CLUSTERING_SQL,
 }

@@ -2446,6 +2446,77 @@ ORDER BY bin"""
 
 
 # ---------------------------------------------------------------------------
+# proper-scoring-rule eval: log loss + Brier of the calibrated scorer
+# ---------------------------------------------------------------------------
+#
+# The eval a gate owner actually tracks: accuracy (logistic_score) and
+# reliability (calibration_bins) say WHERE the scorer is wrong; log
+# loss and Brier say HOW COSTLY its confidence is, per source.  Both
+# are parallel double sums and would be accumulation-order-dependent —
+# each per-row term is computed in one fixed expression order over the
+# 6-dp-quantized score and quantized to 1e-6 before the BIGINT sum
+# (the module's q6/dsum discipline).  Scores are clamped to
+# [1e-6, 1 - 1e-6] before the logs (a 6-dp score can be exactly 0/1).
+
+
+def log_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, avg_log_loss, brier) of the fitted logistic
+    scorer per document source."""
+    feats, beta = _fitted_logistic(spark, sf_dir)
+    p = _logi_p(beta)
+    pc = F.least(F.greatest(p, F.lit(0.000001)), F.lit(0.999999))
+    y = F.col("y").cast("double")
+    ll = -(
+        y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc)
+    )
+    br = (p - y) * (p - y)
+    return (
+        feats.select("source", ll.alias("ll"), br.alias("br"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            _q6(F.col("ll")).alias("sll"),
+            _q6(F.col("br")).alias("sbr"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("sll") / F.col("n_docs").cast("double"), 6
+            ).alias("avg_log_loss"),
+            F.round(
+                F.col("sbr") / F.col("n_docs").cast("double"), 6
+            ).alias("brier"),
+        )
+        .orderBy("source")
+    )
+
+
+def _log_loss_sql() -> str:
+    q = float(_LOGI_Q)
+
+    def q6(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(FLOOR(({expr}) * {q} + 0.5) AS BIGINT)) "
+            f"AS DOUBLE) / {q}"
+        )
+
+    ll = "-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))"
+    br = "(p - y) * (p - y)"
+    return f"""WITH {_logistic_ctes()}
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  ROUND(({q6(ll)}) / COUNT(*)::DOUBLE, 6) AS avg_log_loss,
+  ROUND(({q6(br)}) / COUNT(*)::DOUBLE, 6) AS brier
+FROM (
+  SELECT source, y::DOUBLE AS y, p,
+    LEAST(GREATEST(p, 0.000001), 0.999999) AS pc
+  FROM ({_LOGI_SCORED})
+)
+GROUP BY source
+ORDER BY source"""
+
+
+# ---------------------------------------------------------------------------
 # curation quality gate (the learned-score gate composed per source)
 # ---------------------------------------------------------------------------
 
@@ -2715,6 +2786,7 @@ QUERIES = {
     "ml_logistic_score": logistic_score,
     "ml_km_survival": km_survival,
     "ml_calibration_bins": calibration_bins,
+    "ml_log_loss": log_loss_eval,
     "curation_quality_gate": quality_gate,
     "ml_welch_ttest": welch_ttest,
     "ml_chi2_independence": chi2_independence,
@@ -2741,6 +2813,7 @@ ORACLE = {
     "ml_logistic_score": _logistic_sql(),
     "ml_km_survival": _KM_SQL,
     "ml_calibration_bins": _cal_bins_sql(),
+    "ml_log_loss": _log_loss_sql(),
     "curation_quality_gate": _quality_gate_sql(),
     "ml_welch_ttest": _TTEST_SQL,
     "ml_chi2_independence": _CHI2_SQL,

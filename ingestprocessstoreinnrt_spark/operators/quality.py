@@ -680,7 +680,67 @@ FROM classes
 """
 
 
+# ---------------------------------------------------------------------------
+# Tukey IQR outlier audit — the fence-based cousin of mad_outliers
+# ---------------------------------------------------------------------------
+#
+# Per order priority: Q1/Q3 of o_totalprice (linear-interpolated
+# quantiles — Spark percentile() and DuckDB quantile_cont are bit-exact
+# twins, the bi_percentiles precedent), fences at 1.5 IQR, and the
+# row counts outside each fence.  Scale shape: one groupBy pass for
+# the fences (metadata-size result, broadcast back) + one conditional
+# count pass — never a global sort.
+
+
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_rows, q1, q3, n_low, n_high), Tukey fences
+    at 1.5 IQR, ordered by priority."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    return (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_rows", "q1", "q3")
+        .agg(
+            F.sum((F.col("o_totalprice") < lo).cast("long"))
+            .cast("long")
+            .alias("n_low"),
+            F.sum((F.col("o_totalprice") > hi).cast("long"))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_IQR_SQL = """
+WITH f AS (
+  SELECT o_orderpriority,
+    COUNT(*)::BIGINT AS n_rows,
+    quantile_cont(o_totalprice, 0.25) AS q1,
+    quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT f.o_orderpriority, f.n_rows, f.q1, f.q3,
+  SUM(CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+      THEN 1 ELSE 0 END)::BIGINT AS n_low,
+  SUM(CASE WHEN o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+      THEN 1 ELSE 0 END)::BIGINT AS n_high
+FROM orders o JOIN f USING (o_orderpriority)
+GROUP BY 1, 2, 3, 4
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "quality_iqr_outliers": iqr_outliers,
     "quality_k_anonymity": k_anonymity_audit,
     "quality_l_diversity": l_diversity_audit,
     "quality_column_profile": column_profile,
@@ -691,6 +751,7 @@ QUERIES = {
     "quality_schema_drift": schema_drift,
 }
 ORACLE = {
+    "quality_iqr_outliers": _IQR_SQL,
     "quality_k_anonymity": _KANON_SQL,
     "quality_l_diversity": _LDIV_SQL,
     "quality_column_profile": _profile_sql(),

@@ -1613,7 +1613,95 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# readability scoring — Flesch reading ease + Flesch-Kincaid grade
+# ---------------------------------------------------------------------------
+#
+# The classic curation quality signal text_stats doesn't cover:
+# sentence-length and syllable-density readability.  Deterministic
+# cross-engine recipe: words = the shared whitespace tokenizer,
+# sentences = count of [.!?]+ runs (min 1), syllables = per-word
+# vowel-group count [aeiouy]+ (min 1 per word — the standard
+# heuristic).  All three are exact integers; the two scores are fixed
+# double formulas over their ratios, quantized to 6 dp.  Row-local
+# (one scan, no shuffle) — codegen regexp work, linear at any scale.
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch_q,
+    fk_grade_q) per non-empty document."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    syl = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0)
+            ),
+        ).cast("long"),
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_q"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade_q"),
+    )
+
+
+_READABILITY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+  WHERE len({_SQL_TOKS}) > 0
+),
+m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+      AS n_sentences,
+    list_sum(list_transform(toks, t ->
+      greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+')))
+    ))::BIGINT AS n_syllables
+  FROM d
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6) AS flesch_q,
+  round(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59, 6)
+    AS fk_grade_q
+FROM m
+"""
+
+
 QUERIES = {
+    "text_readability": text_readability,
     "text_vocab_growth": vocab_growth,
     "curation_token_budget": token_budget_fill,
     "text_langid_confusion": langid_confusion,
@@ -1637,6 +1725,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_readability": _READABILITY_SQL,
     "text_vocab_growth": _VOCAB_SQL,
     "curation_token_budget": _budget_sql(),
     "text_langid_confusion": _langid_confusion_sql(),

@@ -54,6 +54,12 @@ def main() -> None:
     dirs = sys.argv[1:] or DEFAULT_DIRS
     spark = get_spark("sf10-probe")
     qs = entry.queries()
+    # untimed warmup (same as bench.py): the FIRST timed op otherwise
+    # pays JVM + codegen + parquet-footer startup (~8 s) and its
+    # smallest-scale timing — hence the scaling exponent — is garbage
+    # (r7: bpe_train "10.7 s at sf0.1, 2.9 s at sf1")
+    qs[OPS[0]](spark, dirs[0]).count()
+    spark.catalog.clearCache()
     results: dict[str, dict[str, dict]] = {op: {} for op in OPS}
     for sf_dir in dirs:
         label = os.path.basename(sf_dir.rstrip("/"))
