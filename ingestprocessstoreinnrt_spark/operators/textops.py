@@ -1700,8 +1700,97 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+# the MOSS local fingerprinting algorithm; public paper)
+# ---------------------------------------------------------------------------
+#
+# The guarantee text_fingerprint (whole-doc hash) can't give: any
+# shared substring of >= K + W - 1 tokens between two documents shares
+# at least one SELECTED fingerprint — the primitive behind
+# plagiarism / verbatim-overlap detection at sub-document grain,
+# with ~2/(W+1) of the k-gram hashes kept instead of all of them.
+#
+# Recipe (both engines, bit-identical): K-token gram hashes via the
+# shared stable md5 hash; per window of W consecutive gram hashes
+# select the minimum, tie broken to the RIGHTMOST minimal position
+# (the paper's robust-winnowing tie rule, made deterministic); distinct
+# (pos, fp) selections survive.  Row-local array work — one scan, no
+# shuffle, linear at any scale; the selected-fingerprint stream is
+# what an index or an incremental-dedup join consumes downstream.
+
+WINNOW_K, WINNOW_W = 5, 4
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing-selected fingerprints per document
+    with >= K+W-1 tokens; pos is the 1-based gram index."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", words.alias("wds")).filter(
+        F.size("wds") >= WINNOW_K + WINNOW_W - 1
+    )
+    gram_cols = ", ".join(
+        f"element_at(wds, i + {j})" for j in range(WINNOW_K)
+    )
+    h_expr = (
+        f"transform(sequence(1, size(wds) - {WINNOW_K - 1}), i -> "
+        f"CAST(conv(substring(md5(concat_ws(' ', {gram_cols})), 1, 15), "
+        f"16, 10) AS BIGINT))"
+    )
+    win = f"slice(h, i, {WINNOW_W})"
+    sel_expr = (
+        f"transform(sequence(1, size(h) - {WINNOW_W - 1}), i -> "
+        f"named_struct("
+        f"'pos', CAST(i + {WINNOW_W} - array_position(reverse({win}), "
+        f"array_min({win})) AS BIGINT), "
+        f"'fp', array_min({win})))"
+    )
+    return (
+        d.withColumn("h", F.expr(h_expr))
+        .select("doc_id", F.explode(F.expr(sel_expr)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"),
+                F.col("s.fp").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _winnowing_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    wds = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    gram = "concat_ws(' ', " + ", ".join(
+        f"wds[i + {j}]" for j in range(k)
+    ) + ")"
+    sl = f"list_slice(h, i, i + {w - 1})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {wds} AS wds FROM documents
+  WHERE len({wds}) >= {k + w - 1}
+),
+g AS (
+  SELECT doc_id, list_transform(range(1, len(wds) - {k - 1} + 1), i ->
+    ('0x' || substr(md5({gram}), 1, 15))::BIGINT) AS h
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(h) - {w - 1} + 1), i ->
+      struct_pack(
+        pos := (i + {w} - list_position(list_reverse({sl}),
+                                        list_min({sl})))::BIGINT,
+        fp := list_min({sl})
+      ))) AS sel
+  FROM g
+)
+SELECT DISTINCT doc_id, sel.pos AS pos, sel.fp AS fp
+FROM s ORDER BY doc_id, pos
+"""
+
+
 QUERIES = {
     "text_readability": text_readability,
+    "text_winnowing": text_winnowing,
     "text_vocab_growth": vocab_growth,
     "curation_token_budget": token_budget_fill,
     "text_langid_confusion": langid_confusion,
@@ -1726,6 +1815,7 @@ QUERIES = {
 
 ORACLE = {
     "text_readability": _READABILITY_SQL,
+    "text_winnowing": _winnowing_sql(),
     "text_vocab_growth": _VOCAB_SQL,
     "curation_token_budget": _budget_sql(),
     "text_langid_confusion": _langid_confusion_sql(),

@@ -339,6 +339,31 @@ def test_ann_ivf_multiprobe_recall(spark):
     assert recall >= 0.95, f"multiprobe recall {recall:.3f} < 0.95"
 
 
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """The winnowing paper's core guarantee: two documents sharing a
+    token run of length >= K + W - 1 must share at least one SELECTED
+    fingerprint, no matter how different the rest of the text is."""
+    from ingestprocessstoreinnrt_spark.operators import textops
+
+    k, w = textops.WINNOW_K, textops.WINNOW_W
+    shared = " ".join(f"run{i}" for i in range(k + w - 1))
+    rows = [
+        (0, "alpha beta gamma " + shared + " delta epsilon zeta", "en", "a"),
+        (1, "one two three four " + shared + " five six", "en", "b"),
+        (2, "totally unrelated words that never overlap at all here "
+            "more filler tokens again", "en", "c"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = textops.text_winnowing(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in got:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "shared run selected no common fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
 def test_multimodal_fake_decode_contract(spark):
     media = multimodal.media_from_documents(spark, SF_ORACLE)
     assert [f.name for f in media.schema.fields] == [
