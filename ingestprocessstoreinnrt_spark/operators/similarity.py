@@ -518,6 +518,130 @@ FROM nn GROUP BY plabel
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid search — reciprocal-rank fusion of lexical and vector rankings
+# ---------------------------------------------------------------------------
+#
+# The serving-path composition every RAG/retrieval stack runs: a BM25
+# lexical ranking and a dense cosine ranking fused with RRF
+# (Cormack, Clarke & Buettcher 2009):
+#
+#   rrf(d) = Σ_lists 1 / (RRF_K + rank_list(d)),  missing list -> 0.
+#
+# doc_id and vec_id share the same id space in this corpus (one
+# embedding per document), so the fusion is an id equi-join of two
+# top-N frames.  Scale shape: each leg is already bounded (BM25 is a
+# TakeOrdered top-50; the cosine leg is ONE broadcast query vector
+# against the scan — at 100 TB the leg would be served by the IVF
+# variant, same output contract); the fuse itself joins two <= 50-row
+# frames — driver-trivial, executor-free.  Determinism: ranks are exact
+# BIGINTs, each RRF term is a single double division of small exact
+# ints evaluated in a fixed expression order, final score rounded 6 dp
+# with an id tie-break.
+
+RRF_K = 60
+RRF_LEG_TOP = 50  # per-leg depth (BM25_TOP matches)
+RRF_TOP = 20
+RRF_QUERY_VEC = 0  # the dense leg's query: embedding of vec_id 0
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top RRF_TOP docs by reciprocal-rank fusion of the BM25 top-50
+    and the cosine top-50 for query vector RRF_QUERY_VEC:
+    (doc_id, bm25_rank, cos_rank, rrf, rank)."""
+    from .textops import text_bm25
+
+    bm = text_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", norm2(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    ckeys = [F.col("cos_sim").desc(), F.col("vec_id").asc()]
+    cl = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(*ckeys)
+        .limit(RRF_LEG_TOP)
+        .withColumn(
+            "cos_rank",
+            F.row_number().over(Window.orderBy(*ckeys)).cast("long"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "cos_rank")
+    )
+    fused = bm.join(cl, "doc_id", "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), 1.0 / (F.lit(float(RRF_K)) + F.col(c).cast("double"))
+    ).otherwise(0.0)
+    fkeys = [F.col("rrf").desc(), F.col("doc_id").asc()]
+    return (
+        fused.select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.round(term("bm25_rank") + term("cos_rank"), 6).alias("rrf"),
+        )
+        .orderBy(*fkeys)
+        .limit(RRF_TOP)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*fkeys)).cast("long")
+        )
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from .textops import _bm25_sql
+
+    return f"""
+WITH bm_full AS ({_bm25_sql()}),
+bm AS (SELECT doc_id, rank AS bm25_rank FROM bm_full),
+q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}
+),
+cscored AS (
+  SELECT e.vec_id,
+    round(
+      list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {RRF_QUERY_VEC}
+),
+cl AS (
+  SELECT vec_id AS doc_id,
+    ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC)::BIGINT
+      AS cos_rank
+  FROM cscored
+  ORDER BY cos_sim DESC, vec_id ASC
+  LIMIT {RRF_LEG_TOP}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, cl.doc_id) AS doc_id, bm25_rank, cos_rank,
+    ROUND(
+      CASE WHEN bm25_rank IS NOT NULL
+           THEN 1.0 / ({RRF_K}.0 + bm25_rank::DOUBLE) ELSE 0.0 END
+      + CASE WHEN cos_rank IS NOT NULL
+             THEN 1.0 / ({RRF_K}.0 + cos_rank::DOUBLE) ELSE 0.0 END,
+    6) AS rrf
+  FROM bm FULL OUTER JOIN cl ON bm.doc_id = cl.doc_id
+)
+SELECT doc_id, bm25_rank, cos_rank, rrf,
+  ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rank
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": ann_topk_cosine,
     "sim_ann_lsh": ann_lsh_topk,
@@ -525,6 +649,7 @@ QUERIES = {
     "sim_ann_ivf_multiprobe": ann_ivf_multiprobe,
     "emb_quantize_int8": emb_quantize_int8,
     "ml_knn_eval": knn_label_eval,
+    "sim_hybrid_rrf": hybrid_rrf,
 }
 
 ORACLE = {
@@ -534,4 +659,5 @@ ORACLE = {
     "sim_ann_ivf_multiprobe": _ann_ivf_sql(IVF_NPROBE_MULTI),
     "emb_quantize_int8": _quant_sql(),
     "ml_knn_eval": _KNN_SQL,
+    "sim_hybrid_rrf": _hybrid_rrf_sql(),
 }

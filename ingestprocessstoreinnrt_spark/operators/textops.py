@@ -1788,6 +1788,212 @@ FROM s ORDER BY doc_id, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus keyness — Dunning log-likelihood ratio (G²) between slices
+# ---------------------------------------------------------------------------
+#
+# Which terms are statistically OVER-represented in one corpus slice vs
+# the rest (Dunning 1993, "Accurate Methods for the Statistics of
+# Surprise and Coincidence")?  The standard corpus-comparison tool for
+# mixing/contamination decisions that raw frequency ratios get wrong on
+# rare terms.  Slice = lang KEYNESS_LANG vs all other langs.
+#
+#   G² = 2 * [ a·ln(a/E_a) + b·ln(b/E_b) ],  E_a = N_a(a+b)/N,
+#   E_b = N_b(a+b)/N,  with x·ln(x/E) := 0 when x = 0.
+#
+# Scale shape: one token-grain groupBy producing (term, a, b) — the
+# same shuffle as a word count; the (N_a, N_b) totals are ONE broadcast
+# row; G² itself is a row-local expression over exact BIGINT counts, so
+# there is no float aggregation anywhere.  Cross-engine determinism:
+# every ln() is rounded to 9 dp before use (entropy-op convention —
+# engine log ulp differences vanish), all other inputs are exact
+# integers, and the identical IEEE expression tree yields identical
+# doubles; final score rounded to 6 dp with a term tie-break.
+
+KEYNESS_LANG = "en"
+KEYNESS_MIN_COUNT = 5
+KEYNESS_TOPK = 50
+
+
+def keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top KEYNESS_TOPK terms by Dunning G² keyness of lang
+    KEYNESS_LANG vs the rest: (term, target_count, rest_count, g2,
+    rank)."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(
+            (F.col("lang") == KEYNESS_LANG).alias("is_t"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("is_t").cast("long")).cast("long").alias("a"),
+            F.sum((~F.col("is_t")).cast("long")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= KEYNESS_MIN_COUNT)
+    )
+    tot = tc.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    d = tc.crossJoin(F.broadcast(tot))
+    af, bf = F.col("a").cast("double"), F.col("b").cast("double")
+    naf, nbf = F.col("na").cast("double"), F.col("nb").cast("double")
+    nf = naf + nbf
+    ea = naf * (af + bf) / nf
+    eb = nbf * (af + bf) / nf
+
+    def _ln9(c):
+        return F.round(F.log(c), 9)
+
+    term_a = F.when(F.col("a") > 0, af * (_ln9(af) - _ln9(ea))).otherwise(0.0)
+    term_b = F.when(F.col("b") > 0, bf * (_ln9(bf) - _ln9(eb))).otherwise(0.0)
+    keys = [F.col("g2").desc(), F.col("term").asc()]
+    return (
+        d.select(
+            "term",
+            F.col("a").alias("target_count"),
+            F.col("b").alias("rest_count"),
+            F.round(2.0 * (term_a + term_b), 6).alias("g2"),
+        )
+        .orderBy(*keys)
+        .limit(KEYNESS_TOPK)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
+    )
+
+
+_KEYNESS_SQL = f"""
+WITH tc AS (
+  SELECT term,
+    CAST(SUM(CASE WHEN lang = '{KEYNESS_LANG}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS a,
+    CAST(SUM(CASE WHEN lang = '{KEYNESS_LANG}' THEN 0 ELSE 1 END) AS BIGINT)
+      AS b
+  FROM (
+    SELECT lang, unnest(
+      CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+    ) AS term
+    FROM documents
+  )
+  GROUP BY term
+  HAVING a + b >= {KEYNESS_MIN_COUNT}
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM tc
+),
+scored AS (
+  SELECT term, a AS target_count, b AS rest_count,
+    ROUND(2.0 * (
+      CASE WHEN a > 0 THEN a::DOUBLE * (ROUND(ln(a::DOUBLE), 9)
+        - ROUND(ln(na::DOUBLE * (a + b)::DOUBLE
+                   / (na::DOUBLE + nb::DOUBLE)), 9)) ELSE 0.0 END
+      + CASE WHEN b > 0 THEN b::DOUBLE * (ROUND(ln(b::DOUBLE), 9)
+        - ROUND(ln(nb::DOUBLE * (a + b)::DOUBLE
+                   / (na::DOUBLE + nb::DOUBLE)), 9)) ELSE 0.0 END
+    ), 6) AS g2
+  FROM tc CROSS JOIN tot
+)
+SELECT term, target_count, rest_count, g2,
+  ROW_NUMBER() OVER (ORDER BY g2 DESC, term ASC)::BIGINT AS rank
+FROM scored
+ORDER BY g2 DESC, term ASC
+LIMIT {KEYNESS_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# source vocabulary overlap — pairwise Jaccard of source vocabularies
+# ---------------------------------------------------------------------------
+#
+# Corpus-composition diagnostic for mixing decisions: how much does
+# each pair of sources share VOCABULARY (not documents — that is the
+# dedup family's job)?  Near-identical vocabularies mean the sources
+# are redundant for coverage; disjoint ones mean dropping either loses
+# domain.  Shape at 100 TB: distinct (source, term) is one token-grain
+# dedup shuffle; the pairwise intersection is an equi-join on term —
+# bounded by Σ_term df(term)² which is small because df ≤ n_sources
+# (a 20-source corpus caps each term's contribution at 190 pairs) —
+# never a document-grain cross join.  All counts exact BIGINT; the
+# single final division rounds to 6 dp.
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src1, src2, common, vocab1, vocab2, jaccard) for every source
+    pair with at least one shared term."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vsz")
+    )
+    v2 = vocab.select(F.col("source").alias("source2"), "term")
+    common = (
+        vocab.join(v2, ["term"])
+        .filter(F.col("source") < F.col("source2"))
+        .groupBy("source", "source2")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    s1 = sizes.select(F.col("source").alias("source"), F.col("vsz").alias("vocab1"))
+    s2 = sizes.select(
+        F.col("source").alias("source2"), F.col("vsz").alias("vocab2")
+    )
+    return (
+        common.join(F.broadcast(s1), "source")
+        .join(F.broadcast(s2), "source2")
+        .select(
+            F.col("source").alias("src1"),
+            F.col("source2").alias("src2"),
+            "common",
+            "vocab1",
+            "vocab2",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("vocab1") + F.col("vocab2") - F.col("common"))
+                .cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src1", "src2")
+    )
+
+
+_VOCAB_OVERLAP_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT source, term
+  FROM (
+    SELECT source, unnest(
+      CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+    ) AS term
+    FROM documents
+  )
+),
+sizes AS (
+  SELECT source, COUNT(*)::BIGINT AS vsz FROM vocab GROUP BY source
+),
+common AS (
+  SELECT v1.source AS src1, v2.source AS src2, COUNT(*)::BIGINT AS common
+  FROM vocab v1 JOIN vocab v2
+    ON v1.term = v2.term AND v1.source < v2.source
+  GROUP BY 1, 2
+)
+SELECT src1, src2, common, s1.vsz AS vocab1, s2.vsz AS vocab2,
+  ROUND(common::DOUBLE / (s1.vsz + s2.vsz - common)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes s1 ON common.src1 = s1.source
+JOIN sizes s2 ON common.src2 = s2.source
+ORDER BY src1, src2
+"""
+
+
 QUERIES = {
     "text_readability": text_readability,
     "text_winnowing": text_winnowing,
@@ -1811,6 +2017,8 @@ QUERIES = {
     "sample_weighted": weighted_sample,
     "text_bigram_lm": bigram_lm,
     "text_bigram_surprisal": bigram_surprisal,
+    "text_keyness_llr": keyness_llr,
+    "text_source_vocab_overlap": source_vocab_overlap,
 }
 
 ORACLE = {
@@ -1836,4 +2044,6 @@ ORACLE = {
     "sample_weighted": _weighted_sql(),
     "text_bigram_lm": _BIGRAM_SQL,
     "text_bigram_surprisal": _SURPRISAL_SQL,
+    "text_keyness_llr": _KEYNESS_SQL,
+    "text_source_vocab_overlap": _VOCAB_OVERLAP_SQL,
 }
