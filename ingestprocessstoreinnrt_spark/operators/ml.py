@@ -2781,6 +2781,325 @@ ORDER BY c_mktsegment, c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# ridge regression — L2-regularized closed form (normal equations + λI)
+# ---------------------------------------------------------------------------
+#
+# Same distributed template as ml_ols_multi (one aggregate -> nine
+# exact BIGINT sufficient statistics -> per-group 3x3 Cramer solve),
+# with RIDGE_LAMBDA added to the x1/x2 diagonal of the normal matrix
+# (the intercept is not penalized — standard practice).  λ applies in
+# the QUANTIZED feature space (x1 = round(qty), x2 = round(disc*100)),
+# documented because shrinkage magnitude depends on feature scale.
+# The shuffle stays 9 longs per group at any corpus size; determinism
+# is the OLS argument verbatim: doubles built from exact ints < 2^53
+# combined in an identical IEEE expression tree.
+
+RIDGE_LAMBDA = 1_000_000  # in quantized-feature units
+
+
+def ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per l_returnflag ridge fit of l_extendedprice ~ l_quantity +
+    l_discount: (l_returnflag, n, coef_qty, coef_disc, intercept)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        (F.sum(F.col("x1") * F.col("x1")) + F.lit(RIDGE_LAMBDA)).alias("s11"),
+        (F.sum(F.col("x2") * F.col("x2")) + F.lit(RIDGE_LAMBDA)).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    d = {
+        c: F.col(c).cast("double")
+        for c in ("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+    }
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    nb0 = (
+        d["sy"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        + d["s2"] * (d["s1y"] * d["s12"] - d["s11"] * d["s2y"])
+    )
+    nb1 = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+    )
+    nb2 = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+        + d["sy"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.when(det == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(nb1 / det / F.lit(100.0), 6))
+        .alias("coef_qty"),
+        F.when(det == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(nb2 / det, 6))
+        .alias("coef_disc"),
+        F.when(det == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(nb0 / det / F.lit(100.0), 6))
+        .alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+_RIDGE_SQL = f"""
+WITH q AS (
+  SELECT l_returnflag,
+    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x1,
+    CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag,
+    COUNT(*)::BIGINT AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x1 * x1) + {RIDGE_LAMBDA} AS BIGINT) AS s11,
+    CAST(SUM(x2 * x2) + {RIDGE_LAMBDA} AS BIGINT) AS s22,
+    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM q GROUP BY l_returnflag
+),
+dd AS (
+  SELECT l_returnflag, n::BIGINT AS n_out,
+    n::DOUBLE AS dn, s1::DOUBLE AS d1, s2::DOUBLE AS d2,
+    sy::DOUBLE AS dy, s11::DOUBLE AS d11, s22::DOUBLE AS d22,
+    s12::DOUBLE AS d12, s1y::DOUBLE AS d1y, s2y::DOUBLE AS d2y
+  FROM g
+)
+SELECT l_returnflag, n_out AS n,
+  CASE WHEN det = 0.0 THEN NULL
+       ELSE ROUND(nb1 / det / 100.0, 6) END AS coef_qty,
+  CASE WHEN det = 0.0 THEN NULL ELSE ROUND(nb2 / det, 6) END AS coef_disc,
+  CASE WHEN det = 0.0 THEN NULL
+       ELSE ROUND(nb0 / det / 100.0, 6) END AS intercept
+FROM (
+  SELECT l_returnflag, n_out,
+    dn * (d11 * d22 - d12 * d12)
+      - d1 * (d1 * d22 - d12 * d2)
+      + d2 * (d1 * d12 - d11 * d2) AS det,
+    dy * (d11 * d22 - d12 * d12)
+      - d1 * (d1y * d22 - d12 * d2y)
+      + d2 * (d1y * d12 - d11 * d2y) AS nb0,
+    dn * (d1y * d22 - d12 * d2y)
+      - dy * (d1 * d22 - d12 * d2)
+      + d2 * (d1 * d2y - d1y * d2) AS nb1,
+    dn * (d11 * d2y - d1y * d12)
+      - d1 * (d1 * d2y - d1y * d2)
+      + dy * (d1 * d12 - d11 * d2) AS nb2
+  FROM dd
+)
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — monotone-association companion to A8
+# ---------------------------------------------------------------------------
+#
+# Pearson (ml_correlation) misses monotone-but-nonlinear association;
+# Spearman is Pearson on AVERAGE ranks.  The tie-correct average rank
+# is carried as the exact integer r2 = 2*avg_rank = 2*RANK() + ties - 1
+# (RANK = min rank of the tie group, ties = group size), so every
+# sufficient statistic is an exact integer; products/sums run in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the n*Σxy-grade terms
+# stay exact far past BIGINT (4n^4 < 10^38 to n ≈ 7e8 rows PER GROUP).
+# Scale shape: the rank transform is two range-partitioned sorts per
+# group (Spark's standard window path); everything after is one
+# 6-long-column aggregate row per group.
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per l_returnflag Spearman rank correlation between l_quantity
+    and l_extendedprice: (l_returnflag, n, spearman)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def r2(col: str) -> Column:
+        wr = Window.partitionBy("l_returnflag").orderBy(col)
+        wt = Window.partitionBy("l_returnflag", col)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("decimal(19,0)")
+
+    ranked = li.select(
+        "l_returnflag", r2("x").alias("rx"), r2("y").alias("ry")
+    )
+    g = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+    )
+    dn = F.col("n").cast("double")
+    dx, dy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dxx, dyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    dxy = F.col("sxy").cast("double")
+    rho = (dn * dxy - dx * dy) / (
+        F.sqrt(dn * dxx - dx * dx) * F.sqrt(dn * dyy - dy * dy)
+    )
+    return g.select(
+        "l_returnflag", "n", F.round(rho, 6).alias("spearman")
+    ).orderBy("l_returnflag")
+
+
+_SPEARMAN_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag,
+    (2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+     + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1)::HUGEINT AS rx,
+    (2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+     + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1)::HUGEINT AS ry
+  FROM q
+),
+g AS (
+  SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+    SUM(rx) AS sx, SUM(ry) AS sy,
+    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  ROUND(
+    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+  6) AS spearman
+FROM g ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# mutual information — feature-relevance between a category and a
+# bucketed measure
+# ---------------------------------------------------------------------------
+#
+# MI(event_type; value bucket) in nats, the feature-selection screen a
+# training pipeline runs before one-hot-ing a categorical.  Cell grain:
+# |types| x MI_BINS contingency counts from ONE groupBy (map-side
+# combinable); marginals by two broadcast-size re-aggregations.  The
+# per-cell term c*ln(c*N/(r*k)) is quantized to a 1e-4 BIGINT (entropy
+# convention: ln rounded to 9 dp first, so engine ulp differences
+# vanish) and SUMMED AS BIGINT — no float aggregation; the final
+# division by N happens once per output row.
+
+MI_BIN_WIDTH_Q = 2000  # value quantized x100, bucket width = 20.0
+MI_BINS = 10
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type MI contribution (nats) of the type x value-bucket
+    cells: (event_type, n_events, mi_part); total MI = SUM(mi_part)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.floor(
+                F.floor(F.col("value") * 100.0 + 0.5) / MI_BIN_WIDTH_Q
+            ),
+            F.lit(MI_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = ev.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("r")
+    )
+    cols = cells.groupBy("bin").agg(F.sum("c").cast("long").alias("k"))
+    tot = cells.agg(F.sum("c").cast("long").alias("nn"))
+    j = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "bin")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = (
+        F.col("c").cast("double") * F.col("nn").cast("double")
+    ) / (F.col("r").cast("double") * F.col("k").cast("double"))
+    qterm = F.floor(
+        F.col("c").cast("double") * F.round(F.log(ratio), 9) * 1e4 + 0.5
+    ).cast("long")
+    per = j.groupBy("event_type").agg(
+        F.max("r").alias("n_events"),
+        F.max("nn").alias("nn"),
+        F.sum(qterm).cast("long").alias("s"),
+    )
+    return per.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(
+            (F.col("s").cast("double") / 1e4)
+            / F.col("nn").cast("double"),
+            6,
+        ).alias("mi_part"),
+    ).orderBy("event_type")
+
+
+_MI_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+    LEAST(CAST(FLOOR(FLOOR(value * 100.0 + 0.5) / {MI_BIN_WIDTH_Q})
+          AS BIGINT), {MI_BINS - 1}) AS bin
+  FROM events
+),
+cells AS (
+  SELECT event_type, bin, COUNT(*)::BIGINT AS c
+  FROM ev GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+cols_m AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS k FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells),
+terms AS (
+  SELECT cells.event_type, r, nn,
+    CAST(FLOOR(c::DOUBLE * ROUND(ln(
+      (c::DOUBLE * nn::DOUBLE) / (r::DOUBLE * k::DOUBLE)
+    ), 9) * 1e4 + 0.5) AS BIGINT) AS qterm
+  FROM cells
+  JOIN rows_m ON cells.event_type = rows_m.event_type
+  JOIN cols_m ON cells.bin = cols_m.bin
+  CROSS JOIN tot
+)
+SELECT event_type, MAX(r)::BIGINT AS n_events,
+  ROUND((CAST(SUM(qterm) AS BIGINT)::DOUBLE / 1e4)
+        / MAX(nn)::DOUBLE, 6) AS mi_part
+FROM terms GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ml_target_encoding": target_encoding,
     "ml_logistic_score": logistic_score,
@@ -2806,6 +3125,9 @@ QUERIES = {
     "ml_covariance_matrix": covariance_matrix,
     "ml_pca_power": pca_power,
     "ml_naive_bayes": naive_bayes_confusion,
+    "ml_ridge_regression": ridge_regression,
+    "ml_spearman_corr": spearman_corr,
+    "ml_mutual_information": mutual_information,
 }
 
 ORACLE = {
@@ -2833,4 +3155,7 @@ ORACLE = {
     "ml_covariance_matrix": _COV_SQL,
     "ml_pca_power": _pca_sql(),
     "ml_naive_bayes": _NB_SQL,
+    "ml_ridge_regression": _RIDGE_SQL,
+    "ml_spearman_corr": _SPEARMAN_SQL,
+    "ml_mutual_information": _MI_SQL,
 }

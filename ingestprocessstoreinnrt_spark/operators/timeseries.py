@@ -947,6 +947,236 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# LTTB-style series downsampling — plot/preview decimation at scale
+# ---------------------------------------------------------------------------
+#
+# Largest-Triangle-Three-Buckets (Steinarsson 2013) keeps, per time
+# bucket, the point forming the largest triangle with its neighbor
+# buckets — the standard visually-faithful decimation for dashboards
+# over raw streams.  The sequential original anchors on the PREVIOUSLY
+# SELECTED point; this is the parallel variant both anchors are the
+# neighbor buckets' AVERAGE points (the same approximation the original
+# already makes on the right anchor), which removes the cross-bucket
+# dependency chain entirely: every bucket's argmax is independent.
+#
+# Scale shape: one groupBy to bucket grain (map-side combinable exact
+# BIGINT sums — timestamps summed as OFFSETS from the bucket start so
+# a 2^63 overflow needs ~10^8 points per bucket), lag/lead over the
+# tiny bucket frame, broadcast back to points, one per-(type, bucket)
+# ranking window.  Determinism: anchors are doubles built from exact
+# ints in a fixed expression tree; the ranking key is the area rounded
+# to 9 dp with (ts, event_id) tie-breaks.
+
+LTTB_BUCKET_US = 6 * HOUR_US
+
+
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative point per interior 6-hour bucket per
+    event_type: (event_type, bucket_us, ts_us, value, tri_area) with
+    tri_area in value x bucket-width units."""
+    b = LTTB_BUCKET_US
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.expr(f"unix_micros(ts) DIV {b}").alias("bk"),
+        F.expr(f"unix_micros(ts) % {b}").alias("off"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("qv"),
+    )
+    bs = ev.groupBy("event_type", "bk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("off").cast("long").alias("soff"),
+        F.sum("qv").cast("long").alias("sqv"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bk")
+    anch = bs.select(
+        "event_type",
+        "bk",
+        *[
+            f(c, 1).over(wb).alias(f"{p}_{c}")
+            for f, p in ((F.lag, "p"), (F.lead, "n"))
+            for c in ("bk", "cnt", "soff", "sqv")
+        ],
+    ).filter(F.col("p_bk").isNotNull() & F.col("n_bk").isNotNull())
+    j = ev.join(F.broadcast(anch), ["event_type", "bk"])
+    bd = float(b)
+    # anchor/candidate coordinates in (bucket-width, value) units —
+    # doubles from exact ints, identical expression tree both engines
+    ax = F.col("p_bk").cast("double") + (
+        F.col("p_soff").cast("double") / F.col("p_cnt").cast("double") / bd
+    )
+    ay = F.col("p_sqv").cast("double") / F.col("p_cnt").cast("double") / 100.0
+    cx = F.col("n_bk").cast("double") + (
+        F.col("n_soff").cast("double") / F.col("n_cnt").cast("double") / bd
+    )
+    cy = F.col("n_sqv").cast("double") / F.col("n_cnt").cast("double") / 100.0
+    px = F.col("bk").cast("double") + F.col("off").cast("double") / bd
+    py = F.col("qv").cast("double") / 100.0
+    area = F.abs((ax - cx) * (py - ay) - (ax - px) * (cy - ay)) / 2.0
+    wr = Window.partitionBy("event_type", "bk").orderBy(
+        F.round(area, 9).desc(), F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            (F.col("bk") * b).alias("bucket_us"),
+            "ts_us",
+            "value",
+            F.round(area, 6).alias("tri_area"),
+        )
+        .orderBy("event_type", "bucket_us")
+    )
+
+
+_LTTB_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+    epoch_us(ts) // {LTTB_BUCKET_US} AS bk,
+    epoch_us(ts) % {LTTB_BUCKET_US} AS off,
+    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+),
+bs AS (
+  SELECT event_type, bk, COUNT(*)::BIGINT AS cnt,
+    CAST(SUM(off) AS BIGINT) AS soff, CAST(SUM(qv) AS BIGINT) AS sqv
+  FROM ev GROUP BY 1, 2
+),
+anch AS (
+  SELECT * FROM (
+    SELECT event_type, bk,
+      LAG(bk) OVER w AS p_bk, LAG(cnt) OVER w AS p_cnt,
+      LAG(soff) OVER w AS p_soff, LAG(sqv) OVER w AS p_sqv,
+      LEAD(bk) OVER w AS n_bk, LEAD(cnt) OVER w AS n_cnt,
+      LEAD(soff) OVER w AS n_soff, LEAD(sqv) OVER w AS n_sqv
+    FROM bs WINDOW w AS (PARTITION BY event_type ORDER BY bk)
+  ) WHERE p_bk IS NOT NULL AND n_bk IS NOT NULL
+),
+scored AS (
+  SELECT ev.event_type, ev.bk, ts_us, value, event_id,
+    ABS(
+      ((p_bk::DOUBLE + p_soff::DOUBLE / p_cnt::DOUBLE
+          / {LTTB_BUCKET_US}.0)
+       - (n_bk::DOUBLE + n_soff::DOUBLE / n_cnt::DOUBLE
+          / {LTTB_BUCKET_US}.0))
+      * (qv::DOUBLE / 100.0 - p_sqv::DOUBLE / p_cnt::DOUBLE / 100.0)
+      - ((p_bk::DOUBLE + p_soff::DOUBLE / p_cnt::DOUBLE
+          / {LTTB_BUCKET_US}.0)
+         - (ev.bk::DOUBLE + off::DOUBLE / {LTTB_BUCKET_US}.0))
+      * (n_sqv::DOUBLE / n_cnt::DOUBLE / 100.0
+         - p_sqv::DOUBLE / p_cnt::DOUBLE / 100.0)
+    ) / 2.0 AS area
+  FROM ev JOIN anch ON ev.event_type = anch.event_type AND ev.bk = anch.bk
+)
+SELECT event_type, bk * {LTTB_BUCKET_US} AS bucket_us, ts_us, value,
+  ROUND(area, 6) AS tri_area
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type, bk
+    ORDER BY ROUND(area, 9) DESC, ts_us ASC, event_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY event_type, bucket_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# peak detection — strict local maxima of the hourly mean series
+# ---------------------------------------------------------------------------
+#
+# An hour is a peak when its mean value is STRICTLY greater than the
+# means of the surrounding PEAK_W grid hours on each side (all
+# neighbors must exist — edges are never peaks).  Every comparison of
+# two rational means a1/c1 vs a2/c2 is done as the exact integer
+# cross-product a1*c2 > a2*c1 — no float enters the predicate, so the
+# flag cannot flip on engine ulp differences; only the REPORTED mean
+# is a (rounded) float.  Shape: one hour-grain groupBy then lag/lead
+# over the per-type hourly frame — the same single-exchange plan as
+# the resample family.
+
+PEAK_W = 2
+
+
+def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose mean value is a strict local maximum over +-PEAK_W
+    grid neighbors: (event_type, hour_us, n_events, mean_value)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("qv"),
+    )
+    hs = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("qv").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    cols = [hs["*"]]
+    conds = []
+    for i in range(1, PEAK_W + 1):
+        for f, p in ((F.lag, "p"), (F.lead, "n")):
+            cols.append(f("c", i).over(w).alias(f"{p}{i}_c"))
+            cols.append(f("s", i).over(w).alias(f"{p}{i}_s"))
+    nb = hs.select(*cols)
+    for i in range(1, PEAK_W + 1):
+        for p in ("p", "n"):
+            conds.append(F.col(f"{p}{i}_c").isNotNull())
+            # s/c > s_i/c_i  <=>  s*c_i > s_i*c  (exact BIGINT)
+            conds.append(
+                F.col("s") * F.col(f"{p}{i}_c")
+                > F.col(f"{p}{i}_s") * F.col("c")
+            )
+    flag = conds[0]
+    for cnd in conds[1:]:
+        flag = flag & cnd
+    return (
+        nb.filter(flag)
+        .select(
+            "event_type",
+            (F.col("h") * HOUR_US).alias("hour_us"),
+            F.col("c").alias("n_events"),
+            F.round(
+                F.col("s").cast("double") / 100.0 / F.col("c").cast("double"),
+                6,
+            ).alias("mean_value"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+def _peaks_sql() -> str:
+    sel, conds = [], []
+    for i in range(1, PEAK_W + 1):
+        for f, p in (("LAG", "p"), ("LEAD", "n")):
+            sel.append(f"{f}(c, {i}) OVER w AS {p}{i}_c")
+            sel.append(f"{f}(s, {i}) OVER w AS {p}{i}_s")
+            conds.append(f"{p}{i}_c IS NOT NULL")
+            conds.append(f"s * {p}{i}_c > {p}{i}_s * c")
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS h,
+    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+),
+hs AS (
+  SELECT event_type, h, COUNT(*)::BIGINT AS c,
+    CAST(SUM(qv) AS BIGINT) AS s
+  FROM ev GROUP BY 1, 2
+),
+nb AS (
+  SELECT event_type, h, c, s, {', '.join(sel)}
+  FROM hs WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, h * {HOUR_US} AS hour_us, c AS n_events,
+  ROUND(s::DOUBLE / 100.0 / c::DOUBLE, 6) AS mean_value
+FROM nb
+WHERE {' AND '.join(conds)}
+ORDER BY event_type, hour_us
+"""
+
+
 QUERIES = {
     "ts_stl_decompose": stl_decompose,
     "ts_rolling_corr": rolling_corr,
@@ -958,6 +1188,8 @@ QUERIES = {
     "ml_quantile_bins": quantile_bins,
     "ts_interpolate_linear": resample_interpolate,
     "ts_ewma": ewma_smooth,
+    "ts_lttb_downsample": lttb_downsample,
+    "ts_peaks": ts_peaks,
 }
 ORACLE = {
     "ts_stl_decompose": _STL_SQL,
@@ -970,4 +1202,6 @@ ORACLE = {
     "ml_quantile_bins": _bins_sql(),
     "ts_interpolate_linear": _INTERP_SQL,
     "ts_ewma": _EWMA_SQL,
+    "ts_lttb_downsample": _LTTB_SQL,
+    "ts_peaks": _peaks_sql(),
 }
