@@ -70,12 +70,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     # 2. near-dup pairs + connected components -> one survivor per group
     with _stage("2 near-dup pairs + connected components -> one survivor per group"):
-        pairs = dedup.jaccard_pairs_full(spark, sf_dir).select("doc_a", "doc_b")
+        # auto-tier the pair path: exact PPJoin Jaccard is the anchor
+        # at audit scale; past the threshold the pipeline switches to
+        # the production MinHash+LSH path (measured 97.1% recall vs
+        # exact, linear at sf10 — PERFORMANCE.md), exactly as a 100 TB
+        # deployment would.  Same (doc_a, doc_b, jaccard) contract.
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        exact_path = n_docs <= 100_000
+        pair_fn = (
+            dedup.jaccard_pairs_full if exact_path else dedup.minhash_lsh_pairs
+        )
+        pairs = pair_fn(spark, sf_dir).select("doc_a", "doc_b")
         clusters = dedup.connected_components(pairs)
         n_members = clusters.count()
         n_groups = clusters.select("cluster_rep").distinct().count()
         print(
-            f"[2] near-dup: {pairs.count()} exact pairs -> "
+            f"[2] near-dup ({'exact PPJoin' if exact_path else 'MinHash+LSH'}"
+            f" tier at {n_docs} docs): {pairs.count()} pairs -> "
             f"{n_members} docs in {n_groups} clusters "
             f"({n_members - n_groups} near-dups droppable)"
         )

@@ -257,9 +257,10 @@ def _agg_pass(spark: SparkSession, q: DataFrame, c: list) -> dict:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
         .collect()
     )
+    dim = len(c[0][1])  # centroid width, not EMB_DIM: PQ fits subspaces
     got: dict = {}
     for r in rows:
-        e = got.setdefault(r["cid"], {"n": r["n"], "s": [0] * EMB_DIM})
+        e = got.setdefault(r["cid"], {"n": r["n"], "s": [0] * dim})
         e["s"][r["pos"]] = r["s"]
     return got
 
@@ -351,6 +352,7 @@ def fit_centroids(
         (i, [int(v) for v in r.qv])
         for i, r in enumerate(q.orderBy("vec_id").limit(k).collect())
     ]
+    dim = len(cents[0][1]) if cents else EMB_DIM
     for _ in range(iters - 1):
         got = _agg_pass(spark, q, cents)
         cents = [
@@ -358,7 +360,7 @@ def fit_centroids(
                 i,
                 [
                     int(math.floor(got[i]["s"][j] / got[i]["n"] + 0.5))
-                    for j in range(EMB_DIM)
+                    for j in range(dim)
                 ],
             )
             if i in got
@@ -409,50 +411,69 @@ def kmeans_lloyd(
     )
 
 
+def centroid_ctes_sliced(
+    prefix: str,
+    lo: int,
+    dim: int,
+    k: int,
+    iters: int,
+) -> list:
+    """DuckDB CTE chain reproducing fit_centroids bit-for-bit over the
+    embedding slice [lo, lo+dim) — names prefixed so several chains
+    (one per PQ subspace) compose in one WITH.  No leading WITH; the
+    caller joins and prepends.  `{prefix}q` = quantized slice,
+    `{prefix}c{iters-1}` = final centroids, `{prefix}af` = final
+    nearest-centroid assignment."""
+    qs = ", ".join(
+        f"CAST(FLOOR(embedding[{lo + j + 1}]::DOUBLE * 10000.0 + 0.5) "
+        f"AS BIGINT) AS q{j}"
+        for j in range(dim)
+    )
+    qnames = ", ".join(f"q{j}" for j in range(dim))
+    ccols = ", ".join(f"q{j} AS c{j}" for j in range(dim))
+    dist = " + ".join(
+        f"(q.q{j} - c.c{j}) * (q.q{j} - c.c{j})" for j in range(dim)
+    )
+    upd = ", ".join(
+        f"CAST(FLOOR(SUM(q{j})::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS c{j}"
+        for j in range(dim)
+    )
+    coal = ", ".join(f"COALESCE(u.c{j}, p.c{j}) AS c{j}" for j in range(dim))
+    p = prefix
+
+    def assign_cte(name: str, cent: str) -> str:
+        return (
+            f"{p}{name} AS (SELECT vec_id, {qnames}, cid FROM ("
+            f"SELECT q.*, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM {p}q q, {p}{cent} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"{p}q AS (SELECT vec_id, {qs} FROM embeddings)",
+        f"{p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"{ccols} FROM (SELECT * FROM {p}q ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters):
+        ctes.append(assign_cte(f"a{t}", f"c{t - 1}"))
+        ctes.append(
+            f"{p}u{t} AS (SELECT cid, {upd} FROM {p}a{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"{p}c{t} AS (SELECT p.cid, {coal} FROM {p}c{t - 1} p "
+            f"LEFT JOIN {p}u{t} u USING (cid))"
+        )
+    ctes.append(assign_cte("af", f"c{iters - 1}"))
+    return ctes
+
+
 def centroid_ctes(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> list:
     """DuckDB CTE chain reproducing fit_centroids bit-for-bit: `q` =
     quantized vectors, `c{iters-1}` = final centroids, `af` = final
     nearest-centroid assignment of every vector.  Shared by the kmeans
     oracle and the IVF oracle in operators.similarity."""
-    d = EMB_DIM
-    qs = ", ".join(
-        f"CAST(FLOOR(embedding[{j + 1}]::DOUBLE * 10000.0 + 0.5) AS BIGINT)"
-        f" AS q{j}"
-        for j in range(d)
-    )
-    qnames = ", ".join(f"q{j}" for j in range(d))
-    ccols = ", ".join(f"q{j} AS c{j}" for j in range(d))
-    dist = " + ".join(
-        f"(q.q{j} - c.c{j}) * (q.q{j} - c.c{j})" for j in range(d)
-    )
-    upd = ", ".join(
-        f"CAST(FLOOR(SUM(q{j})::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS c{j}"
-        for j in range(d)
-    )
-    coal = ", ".join(f"COALESCE(u.c{j}, p.c{j}) AS c{j}" for j in range(d))
-
-    def assign_cte(name: str, cent: str) -> str:
-        return (
-            f"{name} AS (SELECT vec_id, {qnames}, cid FROM ("
-            f"SELECT q.*, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
-            f"FROM q, {cent} c) WHERE rn = 1)"
-        )
-
-    ctes = [
-        f"WITH q AS (SELECT vec_id, {qs} FROM embeddings)",
-        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
-        f"{ccols} FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))",
-    ]
-    for t in range(1, iters):
-        ctes.append(assign_cte(f"a{t}", f"c{t - 1}"))
-        ctes.append(f"u{t} AS (SELECT cid, {upd} FROM a{t} GROUP BY cid)")
-        ctes.append(
-            f"c{t} AS (SELECT p.cid, {coal} FROM c{t - 1} p "
-            f"LEFT JOIN u{t} u USING (cid))"
-        )
-    ctes.append(assign_cte("af", f"c{iters - 1}"))
-    return ctes
+    ctes = centroid_ctes_sliced("", 0, EMB_DIM, k, iters)
+    return ["WITH " + ctes[0]] + ctes[1:]
 
 
 def _kmeans_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:

@@ -519,6 +519,126 @@ FROM nn GROUP BY plabel
 
 
 # ---------------------------------------------------------------------------
+# product quantization — the 100 TB vector-storage format
+# ---------------------------------------------------------------------------
+#
+# PQ (Jégou, Douze & Schmid 2011): split each vector into PQ_M
+# subvectors, k-means each subspace independently, store one byte-sized
+# code per subspace — 64 floats become PQ_M codes (64x smaller than
+# float32 here), and asymmetric distance computation runs on code
+# lookups.  This op emits the encoded corpus plus each vector's exact
+# quantization error — the fidelity audit a pipeline runs before
+# committing to a codebook.
+#
+# Spark shape: the PQ_M codebooks are fitted with the SAME memoized
+# deterministic Lloyd's used by ml_kmeans/IVF (subspace slices of the
+# quantized vector frame); encoding is ONE broadcast of all PQ_M*PQ_K
+# centroids and a per-row fold — no join, no shuffle, the identical
+# plan an ingest job would run per file at 100 TB.  Errors are exact
+# BIGINT squared-L2 in quantized units end to end.
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = 16    # _DIM / PQ_M
+PQ_K = 16         # codes per subspace
+PQ_ITERS = 3
+
+
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code0..code{M-1}, qerr) — per-vector PQ codes and the
+    exact squared-L2 reconstruction error in quantized (x1e4) units."""
+    from . import ml
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", ml._qvec().alias("qv")).cache()
+    all_cents = []
+    for m in range(PQ_M):
+        qm = q.select(
+            "vec_id",
+            F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qv"),
+        ).cache()
+        cents = ml.fit_centroids(
+            spark, qm, PQ_K, PQ_ITERS, memo_key=f"{sf_dir}#pq{m}"
+        )
+        qm.unpersist()
+        all_cents.append(cents)
+    q.unpersist()
+    cdf = spark.createDataFrame(
+        [([(m, cid, cv) for m, cs in enumerate(all_cents)
+           for cid, cv in cs],)],
+        "cents array<struct<m:int, cid:int, cv:array<bigint>>>",
+    )
+
+    def best_of(m: int):
+        sub = F.slice(ml._qvec(), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        init = F.struct(
+            F.lit(int(4e18)).cast("long").alias("d"),
+            F.lit(-1).cast("int").alias("cid"),
+        )
+        return F.aggregate(
+            F.filter(F.col("cents"), lambda c: c["m"] == F.lit(m)),
+            init,
+            lambda acc, c: F.least(
+                acc,
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub, c["cv"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc2, x: acc2 + x,
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            ),
+        )
+
+    enc = emb.join(F.broadcast(cdf)).select(
+        "vec_id", *[best_of(m).alias(f"b{m}") for m in range(PQ_M)]
+    )
+    qerr = sum(F.col(f"b{m}")["d"] for m in range(PQ_M))
+    return enc.select(
+        "vec_id",
+        *[
+            F.col(f"b{m}")["cid"].cast("int").alias(f"code{m}")
+            for m in range(PQ_M)
+        ],
+        qerr.cast("long").alias("qerr"),
+    ).orderBy("vec_id")
+
+
+def _pq_sql() -> str:
+    from . import ml
+
+    last = PQ_ITERS - 1
+    chains = []
+    for m in range(PQ_M):
+        chains.extend(
+            ml.centroid_ctes_sliced(
+                f"p{m}_", m * PQ_SUBDIM, PQ_SUBDIM, PQ_K, PQ_ITERS
+            )
+        )
+    err = " + ".join(
+        f"(a{m}.q{j} - c{m}.c{j}) * (a{m}.q{j} - c{m}.c{j})"
+        for m in range(PQ_M)
+        for j in range(PQ_SUBDIM)
+    )
+    joins = [f"p0_af a0 JOIN p0_c{last} c0 ON a0.cid = c0.cid"]
+    for m in range(1, PQ_M):
+        joins.append(f"JOIN p{m}_af a{m} ON a{m}.vec_id = a0.vec_id")
+        joins.append(f"JOIN p{m}_c{last} c{m} ON a{m}.cid = c{m}.cid")
+    codes = ", ".join(
+        f"CAST(a{m}.cid AS INTEGER) AS code{m}" for m in range(PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n".join(chains)
+        + f"\nSELECT a0.vec_id, {codes}, CAST({err} AS BIGINT) AS qerr\n"
+        + "FROM " + "\n".join(joins)
+        + "\nORDER BY a0.vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # hybrid search — reciprocal-rank fusion of lexical and vector rankings
 # ---------------------------------------------------------------------------
 #
@@ -650,6 +770,7 @@ QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
     "ml_knn_eval": knn_label_eval,
     "sim_hybrid_rrf": hybrid_rrf,
+    "sim_pq_quantize": pq_quantize,
 }
 
 ORACLE = {
@@ -660,4 +781,5 @@ ORACLE = {
     "emb_quantize_int8": _quant_sql(),
     "ml_knn_eval": _KNN_SQL,
     "sim_hybrid_rrf": _hybrid_rrf_sql(),
+    "sim_pq_quantize": _pq_sql(),
 }

@@ -1177,6 +1177,111 @@ ORDER BY event_type, hour_us
 """
 
 
+# ---------------------------------------------------------------------------
+# periodogram at candidate periods — seasonality strength detector
+# ---------------------------------------------------------------------------
+#
+# DFT power of the hourly-mean series at a FIXED set of candidate
+# periods (daily / half-daily / weekly) — the screen that decides which
+# seasonal period ts_seasonal_anomaly / ts_stl_decompose should use,
+# without materializing a full FFT (pointless on a distributed grid;
+# the candidate set is always known).  Per (type, period):
+#   P = [ Σ_h v_h·cos(2πφ_h) ]² + [ Σ_h v_h·sin(2πφ_h) ]²  /  n²
+# with φ_h = (h mod period)/period.  Cross-engine determinism: the
+# angle is a double from exact ints, cos/sin are rounded to 9 dp
+# (entropy convention), each product v_h·trig is quantized to a 1e-4
+# BIGINT and the two sums are BIGINT — the only float arithmetic is
+# the final power expression from exact sums.  Shape: one hour-grain
+# groupBy, then a |periods|-way explode of the TINY grid frame and one
+# (type, period) aggregate — all map-side combinable.
+
+PERIODOGRAM_PERIODS = [24, 12, 168]  # hours
+
+
+def periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, period_h, n_cells, power) — normalized DFT power
+    of the hourly mean-value series at each candidate period."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("qv"),
+    )
+    grid = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("qv").cast("long").alias("s"),
+    )
+    v = F.col("s").cast("double") / 100.0 / F.col("c").cast("double")
+    two_pi = F.lit(2.0 * math.pi)
+    exploded = grid.select(
+        "event_type",
+        "h",
+        v.alias("v"),
+        F.explode(
+            F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS])
+        ).alias("period_h"),
+    )
+    phase = (
+        two_pi
+        * (F.col("h") % F.col("period_h")).cast("double")
+        / F.col("period_h").cast("double")
+    )
+    qc = F.floor(
+        F.col("v") * F.round(F.cos(phase), 9) * 1e4 + 0.5
+    ).cast("long")
+    qs_ = F.floor(
+        F.col("v") * F.round(F.sin(phase), 9) * 1e4 + 0.5
+    ).cast("long")
+    g = exploded.groupBy("event_type", "period_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(qc).cast("long").alias("sc"),
+        F.sum(qs_).cast("long").alias("ss"),
+    )
+    scd = F.col("sc").cast("double") / 1e4
+    ssd = F.col("ss").cast("double") / 1e4
+    nd = F.col("n_cells").cast("double")
+    return g.select(
+        "event_type",
+        F.col("period_h").cast("long").alias("period_h"),
+        "n_cells",
+        F.round((scd * scd + ssd * ssd) / (nd * nd), 6).alias("power"),
+    ).orderBy("event_type", "period_h")
+
+
+_PERIODOGRAM_SQL = f"""
+WITH grid AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS h,
+    COUNT(*)::BIGINT AS c,
+    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+exploded AS (
+  SELECT event_type, h, s::DOUBLE / 100.0 / c::DOUBLE AS v,
+    unnest([{', '.join(str(p) for p in PERIODOGRAM_PERIODS)}]) AS period_h
+  FROM grid
+),
+terms AS (
+  SELECT event_type, period_h,
+    CAST(FLOOR(v * ROUND(cos(2.0 * pi() * (h % period_h)::DOUBLE
+      / period_h::DOUBLE), 9) * 1e4 + 0.5) AS BIGINT) AS qc,
+    CAST(FLOOR(v * ROUND(sin(2.0 * pi() * (h % period_h)::DOUBLE
+      / period_h::DOUBLE), 9) * 1e4 + 0.5) AS BIGINT) AS qs
+  FROM exploded
+),
+g AS (
+  SELECT event_type, period_h, COUNT(*)::BIGINT AS n_cells,
+    CAST(SUM(qc) AS BIGINT) AS sc, CAST(SUM(qs) AS BIGINT) AS ss
+  FROM terms GROUP BY 1, 2
+)
+SELECT event_type, period_h::BIGINT AS period_h, n_cells,
+  ROUND((sc::DOUBLE / 1e4 * sc::DOUBLE / 1e4
+         + ss::DOUBLE / 1e4 * ss::DOUBLE / 1e4)
+        / (n_cells::DOUBLE * n_cells::DOUBLE), 6) AS power
+FROM g ORDER BY event_type, period_h
+"""
+
+
 QUERIES = {
     "ts_stl_decompose": stl_decompose,
     "ts_rolling_corr": rolling_corr,
@@ -1190,6 +1295,7 @@ QUERIES = {
     "ts_ewma": ewma_smooth,
     "ts_lttb_downsample": lttb_downsample,
     "ts_peaks": ts_peaks,
+    "ts_periodogram": periodogram,
 }
 ORACLE = {
     "ts_stl_decompose": _STL_SQL,
@@ -1204,4 +1310,5 @@ ORACLE = {
     "ts_ewma": _EWMA_SQL,
     "ts_lttb_downsample": _LTTB_SQL,
     "ts_peaks": _peaks_sql(),
+    "ts_periodogram": _PERIODOGRAM_SQL,
 }

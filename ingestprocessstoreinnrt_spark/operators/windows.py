@@ -647,6 +647,57 @@ ORDER BY prev_type, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# audience reach curve — cumulative distinct users by day
+# ---------------------------------------------------------------------------
+#
+# The saturation curve growth teams read daily: how many DISTINCT users
+# has the product ever seen, by day?  A windowed COUNT(DISTINCT) is
+# unsupported/unscalable; the standard rewrite (same trick as
+# text_vocab_growth's Heaps curve) is FIRST-OCCURRENCE bucketING: each
+# user contributes one row at their min-day, then one running sum over
+# the tiny day-grain frame.  Two map-side-combinable aggregates and a
+# metadata-scale window — no distinct-state anywhere.
+
+
+def reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day_us, new_users, cum_users) — daily new and cumulative
+    distinct users over the whole events stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("long")
+        )
+        .select(
+            (F.col("day") * DAY_US).alias("day_us"), "new_users", "cum_users"
+        )
+        .orderBy("day_us")
+    )
+
+
+_REACH_SQL = f"""
+WITH first AS (
+  SELECT user_id, MIN(epoch_us(ts) // {DAY_US}) AS day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day, COUNT(*)::BIGINT AS new_users FROM first GROUP BY day
+)
+SELECT day * {DAY_US} AS day_us, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_users
+FROM daily ORDER BY day_us
+"""
+
+
 QUERIES = {
     "win_event_transitions": event_transitions,
     "win_gap_distribution": gap_distribution,
@@ -659,6 +710,7 @@ QUERIES = {
     "win_rolling_24h": rolling_24h,
     "win_active_users": rolling_active_users,
     "win_activity_streaks": activity_streaks,
+    "win_reach_curve": reach_curve,
 }
 
 ORACLE = {
@@ -673,4 +725,5 @@ ORACLE = {
     "win_rolling_24h": _ROLLING_SQL,
     "win_active_users": _ACTIVE_SQL,
     "win_activity_streaks": _STREAKS_SQL,
+    "win_reach_curve": _REACH_SQL,
 }

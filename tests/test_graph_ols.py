@@ -449,3 +449,52 @@ def test_km_survival_matches_python_replay(spark):
         for r in ml.km_survival(spark, SF_ORACLE).collect()
     ]
     assert got == expect
+
+
+def test_spearman_python_replay(spark):
+    """Average-rank Spearman replayed in exact Fractions at sf0.001 —
+    the decimal sufficient-statistic path must agree to 6 dp."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import ml as M
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups: dict = defaultdict(list)
+    for r in rows:
+        groups[r.l_returnflag].append(
+            (int(r.l_quantity + 0.5), int(r.l_extendedprice * 100.0 + 0.5))
+        )
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        start, first = {}, 1
+        for v in sorted(cnt):
+            start[v] = first
+            first += cnt[v]
+        return [Fraction(2 * start[v] + cnt[v] - 1, 2) for v in vals]
+
+    want = {}
+    for g, pts in groups.items():
+        rx = avg_ranks([p[0] for p in pts])
+        ry = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        import math
+
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+            float(n * syy - sy * sy)
+        )
+        want[g] = float(num) / den
+    got = M.spearman_corr(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert abs(r.spearman - want[r.l_returnflag]) < 1e-6, r

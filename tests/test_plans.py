@@ -472,3 +472,69 @@ def test_r6_ops_have_clean_plans(spark):
     # <=2: the ride-in can plan as separate nodes for the fit-frame
     # arm vs the assignment arm depending on cache materialization
     assert len(bnlj_ids) <= 2, s
+
+
+def test_r7_ops_have_clean_plans(spark):
+    """Round-7 additions: no cartesians anywhere; the only
+    nested-loop joins allowed are single-row broadcast stat anchors
+    (keyness totals, MI grand total, RRF query vector); corpus-scale
+    work must stay equi-join / window / TakeOrdered shaped."""
+    import re
+
+    from ingestprocessstoreinnrt_spark.operators import (
+        ml,
+        similarity,
+        textops,
+        timeseries,
+    )
+
+    # corpus-scale: no BNLJ at all
+    for df in (
+        textops.source_vocab_overlap(spark, SF_ORACLE),
+        ml.ridge_regression(spark, SF_ORACLE),
+        ml.spearman_corr(spark, SF_ORACLE),
+        timeseries.lttb_downsample(spark, SF_ORACLE),
+        timeseries.ts_peaks(spark, SF_ORACLE),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body, body
+        assert "BroadcastNestedLoopJoin" not in body, body
+
+    # single-row broadcast stat anchors allowed, never a cartesian.
+    # Each logical anchor contributes 2 regex hits (tree node + detail
+    # section) — same counting as the r6 SemDeDup pin above.
+    for df, max_bnlj in (
+        (textops.keyness_llr(spark, SF_ORACLE), 2),      # totals row
+        (ml.mutual_information(spark, SF_ORACLE), 2),    # grand total
+        (similarity.hybrid_rrf(spark, SF_ORACLE), 4),    # qvec + bm25 stats
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body, body
+        ids = {
+            m.group(1)
+            for m in re.finditer(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", body)
+        }
+        assert len(ids) <= max_bnlj, body
+
+
+def test_lttb_bucket_stats_broadcast(spark):
+    """The LTTB anchor frame (bucket grain, tiny) must ride back to the
+    point frame as a broadcast hash join, never sort-merge."""
+    from ingestprocessstoreinnrt_spark.operators import timeseries
+
+    df = timeseries.lttb_downsample(spark, SF_ORACLE)
+    assert E.uses_broadcast_join(df)
+
+
+def test_spearman_single_rank_exchange_per_axis(spark):
+    """The rank transform must partition by group (no global window):
+    WindowExec with an empty partition spec would move the corpus to
+    one task."""
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    body = E.formatted_plan(ml.spearman_corr(spark, SF_ORACLE)).split(
+        "== Physical Plan =="
+    )[-1]
+    # every Window node in the plan must carry a partition spec
+    for m in __import__("re").finditer(r"Arguments: \[.*windowspec.*\]", body):
+        assert "l_returnflag" in m.group(0)

@@ -199,3 +199,95 @@ def test_cusum_changepoint_matches_bruteforce(spark):
         for r in ts.cusum_changepoint(spark, SF_ORACLE).collect()
     }
     assert got == expect
+
+
+def test_lttb_python_replay(spark):
+    """Pure-Python replay of the parallel-LTTB selection (bucket
+    average anchors, max triangle area, (ts, event_id) tie-break)
+    reproduces every selected point at sf0.001."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import timeseries as T
+    from tests.conftest import SF_SMOKE
+
+    b = T.LTTB_BUCKET_US
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    ).collect()
+    buckets: dict = defaultdict(list)
+    for r in ev:
+        buckets[(r.event_type, r.ts_us // b)].append(r)
+    stats = {
+        k: (
+            len(v),
+            sum(r.ts_us % b for r in v),
+            sum(int(r.value * 100.0 + 0.5) for r in v),
+        )
+        for k, v in buckets.items()
+    }
+    want = {}
+    for (et, bk), pts in buckets.items():
+        ordered = sorted(k[1] for k in buckets if k[0] == et)
+        i = ordered.index(bk)
+        if i == 0 or i == len(ordered) - 1:
+            continue
+        pb, nb_ = ordered[i - 1], ordered[i + 1]
+        pc, ps, pq = stats[(et, pb)]
+        nc, ns, nq = stats[(et, nb_)]
+        ax, ay = pb + ps / pc / b, pq / pc / 100.0
+        cx, cy = nb_ + ns / nc / b, nq / nc / 100.0
+
+        def area(r):
+            px = r.ts_us // b + (r.ts_us % b) / b
+            py = int(r.value * 100.0 + 0.5) / 100.0
+            return abs((ax - cx) * (py - ay) - (ax - px) * (cy - ay)) / 2.0
+
+        best = min(pts, key=lambda r: (-round(area(r), 9), r.ts_us, r.event_id))
+        want[(et, bk * b)] = (best.ts_us, best.value)
+    got = T.lttb_downsample(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r.event_type, r.bucket_us)] == (r.ts_us, r.value)
+
+
+def test_peaks_are_strict_local_maxima(spark):
+    """Every flagged hour strictly exceeds the mean of all +-PEAK_W
+    existing neighbor grid hours, replayed in exact rationals."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.catalog import load_table
+    from ingestprocessstoreinnrt_spark.operators import timeseries as T
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    ).collect()
+    cells: dict = defaultdict(lambda: [0, 0])
+    for r in ev:
+        c = cells[(r.event_type, r.ts_us // T.HOUR_US)]
+        c[0] += 1
+        c[1] += int(r.value * 100.0 + 0.5)
+    want = set()
+    by_type: dict = defaultdict(list)
+    for (et, h) in cells:
+        by_type[et].append(h)
+    for et, hours in by_type.items():
+        hours.sort()
+        for i, h in enumerate(hours):
+            if i < T.PEAK_W or i >= len(hours) - T.PEAK_W:
+                continue
+            me = Fraction(cells[(et, h)][1], cells[(et, h)][0])
+            neigh = [hours[i + d] for d in range(-T.PEAK_W, T.PEAK_W + 1) if d]
+            if all(
+                me > Fraction(cells[(et, n)][1], cells[(et, n)][0])
+                for n in neigh
+            ):
+                want.add((et, h * T.HOUR_US))
+    got = {(r.event_type, r.hour_us) for r in T.ts_peaks(spark, SF_SMOKE).collect()}
+    assert got == want
