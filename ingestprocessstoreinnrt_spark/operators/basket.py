@@ -611,6 +611,103 @@ ORDER BY deg.part_id
 """
 
 
+# ---------------------------------------------------------------------------
+# preferential attachment — the degree-product link-prediction baseline
+# ---------------------------------------------------------------------------
+#
+# PA(u, v) = deg(u) * deg(v) (Barabási-Albert growth model): the
+# hub-favoring baseline every link-prediction study reports next to
+# common-neighbors, Jaccard (endpoint-normalized) and RA
+# (pivot-normalized) — with this op the repo carries the full classic
+# quartet on the same thresholded co-purchase graph.  Scored over the
+# same candidate universe as the others (wedge pairs with >= 1 common
+# neighbor) so the four scores are directly comparable per pair.
+# Everything is exact BIGINT: counts, degree products, ranks.
+
+PA_TOPK = 50
+
+
+def pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by preferential-attachment score over the
+    thresholded co-purchase graph: (p1, p2, common, pa_score, rank)."""
+    e = (
+        _pair_counts(_order_items(spark, sf_dir))
+        .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.union(e.select(F.col("p2"), F.col("p1"))).toDF("a", "n")
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a2 = adj.select(F.col("n").alias("pivot"), F.col("a").alias("b"))
+    b2 = adj.select(F.col("n").alias("pivot2"), F.col("a").alias("c"))
+    cand = (
+        a2.join(b2, (F.col("pivot") == F.col("pivot2")) & (F.col("b") < F.col("c")))
+        .groupBy("b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    d1 = deg.select(F.col("a").alias("b"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("a").alias("c"), F.col("deg").alias("deg2"))
+    scored = (
+        cand.join(maybe_broadcast(d1), "b")
+        .join(maybe_broadcast(d2), "c")
+        .select(
+            "b",
+            "c",
+            "common",
+            (F.col("deg1") * F.col("deg2")).cast("long").alias("pa_score"),
+        )
+    )
+    keys = [
+        F.col("pa_score").desc(),
+        F.col("common").desc(),
+        F.col("b").asc(),
+        F.col("c").asc(),
+    ]
+    return (
+        scored.orderBy(*keys)
+        .limit(PA_TOPK)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
+        .select(
+            F.col("b").alias("p1"),
+            F.col("c").alias("p2"),
+            "common",
+            "pa_score",
+            "rank",
+        )
+    )
+
+
+_PA_SQL = f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+adj AS (
+  SELECT p1 AS a, p2 AS n FROM e UNION ALL SELECT p2, p1 FROM e
+),
+deg AS (SELECT a, COUNT(*)::BIGINT AS deg FROM adj GROUP BY a),
+cand AS (
+  SELECT a1.a AS b, a2.a AS c, COUNT(*)::BIGINT AS common
+  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.a < a2.a
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT b, c, common,
+    CAST(d1.deg * d2.deg AS BIGINT) AS pa_score
+  FROM cand JOIN deg d1 ON cand.b = d1.a JOIN deg d2 ON cand.c = d2.a
+)
+SELECT b AS p1, c AS p2, common, pa_score, rank
+FROM (
+  SELECT b, c, common, pa_score,
+    ROW_NUMBER() OVER (
+      ORDER BY pa_score DESC, common DESC, b ASC, c ASC
+    )::BIGINT AS rank
+  FROM scored
+) r
+WHERE rank <= {PA_TOPK}
+"""
+
+
 QUERIES = {
     "bi_basket_lift": basket_pair_lift,
     "graph_triangles": graph_triangles,
@@ -618,6 +715,7 @@ QUERIES = {
     "graph_jaccard_neighbors": jaccard_neighbors,
     "graph_resource_allocation": resource_allocation,
     "graph_clustering_coeff": clustering_coeff,
+    "graph_pref_attachment": pref_attachment,
 }
 ORACLE = {
     "bi_basket_lift": _BASKET_SQL,
@@ -626,4 +724,5 @@ ORACLE = {
     "graph_jaccard_neighbors": _JACCARD_SQL,
     "graph_resource_allocation": _RA_SQL,
     "graph_clustering_coeff": _CLUSTERING_SQL,
+    "graph_pref_attachment": _PA_SQL,
 }

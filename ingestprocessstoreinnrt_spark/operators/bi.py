@@ -1250,7 +1250,97 @@ ORDER BY ship_month
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue per nation
+# ---------------------------------------------------------------------------
+#
+# The inequality coefficient bi_pareto_share's top-20% view summarizes
+# into one number: per nation, the Gini of per-customer revenue,
+#   G = (2*Σ i·x_(i) - (n+1)*Σx) / (n*Σx),   x sorted ascending,
+# with deterministic (revenue, custkey) tie-break ranks.  Exact end to
+# end: x = revenue cents (BIGINT), Σ i·x in DECIMAL(38,0)/HUGEINT
+# (i·x ≤ n·maxrev — exact far past BIGINT grain), one float division
+# at the end.  Shape: per-customer rollup (map-side combinable), one
+# rank window PARTITIONED BY nation, a 2-aggregate pass, nation dim
+# broadcast.  Customers with zero orders don't appear (revenue Gini of
+# ACTIVE customers; document, don't silently impute).
+
+
+def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, n_customers, gini) — Gini coefficient of per-customer
+    order revenue inside each nation."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    r = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+        "c_nationkey", "o_custkey", "x"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("x").asc(), F.col("o_custkey").asc()
+    )
+    ranked = r.withColumn("i", F.row_number().over(w).cast("decimal(19,0)"))
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("i") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sixd = F.col("six").cast("double")
+    gini = (2.0 * sixd - (nd + 1.0) * sxd) / (nd * sxd)
+    return (
+        g.join(F.broadcast(nat), g.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            F.round(gini, 6).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_nationkey, o_custkey, x,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY x ASC, o_custkey ASC)::HUGEINT AS i
+  FROM rev JOIN customer ON rev.o_custkey = customer.c_custkey
+),
+g AS (
+  SELECT c_nationkey, COUNT(*)::BIGINT AS n,
+    SUM(x::HUGEINT) AS sx, SUM(i * x::HUGEINT) AS six
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n_name, n AS n_customers,
+  ROUND((2.0 * six::DOUBLE - (n::DOUBLE + 1.0) * sx::DOUBLE)
+        / (n::DOUBLE * sx::DOUBLE), 6) AS gini
+FROM g JOIN nation ON g.c_nationkey = nation.n_nationkey
+ORDER BY n_name
+"""
+
+
 QUERIES = {
+    "bi_gini_revenue": gini_revenue,
     "bi_yoy_growth": yoy_growth,
     "bi_rfm_segments": rfm_segments,
     "bi_metrics_unpivot": metrics_unpivot,
@@ -1276,6 +1366,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bi_gini_revenue": _GINI_SQL,
     "bi_yoy_growth": _YOY_SQL,
     "bi_rfm_segments": _rfm_sql(),
     "bi_metrics_unpivot": _UNPIVOT_SQL,

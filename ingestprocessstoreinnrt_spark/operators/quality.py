@@ -739,7 +739,122 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# population stability index — binned-distribution drift
+# ---------------------------------------------------------------------------
+#
+# PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i) between the early and late
+# halves of each event type's value stream — the industry-standard
+# drift score (rule of thumb: < 0.1 stable, 0.1-0.25 shifting, > 0.25
+# broken) that quality_schema_drift's mean/volume deltas can't see
+# (a variance flip leaves the mean intact).  Bins are the MI-style
+# fixed value buckets; Laplace +1 smoothing over the OBSERVED bins of
+# each type makes empty-side bins well-defined without epsilon magic.
+# Determinism: shares are doubles from exact BIGINT counts, ln rounded
+# to 9 dp, each bin term quantized to a 1e-8 BIGINT and summed exact —
+# one float division per output row.  Shape: one (type, bin)
+# conditional-aggregate pass, metadata-grain joins after.
+
+PSI_BIN_WIDTH_Q = 2000
+PSI_BINS = 10
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_early, n_late, psi) — population stability index
+    of the value distribution, early vs late half of the stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.least(
+            F.floor(
+                F.floor(F.col("value") * 100.0 + 0.5) / PSI_BIN_WIDTH_Q
+            ),
+            F.lit(PSI_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us")
+    )
+    early = F.col("ts_us") <= F.col("mid_us")
+    cells = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(early.cast("long")).cast("long").alias("ce"),
+            F.sum((~early).cast("long")).cast("long").alias("cl"),
+        )
+    )
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum("cl").cast("long").alias("nl"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    j = cells.join(F.broadcast(per_type), "event_type")
+    pa = (F.col("ce") + 1).cast("double") / (
+        F.col("ne") + F.col("nb")
+    ).cast("double")
+    pb = (F.col("cl") + 1).cast("double") / (
+        F.col("nl") + F.col("nb")
+    ).cast("double")
+    qterm = F.floor(
+        (pa - pb) * F.round(F.log(pa / pb), 9) * 1e8 + 0.5
+    ).cast("long")
+    out = j.groupBy("event_type").agg(
+        F.max("ne").alias("n_early"),
+        F.max("nl").alias("n_late"),
+        F.sum(qterm).cast("long").alias("s"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_early").cast("long").alias("n_early"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.round(F.col("s").cast("double") / 1e8, 6).alias("psi"),
+    ).orderBy("event_type")
+
+
+_PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+    LEAST(CAST(FLOOR(FLOOR(value * 100.0 + 0.5) / {PSI_BIN_WIDTH_Q})
+          AS BIGINT), {PSI_BINS - 1}) AS bin
+  FROM events
+),
+bounds AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev),
+cells AS (
+  SELECT event_type, bin,
+    CAST(SUM(CASE WHEN ts_us <= mid_us THEN 1 ELSE 0 END) AS BIGINT)
+      AS ce,
+    CAST(SUM(CASE WHEN ts_us <= mid_us THEN 0 ELSE 1 END) AS BIGINT)
+      AS cl
+  FROM ev CROSS JOIN bounds
+  GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, CAST(SUM(ce) AS BIGINT) AS ne,
+    CAST(SUM(cl) AS BIGINT) AS nl, COUNT(*)::BIGINT AS nb
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT cells.event_type, ne, nl,
+    CAST(FLOOR(
+      ((ce + 1)::DOUBLE / (ne + nb)::DOUBLE
+       - (cl + 1)::DOUBLE / (nl + nb)::DOUBLE)
+      * ROUND(ln(((ce + 1)::DOUBLE / (ne + nb)::DOUBLE)
+                 / ((cl + 1)::DOUBLE / (nl + nb)::DOUBLE)), 9)
+      * 1e8 + 0.5) AS BIGINT) AS qterm
+  FROM cells JOIN per_type ON cells.event_type = per_type.event_type
+)
+SELECT event_type, MAX(ne)::BIGINT AS n_early, MAX(nl)::BIGINT AS n_late,
+  ROUND(CAST(SUM(qterm) AS BIGINT)::DOUBLE / 1e8, 6) AS psi
+FROM terms GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "quality_psi_drift": psi_drift,
     "quality_iqr_outliers": iqr_outliers,
     "quality_k_anonymity": k_anonymity_audit,
     "quality_l_diversity": l_diversity_audit,
@@ -751,6 +866,7 @@ QUERIES = {
     "quality_schema_drift": schema_drift,
 }
 ORACLE = {
+    "quality_psi_drift": _PSI_SQL,
     "quality_iqr_outliers": _IQR_SQL,
     "quality_k_anonymity": _KANON_SQL,
     "quality_l_diversity": _LDIV_SQL,
