@@ -708,6 +708,84 @@ WHERE rank <= {PA_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# degree assortativity — do hubs link to hubs?
+# ---------------------------------------------------------------------------
+#
+# Newman's degree assortativity r (Pearson correlation of endpoint
+# degrees over the directed edge list, each undirected edge counted in
+# both directions — the standard convention).  r > 0: hubs attach to
+# hubs (social shape); r < 0: hub-and-spoke (infrastructure shape) —
+# the one-number summary that tells you whether degree-based
+# partitioning will balance.  All five sufficient statistics are exact
+# BIGINT sums over the edge list (deg ≤ n, Σ deg·deg' ≤ E·n² — BIGINT
+# far past this corpus; the formula is the identical IEEE expression
+# from exact ints in both engines).  Shape: degree frame joined twice
+# (broadcast dims), one global aggregate row.
+
+
+def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_edges, assortativity) over the thresholded co-purchase
+    graph; n_edges counts directed edges (2x undirected)."""
+    e = (
+        _pair_counts(_order_items(spark, sf_dir))
+        .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.union(e.select(F.col("p2"), F.col("p1"))).toDF("a", "b")
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("dy"))
+    g = (
+        adj.join(maybe_broadcast(da), "a")
+        .join(maybe_broadcast(db), "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("dx").cast("long").alias("sx"),
+            F.sum("dy").cast("long").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        )
+    )
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (md * sxy - sx * sy) / (
+        F.sqrt(md * sxx - sx * sx) * F.sqrt(md * syy - sy * sy)
+    )
+    return g.select(
+        F.col("m").alias("n_edges"), F.round(r, 6).alias("assortativity")
+    )
+
+
+_ASSORT_SQL = f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+adj AS (
+  SELECT p1 AS a, p2 AS b FROM e UNION ALL SELECT p2, p1 FROM e
+),
+deg AS (SELECT a, COUNT(*)::BIGINT AS deg FROM adj GROUP BY a),
+g AS (
+  SELECT COUNT(*)::BIGINT AS m,
+    CAST(SUM(d1.deg) AS BIGINT) AS sx,
+    CAST(SUM(d2.deg) AS BIGINT) AS sy,
+    CAST(SUM(d1.deg * d2.deg) AS BIGINT) AS sxy,
+    CAST(SUM(d1.deg * d1.deg) AS BIGINT) AS sxx,
+    CAST(SUM(d2.deg * d2.deg) AS BIGINT) AS syy
+  FROM adj JOIN deg d1 ON adj.a = d1.a JOIN deg d2 ON adj.b = d2.a
+)
+SELECT m AS n_edges,
+  ROUND((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+    / (sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       * sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+    AS assortativity
+FROM g
+"""
+
+
 QUERIES = {
     "bi_basket_lift": basket_pair_lift,
     "graph_triangles": graph_triangles,
@@ -716,6 +794,7 @@ QUERIES = {
     "graph_resource_allocation": resource_allocation,
     "graph_clustering_coeff": clustering_coeff,
     "graph_pref_attachment": pref_attachment,
+    "graph_assortativity": assortativity,
 }
 ORACLE = {
     "bi_basket_lift": _BASKET_SQL,
@@ -725,4 +804,5 @@ ORACLE = {
     "graph_resource_allocation": _RA_SQL,
     "graph_clustering_coeff": _CLUSTERING_SQL,
     "graph_pref_attachment": _PA_SQL,
+    "graph_assortativity": _ASSORT_SQL,
 }

@@ -1339,8 +1339,89 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman index — supplier concentration per nation
+# ---------------------------------------------------------------------------
+#
+# HHI = 10000 · Σ_s share_s² per supplier nation, the antitrust-grade
+# concentration number (< 1500 competitive, > 2500 concentrated) that
+# complements bi_gini_revenue's customer-side view.  The share squares
+# never materialize: HHI = 10000 · Σx² / (Σx)² from two exact sums —
+# x in cents (BIGINT), x² in DECIMAL(38,0)/HUGEINT (x² overflows
+# BIGINT past ~$30B/supplier), one float division at the end.  Shape:
+# supplier rollup (map-side combinable), nation-grain re-aggregate,
+# nation dim broadcast.
+
+
+def market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, n_suppliers, hhi) — supplier revenue concentration
+    inside each supplier nation, on the standard 0-10000 scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    g = (
+        per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("x").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sx"),
+            F.sum(
+                F.col("x").cast("decimal(19,0)")
+                * F.col("x").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+        )
+    )
+    hhi = (
+        F.lit(10000.0)
+        * F.col("sxx").cast("double")
+        / (F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    return (
+        g.join(F.broadcast(nat), g.s_nationkey == nat.n_nationkey)
+        .select("n_name", "n_suppliers", F.round(hhi, 6).alias("hhi"))
+        .orderBy("n_name")
+    )
+
+
+_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS x
+  FROM lineitem GROUP BY l_suppkey
+),
+g AS (
+  SELECT s_nationkey, COUNT(*)::BIGINT AS n_suppliers,
+    SUM(x::HUGEINT) AS sx, SUM(x::HUGEINT * x::HUGEINT) AS sxx
+  FROM per_supp JOIN supplier ON per_supp.l_suppkey = supplier.s_suppkey
+  GROUP BY s_nationkey
+)
+SELECT n_name, n_suppliers,
+  ROUND(10000.0 * sxx::DOUBLE / (sx::DOUBLE * sx::DOUBLE), 6) AS hhi
+FROM g JOIN nation ON g.s_nationkey = nation.n_nationkey
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "bi_gini_revenue": gini_revenue,
+    "bi_market_hhi": market_hhi,
     "bi_yoy_growth": yoy_growth,
     "bi_rfm_segments": rfm_segments,
     "bi_metrics_unpivot": metrics_unpivot,
@@ -1367,6 +1448,7 @@ QUERIES = {
 
 ORACLE = {
     "bi_gini_revenue": _GINI_SQL,
+    "bi_market_hhi": _HHI_SQL,
     "bi_yoy_growth": _YOY_SQL,
     "bi_rfm_segments": _rfm_sql(),
     "bi_metrics_unpivot": _UNPIVOT_SQL,

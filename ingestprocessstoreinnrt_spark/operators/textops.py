@@ -1994,6 +1994,99 @@ ORDER BY src1, src2
 """
 
 
+# ---------------------------------------------------------------------------
+# term burstiness — Fano factor of per-document term counts
+# ---------------------------------------------------------------------------
+#
+# Church & Gale's burstiness observation: content words arrive in
+# bursts (variance ≫ mean across documents) while function words are
+# Poisson-ish (Fano ≈ 1).  The Fano factor F = var/mean over ALL
+# documents (zeros included) separates topical terms from glue — the
+# screen a stopword-list builder or a TF-IDF sanity check runs.  Zeros
+# never materialize: with T = Σc, S2 = Σc² over OCCURRING docs and N
+# total docs,  F = (N·S2 - T²) / (N·T)  exactly.  Shape: one
+# (term, doc) count then a term-grain aggregate — word-count shuffles;
+# N is one broadcast row; the score is a row-local double from exact
+# BIGINTs (S2 ≤ Σ dl·c stays BIGINT at this corpus; DECIMAL at bigger
+# grains).
+
+BURST_MIN_COUNT = 20
+BURST_TOPK = 50
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BURST_TOPK terms by Fano factor: (term, total_count,
+    doc_freq, fano, rank)."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    ).filter(F.col("t") >= BURST_MIN_COUNT)
+    j = per_term.crossJoin(F.broadcast(n_docs))
+    nd = F.col("nd").cast("double")
+    td = F.col("t").cast("double")
+    s2d = F.col("s2").cast("double")
+    fano = (nd * s2d - td * td) / (nd * td)
+    keys = [F.col("fano").desc(), F.col("term").asc()]
+    return (
+        j.select(
+            "term",
+            F.col("t").alias("total_count"),
+            F.col("df").alias("doc_freq"),
+            F.round(fano, 6).alias("fano"),
+        )
+        .orderBy(*keys)
+        .limit(BURST_TOPK)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*keys)).cast("long")
+        )
+    )
+
+
+_BURST_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS c
+  FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+    ) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+per_term AS (
+  SELECT term, CAST(SUM(c) AS BIGINT) AS t, COUNT(*)::BIGINT AS df,
+    CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_doc GROUP BY term
+  HAVING CAST(SUM(c) AS BIGINT) >= {BURST_MIN_COUNT}
+),
+nd AS (SELECT COUNT(*)::BIGINT AS nd FROM documents),
+scored AS (
+  SELECT term, t AS total_count, df AS doc_freq,
+    ROUND((nd::DOUBLE * s2::DOUBLE - t::DOUBLE * t::DOUBLE)
+          / (nd::DOUBLE * t::DOUBLE), 6) AS fano
+  FROM per_term CROSS JOIN nd
+)
+SELECT term, total_count, doc_freq, fano,
+  ROW_NUMBER() OVER (ORDER BY fano DESC, term ASC)::BIGINT AS rank
+FROM scored
+ORDER BY fano DESC, term ASC
+LIMIT {BURST_TOPK}
+"""
+
+
 QUERIES = {
     "text_readability": text_readability,
     "text_winnowing": text_winnowing,
@@ -2019,6 +2112,7 @@ QUERIES = {
     "text_bigram_surprisal": bigram_surprisal,
     "text_keyness_llr": keyness_llr,
     "text_source_vocab_overlap": source_vocab_overlap,
+    "text_term_burstiness": term_burstiness,
 }
 
 ORACLE = {
@@ -2046,4 +2140,5 @@ ORACLE = {
     "text_bigram_surprisal": _SURPRISAL_SQL,
     "text_keyness_llr": _KEYNESS_SQL,
     "text_source_vocab_overlap": _VOCAB_OVERLAP_SQL,
+    "text_term_burstiness": _BURST_SQL,
 }

@@ -1282,6 +1282,205 @@ FROM g ORDER BY event_type, period_h
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope — robust trend pair
+# ---------------------------------------------------------------------------
+#
+# The nonparametric trend battery run on noisy operational series
+# where OLS slopes (ml_group_ols) are outlier-fragile: Mann-Kendall's
+# S = Σ_{i<j} sign(v_j - v_i) with the tie-corrected variance, and the
+# Theil-Sen slope (median of pairwise slopes).  Both run at GRID grain
+# on the integer centi-mean hourly series v = floor(100*s/c): the
+# pairwise O(g²) universe is bounded by the GRID length (744 hours per
+# month regardless of corpus volume — scale-free by construction, the
+# same argument as the STL/autocorr family), and integer series make
+# signs and tie groups exact.  The only floats: MK's final z (from
+# exact S and VarS) and the pairwise slopes (double division of exact
+# ints; the median is an order-statistic pick with a deterministic
+# (slope, h1, h2) sort, not an aggregation).
+
+MK_CONT_CORR = 1  # continuity correction applied toward zero
+
+
+def _hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, h, vq) — integer centi-mean hourly grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("qv"),
+    )
+    return ev.groupBy("event_type", "h").agg(
+        F.expr("CAST(FLOOR(100.0 * sum(qv) / count(1) + 0.5) AS BIGINT)")
+        .alias("vq")
+    )
+
+
+_GRID_SQL = f"""
+grid AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS h,
+    CAST(FLOOR(100.0 * SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+         / COUNT(*) + 0.5) AS BIGINT) AS vq
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_cells, s_stat, var_s, z) — tie-corrected
+    Mann-Kendall trend test per event type's hourly centi-mean grid."""
+    g = _hour_grid(spark, sf_dir)
+    g2 = g.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("vq").alias("vq2"),
+    )
+    s = (
+        g.join(
+            g2, (F.col("event_type") == F.col("et2")) & (F.col("h") < F.col("h2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("vq2") - F.col("vq")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        g.groupBy("event_type", "vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.join(n, "event_type").join(ties, "event_type")
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    )
+    var_s = var18.cast("double") / 18.0
+    corr = (
+        F.col("s_stat")
+        - F.signum(F.col("s_stat")).cast("long") * MK_CONT_CORR
+    ).cast("double")
+    z = F.when(var18 == 0, F.lit(0.0)).otherwise(
+        corr / F.sqrt(var_s)
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_cells"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    ).orderBy("event_type")
+
+
+_MK_SQL = f"""
+WITH {_GRID_SQL},
+s AS (
+  SELECT a.event_type,
+    CAST(SUM(CASE WHEN b.vq > a.vq THEN 1
+                  WHEN b.vq < a.vq THEN -1 ELSE 0 END) AS BIGINT)
+      AS s_stat
+  FROM grid a JOIN grid b
+    ON a.event_type = b.event_type AND a.h < b.h
+  GROUP BY 1
+),
+n AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM grid GROUP BY 1),
+ties AS (
+  SELECT event_type,
+    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (
+    SELECT event_type, vq, COUNT(*)::BIGINT AS t
+    FROM grid GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT s.event_type AS event_type, n AS n_cells, s_stat,
+  ROUND((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0, 6)
+    AS var_s,
+  ROUND(CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term = 0 THEN 0.0
+    ELSE (s_stat - CASE WHEN s_stat > 0 THEN {MK_CONT_CORR}
+                        WHEN s_stat < 0 THEN -{MK_CONT_CORR}
+                        ELSE 0 END)::DOUBLE
+      / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0)
+  END, 6) AS z
+FROM s JOIN n ON s.event_type = n.event_type
+JOIN ties ON s.event_type = ties.event_type
+ORDER BY event_type
+"""
+
+
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_pairs, slope) — Theil-Sen median pairwise slope
+    (centi-value units per hour) of the hourly centi-mean grid; lower
+    median with a deterministic (slope, h1, h2) order."""
+    g = _hour_grid(spark, sf_dir)
+    g2 = g.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("vq").alias("vq2"),
+    )
+    pairs = g.join(
+        g2, (F.col("event_type") == F.col("et2")) & (F.col("h") < F.col("h2"))
+    ).select(
+        "event_type",
+        "h",
+        "h2",
+        (
+            (F.col("vq2") - F.col("vq")).cast("double")
+            / (F.col("h2") - F.col("h")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("h").asc(), F.col("h2").asc()
+    )
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("m"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("m").alias("n_pairs"),
+            F.round(F.col("slope"), 6).alias("slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_THEIL_SEN_SQL = f"""
+WITH {_GRID_SQL},
+pairs AS (
+  SELECT a.event_type, a.h AS h, b.h AS h2,
+    (b.vq - a.vq)::DOUBLE / (b.h - a.h)::DOUBLE AS slope
+  FROM grid a JOIN grid b
+    ON a.event_type = b.event_type AND a.h < b.h
+),
+ranked AS (
+  SELECT event_type, slope,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY slope ASC, h ASC, h2 ASC)::BIGINT AS rn,
+    COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS m
+  FROM pairs
+)
+SELECT event_type, m AS n_pairs, ROUND(slope, 6) AS slope
+FROM ranked WHERE rn = (m + 1) // 2
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ts_stl_decompose": stl_decompose,
     "ts_rolling_corr": rolling_corr,
@@ -1296,6 +1495,8 @@ QUERIES = {
     "ts_lttb_downsample": lttb_downsample,
     "ts_peaks": ts_peaks,
     "ts_periodogram": periodogram,
+    "ts_mann_kendall": mann_kendall,
+    "ts_theil_sen": theil_sen,
 }
 ORACLE = {
     "ts_stl_decompose": _STL_SQL,
@@ -1311,4 +1512,6 @@ ORACLE = {
     "ts_lttb_downsample": _LTTB_SQL,
     "ts_peaks": _peaks_sql(),
     "ts_periodogram": _PERIODOGRAM_SQL,
+    "ts_mann_kendall": _MK_SQL,
+    "ts_theil_sen": _THEIL_SEN_SQL,
 }
