@@ -2803,6 +2803,119 @@ ORDER BY c_mktsegment, c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score — why is the scorer good/bad?
+# ---------------------------------------------------------------------------
+#
+# Brier = RELIABILITY - RESOLUTION + UNCERTAINTY (Murphy 1973) over the
+# calibration bins: reliability (how far bin-mean predictions sit from
+# bin-observed rates — lower is better), resolution (how much the bins
+# separate the base rate — higher is better), uncertainty (the base
+# rate's own variance — a property of the data, not the model).
+# calibration_bins shows the diagram; this op reduces it to the three
+# numbers a gate owner trends.  All bin statistics are exact BIGINTs
+# (n_b, Σ quantized p, Σ y); each bin's REL/RES term is quantized to a
+# 1e-6 BIGINT before the sum (no float aggregation; sums stay exact to
+# ~10^12 rows), and the identity brier = rel - res + unc holds in the
+# binned scores by construction.
+
+BRIER_Q = 1_000_000
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n, reliability, resolution, uncertainty, brier) —
+    Murphy decomposition of the logistic scorer over CAL_BINS
+    probability deciles."""
+    feats, beta = _fitted_logistic(spark, sf_dir)
+    sel = feats.select(_logi_p(beta).alias("p"), "y")
+    b = F.least(
+        F.floor(F.col("p") * CAL_BINS).cast("long"), F.lit(CAL_BINS - 1)
+    )
+    bins = sel.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum(
+            F.floor(F.col("p") * _LOGI_Q + F.lit(0.5)).cast("long")
+        ).cast("long").alias("spq"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("syt"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    nbd = F.col("nb").cast("double")
+    pbar = F.col("spq").cast("double") / F.lit(float(_LOGI_Q)) / nbd
+    obar_b = F.col("sy").cast("double") / nbd
+    obar = F.col("syt").cast("double") / F.col("n").cast("double")
+    qrel = F.floor(
+        nbd * (pbar - obar_b) * (pbar - obar_b) * BRIER_Q + 0.5
+    ).cast("long")
+    qres = F.floor(
+        nbd * (obar_b - obar) * (obar_b - obar) * BRIER_Q + 0.5
+    ).cast("long")
+    g = j.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("syt").alias("syt"),
+        F.sum(qrel).cast("long").alias("srel"),
+        F.sum(qres).cast("long").alias("sres"),
+    )
+    nd = F.col("n").cast("double")
+    ob = F.col("syt").cast("double") / nd
+    rel = F.col("srel").cast("double") / BRIER_Q / nd
+    res = F.col("sres").cast("double") / BRIER_Q / nd
+    unc = ob * (F.lit(1.0) - ob)
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier"),
+    )
+
+
+def _brier_decomp_sql() -> str:
+    q = float(_LOGI_Q)
+    return f"""WITH {_logistic_ctes()},
+bins AS (
+  SELECT LEAST(CAST(FLOOR(p * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1})
+      AS bin,
+    COUNT(*)::BIGINT AS nb,
+    CAST(SUM(CAST(FLOOR(p * {q} + 0.5) AS BIGINT)) AS BIGINT) AS spq,
+    CAST(SUM(y) AS BIGINT) AS sy
+  FROM ({_LOGI_SCORED})
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS syt
+  FROM bins
+),
+terms AS (
+  SELECT n, syt,
+    CAST(FLOOR(nb::DOUBLE
+      * (spq::DOUBLE / {q} / nb::DOUBLE - sy::DOUBLE / nb::DOUBLE)
+      * (spq::DOUBLE / {q} / nb::DOUBLE - sy::DOUBLE / nb::DOUBLE)
+      * {BRIER_Q} + 0.5) AS BIGINT) AS qrel,
+    CAST(FLOOR(nb::DOUBLE
+      * (sy::DOUBLE / nb::DOUBLE - syt::DOUBLE / n::DOUBLE)
+      * (sy::DOUBLE / nb::DOUBLE - syt::DOUBLE / n::DOUBLE)
+      * {BRIER_Q} + 0.5) AS BIGINT) AS qres
+  FROM bins CROSS JOIN tot
+)
+SELECT MAX(n)::BIGINT AS n,
+  ROUND(CAST(SUM(qrel) AS BIGINT)::DOUBLE / {BRIER_Q} / MAX(n)::DOUBLE,
+        6) AS reliability,
+  ROUND(CAST(SUM(qres) AS BIGINT)::DOUBLE / {BRIER_Q} / MAX(n)::DOUBLE,
+        6) AS resolution,
+  ROUND(MAX(syt)::DOUBLE / MAX(n)::DOUBLE
+        * (1.0 - MAX(syt)::DOUBLE / MAX(n)::DOUBLE), 6) AS uncertainty,
+  ROUND(CAST(SUM(qrel) AS BIGINT)::DOUBLE / {BRIER_Q} / MAX(n)::DOUBLE
+        - CAST(SUM(qres) AS BIGINT)::DOUBLE / {BRIER_Q} / MAX(n)::DOUBLE
+        + MAX(syt)::DOUBLE / MAX(n)::DOUBLE
+          * (1.0 - MAX(syt)::DOUBLE / MAX(n)::DOUBLE), 6) AS brier
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # ridge regression — L2-regularized closed form (normal equations + λI)
 # ---------------------------------------------------------------------------
 #
@@ -3149,6 +3262,7 @@ QUERIES = {
     "ml_ridge_regression": ridge_regression,
     "ml_spearman_corr": spearman_corr,
     "ml_mutual_information": mutual_information,
+    "ml_brier_decomposition": brier_decomposition,
 }
 
 ORACLE = {
@@ -3179,4 +3293,5 @@ ORACLE = {
     "ml_ridge_regression": _RIDGE_SQL,
     "ml_spearman_corr": _SPEARMAN_SQL,
     "ml_mutual_information": _MI_SQL,
+    "ml_brier_decomposition": _brier_decomp_sql(),
 }
