@@ -786,6 +786,116 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# rich-club coefficient — hub interconnection density
+# ---------------------------------------------------------------------------
+#
+# φ(k) = 2·E_k / (N_k·(N_k−1)): among nodes of degree > k, what
+# fraction of possible edges exist (Colizza et al. 2006)?  Rising φ(k)
+# = a rich club (hubs wire to each other — one hot partition at shuffle
+# time); flat/falling = hub independence.  Assortativity gives the
+# correlation; this gives the density profile at chosen cutoffs.  One
+# conditional-aggregate pass over the edge list evaluates EVERY cutoff
+# at once (the pr_thresholds trick) — exact integer counts, one final
+# division per row.
+
+RICH_CLUB_KS = [2, 4, 8, 16]
+
+
+def rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_nodes, n_edges, phi) per degree cutoff over the
+    thresholded co-purchase graph."""
+    e = (
+        _pair_counts(_order_items(spark, sf_dir))
+        .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.union(e.select(F.col("p2"), F.col("p1"))).toDF("a", "n")
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    d1 = deg.select(F.col("a").alias("p1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("a").alias("p2"), F.col("deg").alias("deg2"))
+    ej = e.join(maybe_broadcast(d1), "p1").join(maybe_broadcast(d2), "p2")
+    edge_counts = ej.agg(
+        *[
+            F.sum(
+                ((F.col("deg1") > k) & (F.col("deg2") > k)).cast("long")
+            )
+            .cast("long")
+            .alias(f"e{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    node_counts = deg.agg(
+        *[
+            F.sum((F.col("deg") > k).cast("long")).cast("long").alias(f"n{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    j = edge_counts.crossJoin(F.broadcast(node_counts))
+    rows = [
+        F.struct(
+            F.lit(k).cast("long").alias("k"),
+            F.col(f"n{k}").alias("n_nodes"),
+            F.col(f"e{k}").alias("n_edges"),
+            F.when(
+                F.col(f"n{k}") >= 2,
+                F.round(
+                    2.0
+                    * F.col(f"e{k}").cast("double")
+                    / (
+                        F.col(f"n{k}").cast("double")
+                        * (F.col(f"n{k}") - 1).cast("double")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("phi"),
+        )
+        for k in RICH_CLUB_KS
+    ]
+    return (
+        j.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("k")
+    )
+
+
+def _rich_club_sql() -> str:
+    ecols = ", ".join(
+        f"CAST(SUM(CASE WHEN d1.deg > {k} AND d2.deg > {k} THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS e{k}"
+        for k in RICH_CLUB_KS
+    )
+    ncols = ", ".join(
+        f"CAST(SUM(CASE WHEN deg > {k} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n{k}"
+        for k in RICH_CLUB_KS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS k, n{k} AS n_nodes, e{k} AS n_edges, "
+        f"CASE WHEN n{k} >= 2 THEN ROUND(2.0 * e{k}::DOUBLE "
+        f"/ (n{k}::DOUBLE * (n{k} - 1)::DOUBLE), 6) END AS phi "
+        f"FROM ec CROSS JOIN nc"
+        for k in RICH_CLUB_KS
+    )
+    return f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}),
+adj AS (
+  SELECT p1 AS a, p2 AS n FROM e UNION ALL SELECT p2, p1 FROM e
+),
+deg AS (SELECT a, COUNT(*)::BIGINT AS deg FROM adj GROUP BY a),
+ec AS (
+  SELECT {ecols}
+  FROM e JOIN deg d1 ON e.p1 = d1.a JOIN deg d2 ON e.p2 = d2.a
+),
+nc AS (SELECT {ncols} FROM deg)
+SELECT * FROM ({rows}) ORDER BY k
+"""
+
+
 QUERIES = {
     "bi_basket_lift": basket_pair_lift,
     "graph_triangles": graph_triangles,
@@ -795,6 +905,7 @@ QUERIES = {
     "graph_clustering_coeff": clustering_coeff,
     "graph_pref_attachment": pref_attachment,
     "graph_assortativity": assortativity,
+    "graph_rich_club": rich_club,
 }
 ORACLE = {
     "bi_basket_lift": _BASKET_SQL,
@@ -805,4 +916,5 @@ ORACLE = {
     "graph_clustering_coeff": _CLUSTERING_SQL,
     "graph_pref_attachment": _PA_SQL,
     "graph_assortativity": _ASSORT_SQL,
+    "graph_rich_club": _rich_club_sql(),
 }

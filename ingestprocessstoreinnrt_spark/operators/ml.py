@@ -2803,6 +2803,180 @@ ORDER BY c_mktsegment, c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# McNemar's paired test — is the learned gate actually better than the
+# heuristic it replaced?
+# ---------------------------------------------------------------------------
+#
+# The question every gate migration asks: on the SAME documents, does
+# the IRLS logistic gate beat the one-line stopword-share rule?
+# Accuracy deltas on overlapping predictions mislead; McNemar scores
+# only the DISAGREEMENT cells: b = only-logistic-right, c =
+# only-rule-right, chi² = (|b-c|-1)²/(b+c) with continuity correction,
+# df = 1.  All four cells are exact integer counts from one pass over
+# the cached feature frame; the statistic is one float expression.
+
+MCNEMAR_RULE_THRESH = 0.3  # stopword-share cutoff of the heuristic
+
+
+def mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n, both_right, both_wrong, only_logistic, only_rule,
+    mcnemar_chi2) comparing the logistic gate vs the stopword-share
+    rule on lang='en' ground truth."""
+    feats, beta = _fitted_logistic(spark, sf_dir)
+    pa = (_logi_p(beta) >= F.lit(0.5)).cast("long")
+    pb = (F.col("x2") >= F.lit(MCNEMAR_RULE_THRESH)).cast("long")
+    y = F.col("y")
+    a_right = (pa == y).cast("long")
+    b_right = (pb == y).cast("long")
+    g = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a_right * b_right).cast("long").alias("both_right"),
+        F.sum((1 - a_right) * (1 - b_right)).cast("long").alias("both_wrong"),
+        F.sum(a_right * (1 - b_right)).cast("long").alias("only_logistic"),
+        F.sum((1 - a_right) * b_right).cast("long").alias("only_rule"),
+    )
+    b, c = F.col("only_logistic").cast("double"), F.col("only_rule").cast("double")
+    stat = F.when(
+        F.col("only_logistic") + F.col("only_rule") == 0, F.lit(0.0)
+    ).otherwise(
+        (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c)
+    )
+    return g.select(
+        "n",
+        "both_right",
+        "both_wrong",
+        "only_logistic",
+        "only_rule",
+        F.round(stat, 6).alias("mcnemar_chi2"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    return f"""WITH {_logistic_ctes()},
+cells AS (
+  SELECT COUNT(*)::BIGINT AS n,
+    CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_right,
+    CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_wrong,
+    CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT)
+      AS only_logistic,
+    CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+      AS only_rule
+  FROM (
+    SELECT y,
+      CASE WHEN ROUND(1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))),
+                      6) >= 0.5 THEN 1 ELSE 0 END AS pa,
+      CASE WHEN x2 >= {MCNEMAR_RULE_THRESH} THEN 1 ELSE 0 END AS pb
+    FROM feats, be{LOGISTIC_ROUNDS} b
+  )
+)
+SELECT n, both_right, both_wrong, only_logistic, only_rule,
+  ROUND(CASE WHEN only_logistic + only_rule = 0 THEN 0.0
+    ELSE (ABS(only_logistic::DOUBLE - only_rule::DOUBLE) - 1.0)
+       * (ABS(only_logistic::DOUBLE - only_rule::DOUBLE) - 1.0)
+       / (only_logistic + only_rule)::DOUBLE END, 6) AS mcnemar_chi2
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — effect size for the chi² association
+# ---------------------------------------------------------------------------
+#
+# ml_chi2_independence answers "is there ANY association" — at 100 TB
+# the answer is always yes (n inflates chi² without bound).  Cramér's
+# V = sqrt(chi² / (n·min(r-1, c-1))) is the size-invariant effect
+# measure that stays comparable across corpus scales — the number a
+# feature-selection pass actually thresholds.  Same one-pass
+# contingency shape as chi² (cell terms 1e-9-quantized to BIGINT),
+# plus n and the min-dimension correction.
+
+
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n, chi2, n_types, n_dows, cramers_v) for the
+    event_type x day-of-week contingency."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    row_tot = cells.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("rt")
+    )
+    col_tot = cells.groupBy("dow").agg(
+        F.sum("obs").cast("long").alias("ct")
+    )
+    n = cells.agg(F.sum("obs").cast("long").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .join(F.broadcast(n))
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    term_q = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    g = joined.agg(
+        F.max("n").alias("n"),
+        F.sum(term_q).cast("long").alias("schi"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("dow").cast("long").alias("n_dows"),
+    )
+    chi2 = F.col("schi").cast("double") / 1e9
+    mind = F.least(F.col("n_types") - 1, F.col("n_dows") - 1).cast("double")
+    v = F.sqrt(chi2 / (F.col("n").cast("double") * mind))
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(chi2, 6).alias("chi2"),
+        "n_types",
+        "n_dows",
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+_CRAMERS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow FROM events
+),
+cells AS (
+  SELECT event_type, dow, COUNT(*)::BIGINT AS obs FROM e GROUP BY 1, 2
+),
+rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
+       FROM cells GROUP BY 1),
+ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT n,
+    CAST(FLOOR(
+      (obs::DOUBLE - rt.rt::DOUBLE * ct.ct::DOUBLE / n::DOUBLE)
+      * (obs::DOUBLE - rt.rt::DOUBLE * ct.ct::DOUBLE / n::DOUBLE)
+      / (rt.rt::DOUBLE * ct.ct::DOUBLE / n::DOUBLE) * 1e9 + 0.5)
+      AS BIGINT) AS tq,
+    cells.event_type, cells.dow
+  FROM cells JOIN rt ON cells.event_type = rt.event_type
+  JOIN ct ON cells.dow = ct.dow
+  CROSS JOIN nn
+)
+SELECT MAX(n)::BIGINT AS n,
+  ROUND(CAST(SUM(tq) AS BIGINT)::DOUBLE / 1e9, 6) AS chi2,
+  COUNT(DISTINCT event_type)::BIGINT AS n_types,
+  COUNT(DISTINCT dow)::BIGINT AS n_dows,
+  ROUND(sqrt(CAST(SUM(tq) AS BIGINT)::DOUBLE / 1e9
+    / (MAX(n)::DOUBLE
+       * LEAST(COUNT(DISTINCT event_type) - 1,
+               COUNT(DISTINCT dow) - 1)::DOUBLE)), 6) AS cramers_v
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # Murphy decomposition of the Brier score — why is the scorer good/bad?
 # ---------------------------------------------------------------------------
 #
@@ -3263,6 +3437,8 @@ QUERIES = {
     "ml_spearman_corr": spearman_corr,
     "ml_mutual_information": mutual_information,
     "ml_brier_decomposition": brier_decomposition,
+    "ml_cramers_v": cramers_v,
+    "ml_mcnemar_gates": mcnemar_gates,
 }
 
 ORACLE = {
@@ -3294,4 +3470,6 @@ ORACLE = {
     "ml_spearman_corr": _SPEARMAN_SQL,
     "ml_mutual_information": _MI_SQL,
     "ml_brier_decomposition": _brier_decomp_sql(),
+    "ml_cramers_v": _CRAMERS_SQL,
+    "ml_mcnemar_gates": _mcnemar_sql(),
 }

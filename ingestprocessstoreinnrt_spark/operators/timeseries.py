@@ -1481,6 +1481,111 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# moving-average crossover detector — regime-change events
+# ---------------------------------------------------------------------------
+#
+# The fast-SMA/slow-SMA crossing ("golden/death cross") over each
+# type's hourly centi-mean grid — the classic online regime detector.
+# Exactness: each SMA is a RATIONAL (windowed BIGINT sum, count), and
+# the fast-vs-slow comparison is the cross-product sf·cs vs ss·cf —
+# the sign, its lag, and therefore every crossing flag are float-free;
+# only the reported gap is a rounded double.  Partial leading windows
+# use the rows available (identical rule both engines).  Shape: one
+# (type)-partitioned window stack — single exchange.
+
+SMA_FAST = 6   # hours
+SMA_SLOW = 24
+
+
+def sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour_us, direction, fast_minus_slow) — hours where
+    the fast SMA crosses the slow SMA; direction 'golden' = fast moved
+    above, 'death' = below."""
+    g = _hour_grid(spark, sf_dir)
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(SMA_FAST - 1), 0)
+    )
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(SMA_SLOW - 1), 0)
+    )
+    t = g.select(
+        "event_type",
+        "h",
+        F.sum("vq").over(wf).cast("long").alias("sf"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("cf"),
+        F.sum("vq").over(ws).cast("long").alias("ss"),
+        F.count(F.lit(1)).over(ws).cast("long").alias("cs"),
+    )
+    sgn = F.signum(
+        (F.col("sf") * F.col("cs") - F.col("ss") * F.col("cf")).cast(
+            "double"
+        )
+    ).cast("int")
+    wl = Window.partitionBy("event_type").orderBy("h")
+    flagged = t.select(
+        "event_type",
+        "h",
+        "sf",
+        "cf",
+        "ss",
+        "cs",
+        sgn.alias("sgn"),
+        F.lag(sgn, 1).over(wl).alias("psgn"),
+    ).filter(
+        F.col("psgn").isNotNull()
+        & (F.col("sgn") != F.col("psgn"))
+        & (F.col("sgn") != 0)
+    )
+    gap = (
+        F.col("sf").cast("double") / F.col("cf").cast("double")
+        - F.col("ss").cast("double") / F.col("cs").cast("double")
+    ) / 100.0
+    return flagged.select(
+        "event_type",
+        (F.col("h") * HOUR_US).alias("hour_us"),
+        F.when(F.col("sgn") > 0, F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("direction"),
+        F.round(gap, 6).alias("fast_minus_slow"),
+    ).orderBy("event_type", "hour_us")
+
+
+_SMA_CROSS_SQL = f"""
+WITH {_GRID_SQL},
+t AS (
+  SELECT event_type, h,
+    CAST(SUM(vq) OVER wf AS BIGINT) AS sf,
+    COUNT(*) OVER wf AS cf,
+    CAST(SUM(vq) OVER ws AS BIGINT) AS ss,
+    COUNT(*) OVER ws AS cs
+  FROM grid
+  WINDOW wf AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN {SMA_FAST - 1} PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN {SMA_SLOW - 1} PRECEDING AND CURRENT ROW)
+),
+flagged AS (
+  SELECT event_type, h, sf, cf, ss, cs,
+    SIGN(sf * cs - ss * cf)::INT AS sgn,
+    LAG(SIGN(sf * cs - ss * cf)::INT) OVER (
+      PARTITION BY event_type ORDER BY h) AS psgn
+  FROM t
+)
+SELECT event_type, h * {HOUR_US} AS hour_us,
+  CASE WHEN sgn > 0 THEN 'golden' ELSE 'death' END AS direction,
+  ROUND((sf::DOUBLE / cf::DOUBLE - ss::DOUBLE / cs::DOUBLE) / 100.0, 6)
+    AS fast_minus_slow
+FROM flagged
+WHERE psgn IS NOT NULL AND sgn <> psgn AND sgn <> 0
+ORDER BY event_type, hour_us
+"""
+
+
 QUERIES = {
     "ts_stl_decompose": stl_decompose,
     "ts_rolling_corr": rolling_corr,
@@ -1497,6 +1602,7 @@ QUERIES = {
     "ts_periodogram": periodogram,
     "ts_mann_kendall": mann_kendall,
     "ts_theil_sen": theil_sen,
+    "ts_sma_crossover": sma_crossover,
 }
 ORACLE = {
     "ts_stl_decompose": _STL_SQL,
@@ -1514,4 +1620,5 @@ ORACLE = {
     "ts_periodogram": _PERIODOGRAM_SQL,
     "ts_mann_kendall": _MK_SQL,
     "ts_theil_sen": _THEIL_SEN_SQL,
+    "ts_sma_crossover": _SMA_CROSS_SQL,
 }
