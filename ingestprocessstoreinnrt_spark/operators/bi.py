@@ -1340,6 +1340,89 @@ ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
+# ABC analysis — cumulative-share inventory classes
+# ---------------------------------------------------------------------------
+#
+# The classic Pareto classification planners run on every catalog:
+# rank parts by revenue descending, class A = parts covering the first
+# 80% of cumulative revenue, B = to 95%, C = the tail.  Class
+# boundaries are exact-integer predicates — cum·100 <= total·80 — so
+# no float ever decides membership.  Shape: part-grain rollup
+# (map-side combinable), ONE global revenue-ordered cumulative window
+# (range-partitioned sort — the same shape as any global rank at
+# 100 TB), metadata-grain class rollup.
+
+
+def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(abc_class, n_parts, revenue_cents, revenue_share) — Pareto
+    classes over per-part revenue."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    w = Window.orderBy(F.col("x").desc(), F.col("l_partkey").asc())
+    tot = per_part.agg(F.sum("x").cast("long").alias("t"))
+    ranked = per_part.withColumn(
+        "cum", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    ).crossJoin(F.broadcast(tot))
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    g = ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("x").cast("long").alias("revenue_cents"),
+        F.max("t").alias("t"),
+    )
+    return g.select(
+        "abc_class",
+        "n_parts",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents").cast("double") / F.col("t").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    ).orderBy("abc_class")
+
+
+_ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS x
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM per_part),
+ranked AS (
+  SELECT x, t,
+    CAST(SUM(x) OVER (ORDER BY x DESC, l_partkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum
+  FROM per_part CROSS JOIN tot
+),
+classed AS (
+  SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+              WHEN cum * 100 <= t * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+    x, t
+  FROM ranked
+)
+SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
+  CAST(SUM(x) AS BIGINT) AS revenue_cents,
+  ROUND(CAST(SUM(x) AS BIGINT)::DOUBLE / MAX(t)::DOUBLE, 6)
+    AS revenue_share
+FROM classed GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
 # Herfindahl-Hirschman index — supplier concentration per nation
 # ---------------------------------------------------------------------------
 #
@@ -1422,6 +1505,7 @@ ORDER BY n_name
 QUERIES = {
     "bi_gini_revenue": gini_revenue,
     "bi_market_hhi": market_hhi,
+    "bi_abc_parts": abc_parts,
     "bi_yoy_growth": yoy_growth,
     "bi_rfm_segments": rfm_segments,
     "bi_metrics_unpivot": metrics_unpivot,
@@ -1449,6 +1533,7 @@ QUERIES = {
 ORACLE = {
     "bi_gini_revenue": _GINI_SQL,
     "bi_market_hhi": _HHI_SQL,
+    "bi_abc_parts": _ABC_SQL,
     "bi_yoy_growth": _YOY_SQL,
     "bi_rfm_segments": _rfm_sql(),
     "bi_metrics_unpivot": _UNPIVOT_SQL,

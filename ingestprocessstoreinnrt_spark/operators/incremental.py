@@ -74,5 +74,97 @@ SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
 FROM orders GROUP BY o_custkey
 """
 
-QUERIES = {"incremental_customer_agg": incremental_customer_agg}
-ORACLE = {"incremental_customer_agg": _INCR_SQL}
+# ---------------------------------------------------------------------------
+# join-view IVM — the four-term delta rule
+# ---------------------------------------------------------------------------
+#
+# incremental_customer_agg maintains a single-table aggregate; real
+# materialized views JOIN.  The classic delta decomposition for
+# V = A ⋈ B under inserts ΔA, ΔB:
+#
+#   V_new = A₀⋈B₀  ∪  ΔA⋈B₀  ∪  A₀⋈ΔB  ∪  ΔA⋈ΔB
+#
+# — four keyed joins where three are delta-sized; history (A₀⋈B₀) is
+# the stored view and is never rescanned.  Here A = orders (10% delta
+# by o_orderkey), B = customer (5% delta by c_custkey), V = per-nation
+# order count + revenue.  The oracle computes the full join-aggregate
+# directly on the whole tables; a hash match proves the four-term
+# merge loses nothing.  All statistics exact (counts, revenue cents);
+# each term is an equi-join on the key with map-side partial
+# aggregation, and with both sides bucketed by custkey (UpsertTable
+# layout) the three delta terms co-locate at 100 TB.
+
+_CUST_DELTA_MOD = 20  # customers with c_custkey % 20 == 7 play ΔB
+
+
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, n_orders, revenue_cents) of the orders⋈customer view
+    maintained by the four-term join-delta rule."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % _DELTA_MOD == 9).alias("is_delta"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_custkey") % _CUST_DELTA_MOD == 7).alias("is_delta"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    a0 = orders.filter(~F.col("is_delta")).drop("is_delta")
+    da = orders.filter(F.col("is_delta")).drop("is_delta")
+    b0 = cust.filter(~F.col("is_delta")).drop("is_delta")
+    db = cust.filter(F.col("is_delta")).drop("is_delta")
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a.o_custkey == b.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+        )
+
+    merged = (
+        term(a0, b0)
+        .unionByName(term(da, b0))
+        .unionByName(term(a0, db))
+        .unionByName(term(da, db))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    return (
+        merged.join(F.broadcast(nat), merged.c_nationkey == nat.n_nationkey)
+        .select("n_name", "n_orders", "revenue_cents")
+        .orderBy("n_name")
+    )
+
+
+# full-recompute oracle: one join-aggregate over the whole tables
+_IVM_JOIN_SQL = """
+SELECT n_name, COUNT(*)::BIGINT AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+    AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+QUERIES = {
+    "incremental_customer_agg": incremental_customer_agg,
+    "ivm_join_delta": ivm_join_delta,
+}
+ORACLE = {
+    "incremental_customer_agg": _INCR_SQL,
+    "ivm_join_delta": _IVM_JOIN_SQL,
+}
