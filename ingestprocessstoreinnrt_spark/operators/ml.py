@@ -301,9 +301,11 @@ def _emb_fingerprint(sf_dir: str) -> str:
     return hashlib.md5(raw.encode()).hexdigest()
 
 
-def _cache_load(sf_dir: str, k: int, iters: int) -> list | None:
+def _cache_load(
+    sf_dir: str, k: int, iters: int, tag: str = ""
+) -> list | None:
     f = os.path.join(
-        _CACHE_DIR, f"{_emb_fingerprint(sf_dir)}_{k}_{iters}.json"
+        _CACHE_DIR, f"{_emb_fingerprint(sf_dir)}_{k}_{iters}{tag}.json"
     )
     try:
         with open(f) as fh:
@@ -313,11 +315,13 @@ def _cache_load(sf_dir: str, k: int, iters: int) -> list | None:
         return None
 
 
-def _cache_store(sf_dir: str, k: int, iters: int, cents: list) -> None:
+def _cache_store(
+    sf_dir: str, k: int, iters: int, cents: list, tag: str = ""
+) -> None:
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         f = os.path.join(
-            _CACHE_DIR, f"{_emb_fingerprint(sf_dir)}_{k}_{iters}.json"
+            _CACHE_DIR, f"{_emb_fingerprint(sf_dir)}_{k}_{iters}{tag}.json"
         )
         tmp = f + ".tmp"
         with open(tmp, "w") as fh:
@@ -333,19 +337,21 @@ def fit_centroids(
     k: int,
     iters: int,
     memo_key: str | None = None,
+    tag: str = "",
 ) -> list:
     """Deterministic Lloyd's fit over a cached (vec_id, qv) frame:
     init = first k vectors by vec_id, then iters-1 update passes.
     Returns the final centroid list [(cid, [ints])] — metadata-scale.
-    Shared by kmeans_lloyd and the IVF index in operators.similarity."""
+    Shared by kmeans_lloyd, the IVF index, and (per-subspace, via
+    `tag`) the PQ codebooks in operators.similarity."""
     import math
 
-    if memo_key is not None and (memo_key, k, iters) in _CENTROID_MEMO:
-        return _CENTROID_MEMO[(memo_key, k, iters)]
+    if memo_key is not None and (memo_key, k, iters, tag) in _CENTROID_MEMO:
+        return _CENTROID_MEMO[(memo_key, k, iters, tag)]
     if memo_key is not None and os.path.isdir(memo_key):
-        cached = _cache_load(memo_key, k, iters)
+        cached = _cache_load(memo_key, k, iters, tag)
         if cached is not None:
-            _CENTROID_MEMO[(memo_key, k, iters)] = cached
+            _CENTROID_MEMO[(memo_key, k, iters, tag)] = cached
             return cached
 
     cents = [
@@ -368,9 +374,9 @@ def fit_centroids(
             for i in range(k)
         ]
     if memo_key is not None:
-        _CENTROID_MEMO[(memo_key, k, iters)] = cents
+        _CENTROID_MEMO[(memo_key, k, iters, tag)] = cents
         if os.path.isdir(memo_key):
-            _cache_store(memo_key, k, iters, cents)
+            _cache_store(memo_key, k, iters, cents, tag)
     return cents
 
 

@@ -556,8 +556,11 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qv"),
         ).cache()
+        # memo_key = the data dir (activates the persistent codebook
+        # cache — PQ codebooks are fitted artifacts, built once per
+        # table like the IVF coarse quantizer); tag isolates subspaces
         cents = ml.fit_centroids(
-            spark, qm, PQ_K, PQ_ITERS, memo_key=f"{sf_dir}#pq{m}"
+            spark, qm, PQ_K, PQ_ITERS, memo_key=sf_dir, tag=f"_pq{m}"
         )
         qm.unpersist()
         all_cents.append(cents)
@@ -569,7 +572,11 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def best_of(m: int):
-        sub = F.slice(ml._qvec(), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        # fold over the pre-projected subvector COLUMN (s{m}), not a
+        # re-inlined slice(quantize(embedding)) — the named column is
+        # evaluated once per row, and the codegen tree shrinks ~4x
+        # (measured 11.4 s -> ~3 s at sf0.1 warm-codebook)
+        sub = F.col(f"s{m}")
         init = F.struct(
             F.lit(int(4e18)).cast("long").alias("d"),
             F.lit(-1).cast("int").alias("cid"),
@@ -592,7 +599,17 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    enc = emb.join(F.broadcast(cdf)).select(
+    sliced = emb.select(
+        "vec_id",
+        ml._qvec().alias("qv"),
+    ).select(
+        "vec_id",
+        *[
+            F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"s{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    enc = sliced.join(F.broadcast(cdf)).select(
         "vec_id", *[best_of(m).alias(f"b{m}") for m in range(PQ_M)]
     )
     qerr = sum(F.col(f"b{m}")["d"] for m in range(PQ_M))
