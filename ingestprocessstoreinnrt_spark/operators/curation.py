@@ -873,6 +873,88 @@ ORDER BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
+# tokenizer fertility — tokens per word by language
+# ---------------------------------------------------------------------------
+#
+# The number every multilingual tokenizer review tables: how many BPE
+# tokens does a word cost per language?  High-fertility languages pay
+# more context budget per sentence — the metric that drives vocabulary
+# rebalancing.  Same vocabulary-grain join as curation_bpe_encode
+# (the fitted word -> symbol-count frame is metadata-scale), rolled up
+# to LANGUAGE grain; all counts exact, two rounded ratios at the end.
+
+
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_words, n_bpe_tokens, fertility, chars_per_token) of
+    the learned tokenizer per document language."""
+    _, vocab = _run_bpe(spark, sf_dir)
+    S = _BPE_SEP
+    n_syms = F.size(
+        F.filter(F.split(F.col("ws"), S * 2), lambda x: x != F.lit(""))
+    ).cast("long")
+    word_syms = vocab.select("word", n_syms.alias("n_syms"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = docs.filter(F.trim(F.col("text")) != "").select(
+        "lang",
+        F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    return (
+        words.join(word_syms, "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_syms"), F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    sep2 = "chr(9) || chr(9)"
+    return f"""WITH {_bpe_ctes()},
+vocabf AS (
+  SELECT word,
+    len(list_filter(string_split(ws, {sep2}), x -> x <> ''))::BIGINT
+      AS n_syms
+  FROM v{BPE_MERGES}
+),
+docw AS (
+  SELECT lang,
+    unnest({_SQL_TOKS.replace("text", "lower(text)")}) AS word
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT lang,
+  COUNT(*)::BIGINT AS n_words,
+  CAST(SUM(COALESCE(n_syms, 1)) AS BIGINT) AS n_bpe_tokens,
+  ROUND(CAST(SUM(COALESCE(n_syms, 1)) AS BIGINT)::DOUBLE
+        / COUNT(*)::DOUBLE, 6) AS fertility,
+  ROUND(CAST(SUM(length(word)) AS BIGINT)::DOUBLE
+        / CAST(SUM(COALESCE(n_syms, 1)) AS BIGINT)::DOUBLE, 6)
+    AS chars_per_token
+FROM docw LEFT JOIN vocabf USING (word)
+GROUP BY lang
+ORDER BY lang"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic weighted source mixing
 # ---------------------------------------------------------------------------
 
@@ -1632,6 +1714,7 @@ QUERIES = {
     "curation_bpe_pairs": bpe_pair_counts,
     "curation_bpe_train": bpe_train,
     "curation_bpe_encode": bpe_encode,
+    "curation_bpe_fertility": bpe_fertility,
     "curation_url_strip": url_strip,
     "curation_mix_sources": mix_weighted_sources,
     "curation_train_split": train_test_split,
@@ -1650,6 +1733,7 @@ ORACLE = {
     "curation_bpe_pairs": _BPE_SQL,
     "curation_bpe_train": _bpe_train_sql(),
     "curation_bpe_encode": _bpe_encode_sql(),
+    "curation_bpe_fertility": _bpe_fertility_sql(),
     "curation_url_strip": _URL_SQL,
     "curation_mix_sources": _MIX_SQL,
     "curation_train_split": _SPLIT_SQL,

@@ -853,7 +853,74 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ingestion-order audit — are event ids monotone in event time?
+# ---------------------------------------------------------------------------
+#
+# In a healthy ingest, assignment order (event_id) and event time (ts)
+# agree; inversions mean clock skew, out-of-order delivery, or a
+# backfill that interleaved — exactly what decides whether a streaming
+# job needs a watermark and how wide.  One lag window per type, exact
+# integer comparisons, inversion magnitude in id-steps.
+
+
+def ts_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, inversions, inversion_rate,
+    max_id_regression) — event_id inversions along the ts order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    t = ev.withColumn("prev_id", F.lag("event_id").over(w))
+    inv = (F.col("prev_id") > F.col("event_id")).cast("long")
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.coalesce(inv, F.lit(0))).cast("long").alias("inversions"),
+        F.max(
+            F.when(
+                F.col("prev_id") > F.col("event_id"),
+                F.col("prev_id") - F.col("event_id"),
+            )
+        ).alias("maxreg"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "inversions",
+        F.round(
+            F.col("inversions").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("inversion_rate"),
+        F.coalesce(F.col("maxreg"), F.lit(0)).cast("long").alias(
+            "max_id_regression"
+        ),
+    ).orderBy("event_type")
+
+
+_ORDER_AUDIT_SQL = """
+WITH t AS (
+  SELECT event_type, event_id,
+    LAG(event_id) OVER (PARTITION BY event_type
+                        ORDER BY epoch_us(ts), event_id) AS prev_id
+  FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+  CAST(SUM(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS inversions,
+  ROUND(CAST(SUM(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END)
+    AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE, 6) AS inversion_rate,
+  CAST(COALESCE(MAX(CASE WHEN prev_id > event_id
+    THEN prev_id - event_id END), 0) AS BIGINT) AS max_id_regression
+FROM t GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "quality_ts_order_audit": ts_order_audit,
     "quality_psi_drift": psi_drift,
     "quality_iqr_outliers": iqr_outliers,
     "quality_k_anonymity": k_anonymity_audit,
@@ -866,6 +933,7 @@ QUERIES = {
     "quality_schema_drift": schema_drift,
 }
 ORACLE = {
+    "quality_ts_order_audit": _ORDER_AUDIT_SQL,
     "quality_psi_drift": _PSI_SQL,
     "quality_iqr_outliers": _IQR_SQL,
     "quality_k_anonymity": _KANON_SQL,

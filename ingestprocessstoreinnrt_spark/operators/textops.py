@@ -1995,6 +1995,110 @@ ORDER BY src1, src2
 
 
 # ---------------------------------------------------------------------------
+# Jensen-Shannon divergence — how far is each source from the corpus?
+# ---------------------------------------------------------------------------
+#
+# The mixture-weight diagnostic: JS(p_source || q_corpus) over unigram
+# distributions — bounded [0, ln2], symmetric, defined even where
+# supports differ (KL is not).  Terms the source never uses contribute
+# in closed form: Σ_{t∉S} ½·q·ln2 = ½·ln2·(1 − coverage), so only the
+# source's OWN vocabulary cells are materialized — the term-grain join
+# is bounded by Σ_s |vocab_s|, never |vocab| × |sources|.
+# Determinism: per-cell contributions quantized to 1e-12 BIGINTs
+# (ln rounded 9 dp), coverage exact, ln2 a shared 9-dp literal.
+
+_LN2_9DP = 0.693147181
+
+
+def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, vocab_size, coverage, js_divergence) vs the whole
+    corpus unigram distribution, in nats."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    counts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gl = counts.groupBy("term").agg(F.sum("c").cast("long").alias("g"))
+    ns = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("long").alias("vsz"),
+    )
+    nn = gl.agg(F.sum("g").cast("long").alias("n"))
+    j = (
+        counts.join(gl, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+    )
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("g").cast("double") / F.col("n").cast("double")
+    m = (p + q) / 2.0
+    contrib = 0.5 * p * F.round(F.log(p / m), 9) + 0.5 * q * F.round(
+        F.log(q / m), 9
+    )
+    qterm = F.floor(contrib * 1e12 + 0.5).cast("long")
+    g2 = j.groupBy("source").agg(
+        F.max("vsz").alias("vocab_size"),
+        F.sum(qterm).cast("long").alias("s"),
+        F.sum("g").cast("long").alias("cov_g"),
+        F.max("n").alias("n"),
+    )
+    cover = F.col("cov_g").cast("double") / F.col("n").cast("double")
+    js = F.col("s").cast("double") / 1e12 + 0.5 * F.lit(_LN2_9DP) * (
+        1.0 - cover
+    )
+    return g2.select(
+        "source",
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(cover, 6).alias("coverage"),
+        F.round(js, 6).alias("js_divergence"),
+    ).orderBy("source")
+
+
+_JS_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+  ) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+),
+gl AS (SELECT term, CAST(SUM(c) AS BIGINT) AS g FROM counts GROUP BY 1),
+ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns, COUNT(*)::BIGINT AS vsz
+  FROM counts GROUP BY 1
+),
+nn AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM gl),
+terms AS (
+  SELECT counts.source, vsz, g, n,
+    CAST(FLOOR((
+      0.5 * (c::DOUBLE / ns::DOUBLE)
+        * ROUND(ln((c::DOUBLE / ns::DOUBLE)
+            / ((c::DOUBLE / ns::DOUBLE + g::DOUBLE / n::DOUBLE) / 2.0)), 9)
+      + 0.5 * (g::DOUBLE / n::DOUBLE)
+        * ROUND(ln((g::DOUBLE / n::DOUBLE)
+            / ((c::DOUBLE / ns::DOUBLE + g::DOUBLE / n::DOUBLE) / 2.0)), 9)
+    ) * 1e12 + 0.5) AS BIGINT) AS qterm
+  FROM counts
+  JOIN gl USING (term)
+  JOIN ns ON counts.source = ns.source
+  CROSS JOIN nn
+)
+SELECT source, MAX(vsz)::BIGINT AS vocab_size,
+  ROUND(CAST(SUM(g) AS BIGINT)::DOUBLE / MAX(n)::DOUBLE, 6) AS coverage,
+  ROUND(CAST(SUM(qterm) AS BIGINT)::DOUBLE / 1e12
+    + 0.5 * {_LN2_9DP} * (1.0 - CAST(SUM(g) AS BIGINT)::DOUBLE
+                          / MAX(n)::DOUBLE), 6) AS js_divergence
+FROM terms GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # term burstiness — Fano factor of per-document term counts
 # ---------------------------------------------------------------------------
 #
@@ -2113,6 +2217,7 @@ QUERIES = {
     "text_keyness_llr": keyness_llr,
     "text_source_vocab_overlap": source_vocab_overlap,
     "text_term_burstiness": term_burstiness,
+    "text_js_divergence": js_divergence,
 }
 
 ORACLE = {
@@ -2141,4 +2246,5 @@ ORACLE = {
     "text_keyness_llr": _KEYNESS_SQL,
     "text_source_vocab_overlap": _VOCAB_OVERLAP_SQL,
     "text_term_burstiness": _BURST_SQL,
+    "text_js_divergence": _JS_SQL,
 }
