@@ -1340,6 +1340,64 @@ ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
+# new-vs-returning revenue split
+# ---------------------------------------------------------------------------
+#
+# The growth-accounting staple: per order year, how much revenue came
+# from customers placing their FIRST order that year vs returning
+# ones?  First-occurrence bucketing again (each customer's min order
+# year — no windowed distinct state), then one keyed aggregate; all
+# counts and cents exact.
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(order_year, customer_kind, n_orders, revenue_cents) with
+    customer_kind in ('new', 'returning')."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("yr").cast("long").alias("first_yr")
+    )
+    j = orders.join(first, "o_custkey")
+    kind = F.when(F.col("yr") == F.col("first_yr"), F.lit("new")).otherwise(
+        F.lit("returning")
+    )
+    return (
+        j.groupBy(F.col("yr").alias("order_year"), kind.alias("customer_kind"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("order_year", "customer_kind")
+    )
+
+
+_NEW_RET_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, CAST(MIN(yr) AS BIGINT) AS first_yr FROM o GROUP BY 1
+)
+SELECT yr AS order_year,
+  CASE WHEN yr = first_yr THEN 'new' ELSE 'returning' END
+    AS customer_kind,
+  COUNT(*)::BIGINT AS n_orders,
+  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM o JOIN first USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY order_year, customer_kind
+"""
+
+
+# ---------------------------------------------------------------------------
 # ABC analysis — cumulative-share inventory classes
 # ---------------------------------------------------------------------------
 #
@@ -1506,6 +1564,7 @@ QUERIES = {
     "bi_gini_revenue": gini_revenue,
     "bi_market_hhi": market_hhi,
     "bi_abc_parts": abc_parts,
+    "bi_new_vs_returning": new_vs_returning,
     "bi_yoy_growth": yoy_growth,
     "bi_rfm_segments": rfm_segments,
     "bi_metrics_unpivot": metrics_unpivot,
@@ -1534,6 +1593,7 @@ ORACLE = {
     "bi_gini_revenue": _GINI_SQL,
     "bi_market_hhi": _HHI_SQL,
     "bi_abc_parts": _ABC_SQL,
+    "bi_new_vs_returning": _NEW_RET_SQL,
     "bi_yoy_growth": _YOY_SQL,
     "bi_rfm_segments": _rfm_sql(),
     "bi_metrics_unpivot": _UNPIVOT_SQL,

@@ -854,6 +854,102 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# cross-table constraint audit — business-rule violations as data
+# ---------------------------------------------------------------------------
+#
+# The referential audit checks keys; this checks SEMANTIC constraints:
+# a lineitem shipped before its order was placed, a non-positive order
+# total, a discount outside [0, 1], tax outside [0, 1].  Each rule is
+# one conditional aggregate (the cross-table rule rides the
+# orderkey equi-join once); the output is the audit table a data
+# contract publishes.  Exact integer counts; rates are one division.
+
+
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rule, n_checked, n_violations, violation_rate) for four
+    business rules over orders/lineitem."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    ship = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("long"))
+        .cast("long")
+        .alias("v"),
+    ).select(F.lit("ship_before_order").alias("rule"), "n", "v")
+    price = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long"))
+        .cast("long")
+        .alias("v"),
+    ).select(F.lit("nonpositive_totalprice").alias("rule"), "n", "v")
+    disc = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("v"),
+    ).select(F.lit("discount_range").alias("rule"), "n", "v")
+    tax = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("l_tax") < 0) | (F.col("l_tax") > 1)).cast("long")
+        )
+        .cast("long")
+        .alias("v"),
+    ).select(F.lit("tax_range").alias("rule"), "n", "v")
+    u = ship.unionByName(price).unionByName(disc).unionByName(tax)
+    return u.select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+        F.round(
+            F.col("v").cast("double") / F.col("n").cast("double"), 6
+        ).alias("violation_rate"),
+    ).orderBy("rule")
+
+
+_CONSTRAINT_SQL = """
+WITH ship AS (
+  SELECT 'ship_before_order' AS rule, COUNT(*)::BIGINT AS n,
+    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+      AS BIGINT) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+price AS (
+  SELECT 'nonpositive_totalprice', COUNT(*)::BIGINT,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+),
+disc AS (
+  SELECT 'discount_range', COUNT(*)::BIGINT,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0
+      END) AS BIGINT)
+  FROM lineitem
+),
+tax AS (
+  SELECT 'tax_range', COUNT(*)::BIGINT,
+    CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END)
+      AS BIGINT)
+  FROM lineitem
+),
+u AS (
+  SELECT * FROM ship UNION ALL SELECT * FROM price
+  UNION ALL SELECT * FROM disc UNION ALL SELECT * FROM tax
+)
+SELECT rule, n AS n_checked, v AS n_violations,
+  ROUND(v::DOUBLE / n::DOUBLE, 6) AS violation_rate
+FROM u ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
 # ingestion-order audit — are event ids monotone in event time?
 # ---------------------------------------------------------------------------
 #
@@ -920,6 +1016,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "quality_constraint_audit": constraint_audit,
     "quality_ts_order_audit": ts_order_audit,
     "quality_psi_drift": psi_drift,
     "quality_iqr_outliers": iqr_outliers,
@@ -933,6 +1030,7 @@ QUERIES = {
     "quality_schema_drift": schema_drift,
 }
 ORACLE = {
+    "quality_constraint_audit": _CONSTRAINT_SQL,
     "quality_ts_order_audit": _ORDER_AUDIT_SQL,
     "quality_psi_drift": _PSI_SQL,
     "quality_iqr_outliers": _IQR_SQL,
