@@ -526,14 +526,82 @@ FROM dims
 """
 
 
+# ---------------------------------------------------------------------------
+# content-hash dedup — the first pass of any media-corpus dedup
+# ---------------------------------------------------------------------------
+#
+# Before any perceptual hashing, a 100 TB media pipeline removes
+# byte-identical assets: group by the payload's full md5 (computed on
+# the BINARY column JVM-side — the payload never crosses to Python),
+# keep the smallest id, count the copies.  Map-side combinable
+# hash-grain aggregate; only hashes shuffle, never payloads.
+
+
+def multimodal_content_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(media_type, n_assets, n_distinct, n_dup_assets, bytes_total,
+    bytes_after_dedup) — the storage win of payload-hash dedup per
+    media type (exact byte accounting; keeper = one copy per hash)."""
+    media = media_from_documents(spark, sf_dir)
+    groups = (
+        media.select(
+            F.md5(F.col("payload")).alias("content_md5"),
+            "media_type",
+            F.length(F.col("payload")).cast("long").alias("nbytes"),
+        )
+        .groupBy("content_md5", "media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.sum("nbytes").cast("long").alias("bytes_all"),
+            F.min("nbytes").cast("long").alias("bytes_one"),
+        )
+    )
+    return (
+        groups.groupBy("media_type")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_assets"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("n_copies") - 1).cast("long").alias("n_dup_assets"),
+            F.sum("bytes_all").cast("long").alias("bytes_total"),
+            F.sum("bytes_one").cast("long").alias("bytes_after_dedup"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_CONTENT_DEDUP_SQL = """
+WITH groups AS (
+  SELECT md5(text) AS content_md5,
+    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+      AS media_type,
+    COUNT(*)::BIGINT AS n_copies,
+    CAST(SUM(strlen(text)) AS BIGINT) AS bytes_all,
+    CAST(MIN(strlen(text)) AS BIGINT) AS bytes_one
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT media_type,
+  CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+  COUNT(*)::BIGINT AS n_distinct,
+  CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_assets,
+  CAST(SUM(bytes_all) AS BIGINT) AS bytes_total,
+  CAST(SUM(bytes_one) AS BIGINT) AS bytes_after_dedup
+FROM groups GROUP BY media_type
+ORDER BY media_type
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_content_dedup": multimodal_content_dedup,
     "multimodal_format_rollup": multimodal_format_rollup,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize_plan": multimodal_resize_plan,
 }
 ORACLE = {
     "multimodal_decode": _DECODE_SQL,
+    "multimodal_content_dedup": _CONTENT_DEDUP_SQL,
     "multimodal_format_rollup": _FORMAT_ROLLUP_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_resize_plan": _RESIZE_SQL,

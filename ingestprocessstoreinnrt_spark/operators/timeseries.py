@@ -1586,6 +1586,89 @@ ORDER BY event_type, hour_us
 """
 
 
+# ---------------------------------------------------------------------------
+# Bollinger-band breakouts — volatility-scaled anomaly flags
+# ---------------------------------------------------------------------------
+#
+# An hour breaks out when its centi-mean sits more than BOLL_K sample
+# standard deviations from the TRAILING BOLL_W-hour window (current
+# hour excluded — breakout vs history).  The flag never touches a
+# float: (x−μ)² > k²·σ²  ⟺  (c·x − s)² > k²·(c·ssq − s²) with s, ssq
+# exact BIGINT window sums — both sides exact integers, so the flag
+# cannot flip on engine ulp differences (the ts_peaks cross-product
+# discipline applied to second moments).  Seasonal z-scores
+# (ts_seasonal_anomaly) compare to the same-hour-of-day baseline; this
+# compares to the immediate regime — the pair covers both anomaly
+# questions.  One partitioned window stack, single exchange.
+
+BOLL_W = 24
+BOLL_K = 2
+
+
+def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour_us, value, band_mean, direction) — hours
+    whose centi-mean leaves the +-BOLL_K-sigma band of the trailing
+    BOLL_W full hours."""
+    g = _hour_grid(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-BOLL_W, -1)
+    )
+    t = g.select(
+        "event_type",
+        "h",
+        "vq",
+        F.count(F.lit(1)).over(w).cast("long").alias("c"),
+        F.sum("vq").over(w).cast("long").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).over(w).cast("long").alias("ssq"),
+    ).filter(F.col("c") == BOLL_W)
+    dev = F.col("c") * F.col("vq") - F.col("s")
+    var_n = F.col("c") * F.col("ssq") - F.col("s") * F.col("s")
+    hit = dev * dev > F.lit(BOLL_K * BOLL_K) * var_n
+    return (
+        t.filter(hit)
+        .select(
+            "event_type",
+            (F.col("h") * HOUR_US).alias("hour_us"),
+            F.round(F.col("vq").cast("double") / 10000.0, 6).alias("value"),
+            F.round(
+                F.col("s").cast("double")
+                / F.col("c").cast("double")
+                / 10000.0,
+                6,
+            ).alias("band_mean"),
+            F.when(dev > 0, F.lit("up")).otherwise(F.lit("down")).alias(
+                "direction"
+            ),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+_BOLL_SQL = f"""
+WITH {_GRID_SQL},
+t AS (
+  SELECT event_type, h, vq,
+    COUNT(*) OVER w AS c,
+    CAST(SUM(vq) OVER w AS BIGINT) AS s,
+    CAST(SUM(vq * vq) OVER w AS BIGINT) AS ssq
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {BOLL_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h * {HOUR_US} AS hour_us,
+  ROUND(vq::DOUBLE / 10000.0, 6) AS value,
+  ROUND(s::DOUBLE / c::DOUBLE / 10000.0, 6) AS band_mean,
+  CASE WHEN c * vq - s > 0 THEN 'up' ELSE 'down' END AS direction
+FROM t
+WHERE c = {BOLL_W}
+  AND (c * vq - s) * (c * vq - s)
+      > {BOLL_K * BOLL_K} * (c * ssq - s * s)
+ORDER BY event_type, hour_us
+"""
+
+
 QUERIES = {
     "ts_stl_decompose": stl_decompose,
     "ts_rolling_corr": rolling_corr,
@@ -1603,6 +1686,7 @@ QUERIES = {
     "ts_mann_kendall": mann_kendall,
     "ts_theil_sen": theil_sen,
     "ts_sma_crossover": sma_crossover,
+    "ts_bollinger_breakouts": bollinger_breakouts,
 }
 ORACLE = {
     "ts_stl_decompose": _STL_SQL,
@@ -1621,4 +1705,5 @@ ORACLE = {
     "ts_mann_kendall": _MK_SQL,
     "ts_theil_sen": _THEIL_SEN_SQL,
     "ts_sma_crossover": _SMA_CROSS_SQL,
+    "ts_bollinger_breakouts": _BOLL_SQL,
 }
