@@ -538,3 +538,65 @@ def test_spearman_single_rank_exchange_per_axis(spark):
     # every Window node in the plan must carry a partition spec
     for m in __import__("re").finditer(r"Arguments: \[.*windowspec.*\]", body):
         assert "l_returnflag" in m.group(0)
+
+
+def test_r7_late_ops_have_clean_plans(spark):
+    """Late round-7 batch: no cartesian anywhere; single-row stat
+    anchors (totals rows) are the only nested-loop joins allowed."""
+    import re
+
+    from ingestprocessstoreinnrt_spark.operators import (
+        basket,
+        bi,
+        curation,
+        incremental,
+        ml,
+        multimodal,
+        quality,
+        textops,
+        timeseries,
+    )
+
+    # corpus-scale: no BNLJ at all
+    for df in (
+        bi.gini_revenue(spark, SF_ORACLE),
+        bi.new_vs_returning(spark, SF_ORACLE),
+        bi.market_hhi(spark, SF_ORACLE),
+        incremental.ivm_join_delta(spark, SF_ORACLE),
+        quality.ts_order_audit(spark, SF_ORACLE),
+        quality.constraint_audit(spark, SF_ORACLE),
+        timeseries.mann_kendall(spark, SF_ORACLE),
+        timeseries.theil_sen(spark, SF_ORACLE),
+        timeseries.sma_crossover(spark, SF_ORACLE),
+        timeseries.bollinger_breakouts(spark, SF_ORACLE),
+        basket.assortativity(spark, SF_ORACLE),
+        basket.pref_attachment(spark, SF_ORACLE),
+        multimodal.multimodal_content_dedup(spark, SF_ORACLE),
+        curation.bpe_fertility(spark, SF_ORACLE),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body, body
+
+    # ops with a deliberate single-row broadcast totals anchor
+    for df, max_ids in (
+        (bi.abc_parts(spark, SF_ORACLE), 2),
+        # rich_club: single-row edge-counts x single-row node-counts
+        # totals join — metadata-scale by construction
+        (basket.rich_club(spark, SF_ORACLE), 2),
+        (textops.term_burstiness(spark, SF_ORACLE), 2),
+        (textops.js_divergence(spark, SF_ORACLE), 2),
+        (ml.mutual_information(spark, SF_ORACLE), 2),
+        (ml.cramers_v(spark, SF_ORACLE), 2),
+        # psi: the 1-row mid_us bounds ride-in is re-planned under both
+        # consumers of the cells frame (per-type totals + term join)
+        (quality.psi_drift(spark, SF_ORACLE), 4),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body, body
+        ids = {
+            m.group(1)
+            for m in re.finditer(
+                r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", body
+            )
+        }
+        assert len(ids) <= max_ids, body
