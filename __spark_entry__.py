@@ -68,6 +68,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     with zero bookkeeping.
 
 
+def _rec_is_proven(rec) -> bool:
+    """The driver's FULL three-way gate (rows AND schema AND
+    value-hash; r8 — VERDICT r7 finding #2): a rows+schema-only pass
+    must NOT retire a query from the stalest-first re-audit window."""
+    return bool(
+        isinstance(rec, dict)
+        and rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match")
+        and not rec.get("err")
+    )
+
+
 def _latest_green_rounds() -> dict[str, int]:
     import glob
     import json
@@ -86,12 +99,7 @@ def _latest_green_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, rec in data.items():
-            if (
-                isinstance(rec, dict)
-                and rec.get("rows_match")
-                and rec.get("schema_match")
-                and not rec.get("err")
-            ):
+            if _rec_is_proven(rec):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

@@ -230,22 +230,32 @@ def main() -> None:
     for n in names:
         by_family.setdefault(family(n), []).append(n)
 
-    def sweep_family(members: list[str]) -> dict[str, float]:
-        """Run one family cold (cache + family memos cleared first)."""
+    def sweep_family(members: list[str]) -> dict[str, tuple[float, float]]:
+        """Run one family cold (cache + family memos cleared first).
+        Each query runs TWICE back-to-back: (cold, warm) — warm rides
+        every cache/memo its own cold run populated, so cross-round
+        diffs compare warm (plans only) while family cache-attribution
+        stays visible in cold (VERDICT r7 finding #3: canonical name
+        order moved first-touch costs between rounds and manufactured
+        phantom 2-6x 'regressions' that were all sub-second warm)."""
         spark.catalog.clearCache()
         from ingestprocessstoreinnrt_spark.operators import dedup as _dd
 
         _dd._LSH_PAIRS_MEMO.clear()  # family-cold includes the memo
-        out: dict[str, float] = {}
+        out: dict[str, tuple[float, float]] = {}
         for name in members:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            out[name] = round(time.perf_counter() - t0, 4)
+            t1 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = (round(t1 - t0, 4), round(time.perf_counter() - t1, 4))
         return out
 
-    def sweep_all() -> dict[str, float]:
-        out: dict[str, float] = {}
+    def sweep_all() -> dict[str, tuple[float, float]]:
+        out: dict[str, tuple[float, float]] = {}
         for fam in fam_order:
             out.update(sweep_family(by_family[fam]))
         return out
@@ -257,14 +267,22 @@ def main() -> None:
     # once quiet returns and keep per-query minimums (contention only
     # ever slows a query down, never speeds it up).
     started_contended = load_1m > LOAD_GATE
-    timings = sweep_all()
+    both = sweep_all()
     reran = False
     if started_contended:
         retry_load = _wait_for_quiet()
         if retry_load <= LOAD_GATE:
             second = sweep_all()
-            timings = {n: min(timings[n], second[n]) for n in timings}
+            both = {
+                n: (
+                    min(both[n][0], second[n][0]),
+                    min(both[n][1], second[n][1]),
+                )
+                for n in both
+            }
             reran = True
+    timings = {n: cw[0] for n, cw in both.items()}
+    warm = {n: cw[1] for n, cw in both.items()}
     spark.catalog.clearCache()
 
     streaming = streaming_bench(spark)
@@ -276,6 +294,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # warm = second back-to-back run of the same query; compare
+        # THESE across rounds (cold carries family first-touch costs
+        # whose attribution shifts when the query set changes)
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 4),
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # machine-load stamp: r5's mid-round 15 s readings were pure

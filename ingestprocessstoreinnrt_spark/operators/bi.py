@@ -1260,10 +1260,18 @@ ORDER BY ship_month
 # with deterministic (revenue, custkey) tie-break ranks.  Exact end to
 # end: x = revenue cents (BIGINT), Σ i·x in DECIMAL(38,0)/HUGEINT
 # (i·x ≤ n·maxrev — exact far past BIGINT grain), one float division
-# at the end.  Shape: per-customer rollup (map-side combinable), one
-# rank window PARTITIONED BY nation, a 2-aggregate pass, nation dim
-# broadcast.  Customers with zero orders don't appear (revenue Gini of
-# ACTIVE customers; document, don't silently impute).
+# at the end.  Shape (r8 rewrite — VERDICT r7 finding #1: 25 nations
+# meant each rank window partition held 4% of ALL customers in one
+# task): per-customer rollup (map-side combinable), then the ml_auc
+# two-level ranking — customers bucket by coarse revenue band,
+# per-(nation, band) counts make a metadata-scale frame whose
+# cumulative offsets broadcast back, and the row_number window runs
+# partitioned by (nation, band).  i = offset + in-band row_number is
+# the identical exact rank.  Customers with zero orders don't appear
+# (revenue Gini of ACTIVE customers; document, don't silently impute).
+
+GINI_BUCKET_W = 1 << 22  # ~4.2M-cent revenue bands; per-customer
+#                          revenue is SF-invariant (~10 orders/customer)
 
 
 def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,12 +1293,32 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     r = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
-        "c_nationkey", "o_custkey", "x"
+        "c_nationkey",
+        "o_custkey",
+        "x",
+        F.floor(F.col("x") / F.lit(GINI_BUCKET_W)).cast("long").alias("b"),
     )
-    w = Window.partitionBy("c_nationkey").orderBy(
+    bt = r.groupBy("c_nationkey", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wb = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # (nation, band) grain — metadata-scale
+    off = bt.withColumn(
+        "o", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+    ).select("c_nationkey", "b", "o")
+    wl = Window.partitionBy("c_nationkey", "b").orderBy(
         F.col("x").asc(), F.col("o_custkey").asc()
     )
-    ranked = r.withColumn("i", F.row_number().over(w).cast("decimal(19,0)"))
+    ranked = (
+        r.join(F.broadcast(off), ["c_nationkey", "b"])
+        .withColumn(
+            "i",
+            (F.col("o") + F.row_number().over(wl)).cast("decimal(19,0)"),
+        )
+    )
     g = ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("sx"),
@@ -1405,10 +1433,18 @@ ORDER BY order_year, customer_kind
 # rank parts by revenue descending, class A = parts covering the first
 # 80% of cumulative revenue, B = to 95%, C = the tail.  Class
 # boundaries are exact-integer predicates — cum·100 <= total·80 — so
-# no float ever decides membership.  Shape: part-grain rollup
-# (map-side combinable), ONE global revenue-ordered cumulative window
-# (range-partitioned sort — the same shape as any global rank at
-# 100 TB), metadata-grain class rollup.
+# no float ever decides membership.  Shape (r8 rewrite — VERDICT r7
+# finding #1: the old EMPTY-partition-spec cumulative window serialized
+# every part through one task): part-grain rollup (map-side
+# combinable), then the ml_auc two-level prefix sum — parts bucket by
+# coarse revenue band, per-bucket revenue totals make a metadata-scale
+# frame whose cumulative offsets broadcast back, and the fine
+# cumulative window runs PARTITIONED by bucket.  cum = bucket offset +
+# in-bucket prefix is the identical exact integer.
+
+ABC_BUCKET_W = 1 << 21  # ~2.1M-cent revenue bands; per-part revenue is
+#                         SF-invariant (~30 lines/part), so band count
+#                         stays O(100) at every scale
 
 
 def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,12 +1458,28 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = li.groupBy("l_partkey").agg(
         F.sum("cents").cast("long").alias("x")
+    ).withColumn(
+        "b", F.floor(F.col("x") / F.lit(ABC_BUCKET_W)).cast("long")
     )
-    w = Window.orderBy(F.col("x").desc(), F.col("l_partkey").asc())
     tot = per_part.agg(F.sum("x").cast("long").alias("t"))
-    ranked = per_part.withColumn(
-        "cum", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
-    ).crossJoin(F.broadcast(tot))
+    bt = per_part.groupBy("b").agg(F.sum("x").alias("tb"))
+    wb = (
+        Window.orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # revenue-band grain (~100 rows) — metadata-scale global window
+    off = bt.withColumn(
+        "o", F.coalesce(F.sum("tb").over(wb), F.lit(0)).cast("long")
+    ).select("b", "o")
+    wl = (
+        Window.partitionBy("b")
+        .orderBy(F.col("x").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        per_part.join(F.broadcast(off), "b")
+        .withColumn("cum", (F.col("o") + F.sum("x").over(wl)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
     cls = (
         F.when(F.col("cum") * 100 <= F.col("t") * 80, F.lit("A"))
         .when(F.col("cum") * 100 <= F.col("t") * 95, F.lit("B"))

@@ -1008,36 +1008,61 @@ FROM d GROUP BY source, accept_pct
 # ---------------------------------------------------------------------------
 
 PACK_CAP = 512  # tokens per packed training sequence
+PACK_DOC_BAND = 4096  # doc_id band width of the two-level prefix sum
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing — the data-loader step after
     chunking: documents are concatenated in a fixed order and split
     every PACK_CAP tokens, so bin id = exclusive-prefix-sum DIV cap.
-    Packing runs PER SOURCE shard (the window partitions by source):
-    at 100 TB each shard packs independently on its own executor —
-    a global pack order would serialize the corpus through one
-    partition.  Output: one row per (source, bin) with its doc span
-    and token count; deterministic order (source, doc_id) makes the
-    assignment exactly reproducible cross-engine."""
+    Packing runs PER SOURCE shard, and WITHIN each shard the prefix
+    sum is the ml_auc two-level construction (r8 — VERDICT r7 finding
+    #1: a window partitioned only by source packs each source's whole
+    corpus in one task): docs band by doc_id range, per-(source, band)
+    token totals make a metadata-scale frame whose cumulative offsets
+    broadcast back, and the fine cumulative window is partitioned by
+    (source, band).  The exclusive prefix — hence every bin id — is
+    the identical exact integer; deterministic order (source, doc_id)
+    makes the assignment exactly reproducible cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     d = docs.filter(F.trim(F.col("text")) != "").select(
-        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(PACK_DOC_BAND)).cast("long").alias(
+            "band"
+        ),
     )
-    w = (
+    bt = d.groupBy("source", "band").agg(F.sum("n_tokens").alias("t"))
+    wb = (
         Window.partitionBy("source")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # (source, band) grain — metadata-scale
+    off = bt.withColumn(
+        "o", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+    ).select("source", "band", "o")
+    wl = (
+        Window.partitionBy("source", "band")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    assigned = d.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        (
-            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-            / PACK_CAP
-        ).cast("long").alias("bin"),
+    assigned = (
+        d.join(F.broadcast(off), ["source", "band"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                (
+                    F.col("o")
+                    + F.sum("n_tokens").over(wl)
+                    - F.col("n_tokens")
+                )
+                / PACK_CAP
+            ).cast("long").alias("bin"),
+        )
     )
     return assigned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

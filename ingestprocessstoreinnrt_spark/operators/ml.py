@@ -250,6 +250,8 @@ def _agg_pass(spark: SparkSession, q: DataFrame, c: list) -> dict:
     expression tree compiles ~2 s faster on first run, and EVERY pass
     (including the final one) reuses this single plan shape, so
     whole-stage codegen compiles once for the whole loop."""
+    if not c:  # empty init list (empty/undersized table): no clusters
+        return {}
     rows = (
         assign_nearest(q, _cdf_of(spark, c))
         .select("cid", F.posexplode("qv").alias("pos", "v"))
@@ -423,13 +425,17 @@ def centroid_ctes_sliced(
     dim: int,
     k: int,
     iters: int,
+    where: str = "",
 ) -> list:
     """DuckDB CTE chain reproducing fit_centroids bit-for-bit over the
     embedding slice [lo, lo+dim) — names prefixed so several chains
     (one per PQ subspace) compose in one WITH.  No leading WITH; the
     caller joins and prepends.  `{prefix}q` = quantized slice,
     `{prefix}c{iters-1}` = final centroids, `{prefix}af` = final
-    nearest-centroid assignment."""
+    nearest-centroid assignment.  `where` filters the FIT population
+    (e.g. the incremental-ANN base corpus); assignments in
+    `{prefix}af` cover only that population — callers assigning a
+    wider set join `{prefix}c{iters-1}` themselves."""
     qs = ", ".join(
         f"CAST(FLOOR(embedding[{lo + j + 1}]::DOUBLE * 10000.0 + 0.5) "
         f"AS BIGINT) AS q{j}"
@@ -456,7 +462,8 @@ def centroid_ctes_sliced(
         )
 
     ctes = [
-        f"{p}q AS (SELECT vec_id, {qs} FROM embeddings)",
+        f"{p}q AS (SELECT vec_id, {qs} FROM embeddings"
+        f"{' WHERE ' + where if where else ''})",
         f"{p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
         f"{ccols} FROM (SELECT * FROM {p}q ORDER BY vec_id LIMIT {k}))",
     ]
@@ -3237,9 +3244,62 @@ ORDER BY l_returnflag
 # sufficient statistic is an exact integer; products/sums run in
 # DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the n*Σxy-grade terms
 # stay exact far past BIGINT (4n^4 < 10^38 to n ≈ 7e8 rows PER GROUP).
-# Scale shape: the rank transform is two range-partitioned sorts per
-# group (Spark's standard window path); everything after is one
-# 6-long-column aggregate row per group.
+# Scale shape (r8 rewrite — VERDICT r7 finding #1): there are only 3
+# l_returnflag values, so a window partitioned by flag would sort a
+# third of the fact table in ONE task.  Instead each axis builds a
+# DISTINCT-VALUE rank map on the ml_auc two-level prefix-sum template
+# (rank_value_map below): groupBy(flag, value) collapses the corpus to
+# value grain, coarse value-buckets carry broadcast cumulative offsets,
+# and the fine prefix window is partitioned by (flag, bucket) — no
+# task ever holds more than one bucket of DISTINCT values.  Rows then
+# re-acquire their ranks by value equi-join: the quantity map is
+# domain-bounded (~50 values/flag, broadcast); the price map joins on
+# the high-cardinality (flag, cents) key.
+
+
+def rank_value_map(
+    df: DataFrame, gcol: str, vcol: str, bucket_w: int
+) -> DataFrame:
+    """(gcol, vcol, r2) with r2 = 2*avg_rank = 2*RANK + ties - 1 over
+    `vcol` ascending within `gcol` — the ml_auc two-level distributed
+    ranking: bucket offsets broadcast, fine prefix window partitioned
+    by (group, bucket).  Input may be row grain; output is distinct-
+    value grain."""
+    g = df.groupBy(gcol, vcol).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    ).withColumn("b", F.floor(F.col(vcol) / F.lit(bucket_w)).cast("long"))
+    bt = g.groupBy(gcol, "b").agg(F.sum("n_g").alias("t"))
+    wb = (
+        Window.partitionBy(gcol)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bucket grain: #groups x #buckets rows, metadata-scale
+    off = bt.withColumn(
+        "o", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+    ).select(gcol, "b", "o")
+    wl = (
+        Window.partitionBy(gcol, "b")
+        .orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.join(F.broadcast(off), [gcol, "b"])
+        .withColumn(
+            "before",
+            F.col("o") + F.coalesce(F.sum("n_g").over(wl), F.lit(0)),
+        )
+        .select(
+            gcol,
+            vcol,
+            (2 * F.col("before") + F.col("n_g") + 1)
+            .cast("decimal(19,0)")
+            .alias("r2"),
+        )
+    )
+
+
+SPEARMAN_XBUCKET = 8  # quantity 1..50 -> ~7 coarse buckets
+SPEARMAN_YBUCKET = 1 << 14  # price cents -> ~hundreds of buckets
 
 
 def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3252,16 +3312,16 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-
-    def r2(col: str) -> Column:
-        wr = Window.partitionBy("l_returnflag").orderBy(col)
-        wt = Window.partitionBy("l_returnflag", col)
-        return (
-            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
-        ).cast("decimal(19,0)")
-
-    ranked = li.select(
-        "l_returnflag", r2("x").alias("rx"), r2("y").alias("ry")
+    rxm = rank_value_map(
+        li.select("l_returnflag", "x"), "l_returnflag", "x", SPEARMAN_XBUCKET
+    ).withColumnRenamed("r2", "rx")
+    rym = rank_value_map(
+        li.select("l_returnflag", "y"), "l_returnflag", "y", SPEARMAN_YBUCKET
+    ).withColumnRenamed("r2", "ry")
+    ranked = (
+        li.join(F.broadcast(rxm), ["l_returnflag", "x"])
+        .join(rym, ["l_returnflag", "y"])
+        .select("l_returnflag", "rx", "ry")
     )
     g = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

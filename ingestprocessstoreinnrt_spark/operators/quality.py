@@ -956,8 +956,20 @@ FROM u ORDER BY rule
 # In a healthy ingest, assignment order (event_id) and event time (ts)
 # agree; inversions mean clock skew, out-of-order delivery, or a
 # backfill that interleaved — exactly what decides whether a streaming
-# job needs a watermark and how wide.  One lag window per type, exact
-# integer comparisons, inversion magnitude in id-steps.
+# job needs a watermark and how wide.  Exact integer comparisons,
+# inversion magnitude in id-steps.
+#
+# Scale shape (r8 rewrite — VERDICT r7 finding #1: one lag window per
+# type = a per-type single-task scan of the full stream, ~5 types):
+# the stream shards on the HOUR of ts — shard = floor(ts_us/3600e6) is
+# monotone in ts, so the global (ts, event_id) order is exactly the
+# concatenation of shard-local orders.  The lag window runs partitioned
+# by (type, shard); the only adjacent pairs it misses are the shard
+# boundaries, recovered from per-shard first/last (ts, id) structs —
+# a (type, shard)-grain frame whose own lag window is metadata-scale.
+# inversions = Σ local + Σ boundary; max regression = max of both.
+
+ORDER_AUDIT_SHARD_US = 3600 * 1_000_000  # hour shards
 
 
 def ts_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,19 +978,49 @@ def ts_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    ).withColumn(
+        "shard",
+        F.floor(F.col("ts_us") / F.lit(ORDER_AUDIT_SHARD_US)).cast("long"),
     )
-    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
-    t = ev.withColumn("prev_id", F.lag("event_id").over(w))
+    wl = Window.partitionBy("event_type", "shard").orderBy(
+        "ts_us", "event_id"
+    )
+    t = ev.withColumn("prev_id", F.lag("event_id").over(wl))
     inv = (F.col("prev_id") > F.col("event_id")).cast("long")
-    g = t.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.coalesce(inv, F.lit(0))).cast("long").alias("inversions"),
+    per_shard = t.groupBy("event_type", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.coalesce(inv, F.lit(0))).cast("long").alias("inv_l"),
         F.max(
             F.when(
                 F.col("prev_id") > F.col("event_id"),
                 F.col("prev_id") - F.col("event_id"),
             )
+        ).alias("maxreg_l"),
+        F.min(F.struct("ts_us", "event_id")).alias("first"),
+        F.max(F.struct("ts_us", "event_id")).alias("last"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("shard")
+    bnd = per_shard.withColumn("prev_last_id", F.lag("last.event_id").over(wb))
+    b_hit = F.col("prev_last_id") > F.col("first.event_id")
+    g = bnd.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        (
+            F.sum("inv_l") + F.sum(F.coalesce(b_hit.cast("long"), F.lit(0)))
+        ).cast("long").alias("inversions"),
+        F.greatest(
+            F.coalesce(F.max("maxreg_l"), F.lit(0)),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        b_hit,
+                        F.col("prev_last_id") - F.col("first.event_id"),
+                    )
+                ),
+                F.lit(0),
+            ),
         ).alias("maxreg"),
     )
     return g.select(

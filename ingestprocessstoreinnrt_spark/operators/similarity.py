@@ -243,34 +243,36 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_ivf(spark, sf_dir, IVF_NPROBE_MULTI)
 
 
-def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    from . import ml  # shared deterministic coarse quantizer
+def ivf_assign_rows(emb_rows: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Coarse-assign embedding rows with a FITTED quantizer: a per-row
+    broadcast fold over the centroid row — no refit, no shuffle.
+    Returns (vec_id, embedding, nrm, cid) inverted-index rows: what an
+    ingest job appends (or upserts) into the persisted IVF index; at
+    100 TB `cid` is the precomputed partition column this expression
+    writes at ingest."""
+    from . import ml
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
-    # memoized per (sf_dir, k, iters): if ml_kmeans already fit these
-    # centroids this session, the metadata-scale list is reused and the
-    # iters-1 aggregate passes are skipped entirely
-    cents = ml.fit_centroids(
-        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
-    )
-    cdf = ml._cdf_of(spark, cents)
-
-    # inverted lists: nearest-centroid id computed in-row on the scan
-    # (broadcast fold over the centroid row) — no corpus self-join; at
-    # 100 TB `cid` is the precomputed partition column this expression
-    # writes at ingest.
-    corpus = ml.assign_nearest(
-        emb.withColumn("qv", ml._qvec()).withColumn(
+    return ml.assign_nearest(
+        emb_rows.withColumn("qv", ml._qvec()).withColumn(
             "nrm", norm2(F.col("embedding"))
         ),
         cdf,
     ).select("vec_id", "embedding", "nrm", "cid")
 
-    # query probes: another per-row fold — score all k centroids,
-    # array_sort on (dist, cid), keep the IVF_NPROBE nearest, explode.
-    # Replaces a crossJoin + row_number window: the metadata-size query
-    # side never shuffles.
+
+def _ivf_probe_topk(
+    index: DataFrame, emb: DataFrame, cdf: DataFrame, nprobe: int
+) -> DataFrame:
+    """Serve top-k against a maintained (vec_id, embedding, nrm, cid)
+    index: each demo query (vec_id < N_QUERIES of `emb`) probes its
+    `nprobe` nearest cells — cell pruning via a broadcast equi-join on
+    the cell id — and exact cosine re-ranks inside them."""
+    from . import ml
+
+    # query probes: a per-row fold — score all k centroids, array_sort
+    # on (dist, cid), keep the nprobe nearest, explode.  Replaces a
+    # crossJoin + row_number window: the metadata-size query side
+    # never shuffles.
     def _cdist(qcol, c):
         return F.aggregate(
             F.zip_with(qcol, c["cv"], lambda a, b: (a - b) * (a - b)),
@@ -307,14 +309,33 @@ def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return (
-        corpus.join(
+        index.join(
             F.broadcast(q),
-            (corpus.cid == q.cid) & (corpus.vec_id != q.query_id),
+            (index.cid == q.cid) & (index.vec_id != q.query_id),
         )
-        .select("query_id", corpus.vec_id.alias("vec_id"), cos.alias("cos_sim"))
+        .select("query_id", index.vec_id.alias("vec_id"), cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    from . import ml  # shared deterministic coarse quantizer
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
+    # memoized per (sf_dir, k, iters): if ml_kmeans already fit these
+    # centroids this session, the metadata-scale list is reused and the
+    # iters-1 aggregate passes are skipped entirely
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
+    )
+    cdf = ml._cdf_of(spark, cents)
+
+    # inverted lists: nearest-centroid id computed in-row on the scan
+    # (broadcast fold over the centroid row) — no corpus self-join
+    corpus = ivf_assign_rows(emb, cdf)
+    return _ivf_probe_topk(corpus, emb, cdf, nprobe)
 
 
 def _ann_ivf_sql(nprobe: int = IVF_NPROBE) -> str:
@@ -351,6 +372,136 @@ def _ann_ivf_sql(nprobe: int = IVF_NPROBE) -> str:
     )
     return (
         ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cand
+) r
+WHERE rank <= {TOP_K}"""
+    )
+
+
+# --- incremental IVF index maintenance (VERDICT r7 item 3) ------------------
+#
+# Every other ANN verb rebuilds its index per session; a 100 TB corpus
+# ingesting embeddings continuously needs the index MAINTAINED: fit the
+# coarse quantizer once on the base corpus (the persisted fitted
+# artifact — fit_centroids' cross-session cache), then each incoming
+# batch is coarse-assigned with that SAME quantizer (a per-row
+# broadcast fold, no refit) and upserted into the inverted index —
+# queries serve top-k against the maintained index without ever
+# rescanning the corpus.  This is the dedup_incremental pattern
+# (dedup.py lsh_signature_index + UpsertTable; reference analogy: the
+# entity-upsert loop, NyTaxiYellowTripStreaming.scala:214-266) applied
+# to similarity's index frames.
+#
+# Equivalence (tested): assignment is a pure per-row function of
+# (embedding, fitted centroids), so base-time build + batch-time
+# upserts == one assignment pass over everything — the maintained
+# index answers EXACTLY like a freshly rebuilt one as long as the
+# quantizer artifact is pinned.  (Re-FITTING on base+batch would move
+# centroids — that's an index REBUILD policy decision, scheduled like
+# any compaction, not part of ingest.)
+
+ANN_INC_MOD, ANN_INC_REM = 10, 7  # the oracled demo split: batch = 10%
+
+
+def fit_base_quantizer(spark: SparkSession, sf_dir: str):
+    """(emb, base, cdf): the full embedding frame, its base (pre-batch)
+    subset, and the coarse-quantizer centroid row FITTED ON BASE ONLY
+    — the pinned artifact every later batch is assigned with."""
+    from . import ml
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    base = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(ANN_INC_MOD)) != F.lit(ANN_INC_REM)
+    )
+    qv = base.select("vec_id", ml._qvec().alias("qv")).cache()
+    cents = ml.fit_centroids(
+        spark,
+        qv,
+        ml.K_CLUSTERS,
+        ml.KMEANS_ITERS,
+        memo_key=sf_dir,
+        tag="_ivfbase",
+    )
+    return emb, base, ml._cdf_of(spark, cents)
+
+
+def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracled incremental-ANN demo: vectors with
+    vec_id % ANN_INC_MOD == ANN_INC_REM arrive as the incoming batch
+    against an IVF index built from the other 90%; the batch is
+    coarse-assigned with the base-fitted quantizer (NO refit) and
+    unioned in — in the persisted twin (tests) the union is an
+    UpsertTable upsert.  Queries then serve top-k against the
+    maintained index: (query_id, vec_id, cos_sim, rank)."""
+    emb, base, cdf = fit_base_quantizer(spark, sf_dir)
+    batch = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(ANN_INC_MOD)) == F.lit(ANN_INC_REM)
+    )
+    index = ivf_assign_rows(base, cdf).unionByName(
+        ivf_assign_rows(batch, cdf)
+    )
+    return _ivf_probe_topk(index, emb, cdf, IVF_NPROBE_MULTI)
+
+
+def _ann_incremental_sql() -> str:
+    """DuckDB twin: centroid chain fitted on the base subset only, ALL
+    vectors assigned with those (pinned) centroids = the maintained
+    index, then the standard multi-probe serve."""
+    from . import ml
+
+    p = "inc"
+    d = ml.EMB_DIM
+    ctes = ml.centroid_ctes_sliced(
+        p,
+        0,
+        d,
+        ml.K_CLUSTERS,
+        ml.KMEANS_ITERS,
+        where=f"vec_id % {ANN_INC_MOD} <> {ANN_INC_REM}",
+    )
+    dist = " + ".join(
+        f"(q.q{j} - c.c{j}) * (q.q{j} - c.c{j})" for j in range(d)
+    )
+    final_c = f"{p}c{ml.KMEANS_ITERS - 1}"
+    qs_all = ", ".join(
+        f"CAST(FLOOR(embedding[{j + 1}]::DOUBLE * 10000.0 + 0.5) "
+        f"AS BIGINT) AS q{j}"
+        for j in range(d)
+    )
+    ctes.append(f"allq AS (SELECT vec_id, {qs_all} FROM embeddings)")
+    ctes.append(
+        f"idx AS (SELECT vec_id, cid FROM ("
+        f"SELECT q.vec_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM allq q, {final_c} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, cid FROM ("
+        f"SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS prn "
+        f"FROM allq q, {final_c} c WHERE q.vec_id < {N_QUERIES}) "
+        f"WHERE prn <= {IVF_NPROBE_MULTI})"
+    )
+    ctes.append(
+        """cand AS (
+  SELECT p.query_id, a.vec_id,
+    round(
+      list_dot_product(eq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM probes p
+  JOIN idx a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
         + f"""
 SELECT query_id, vec_id, cos_sim, rank FROM (
   SELECT *, ROW_NUMBER() OVER (
@@ -788,6 +939,7 @@ QUERIES = {
     "ml_knn_eval": knn_label_eval,
     "sim_hybrid_rrf": hybrid_rrf,
     "sim_pq_quantize": pq_quantize,
+    "sim_ann_incremental": ann_incremental,
 }
 
 ORACLE = {
@@ -799,4 +951,5 @@ ORACLE = {
     "ml_knn_eval": _KNN_SQL,
     "sim_hybrid_rrf": _hybrid_rrf_sql(),
     "sim_pq_quantize": _pq_sql(),
+    "sim_ann_incremental": _ann_incremental_sql(),
 }

@@ -1088,8 +1088,13 @@ ORDER BY event_type, bucket_us
 # ---------------------------------------------------------------------------
 #
 # An hour is a peak when its mean value is STRICTLY greater than the
-# means of the surrounding PEAK_W grid hours on each side (all
-# neighbors must exist — edges are never peaks).  Every comparison of
+# means of the PEAK_W nearest POPULATED grid hours on each side (all
+# neighbors must exist — edges are never peaks).  Neighbors are
+# row-adjacent existing hours via lag/lead, NOT calendar-adjacent:
+# across a gap in the grid the comparison window spans whatever hours
+# exist on the far side, however distant (ADVICE r7 — documented
+# semantics; add a max-gap guard if calendar adjacency is ever
+# needed).  Every comparison of
 # two rational means a1/c1 vs a2/c2 is done as the exact integer
 # cross-product a1*c2 > a2*c1 — no float enters the predicate, so the
 # flag cannot flip on engine ulp differences; only the REPORTED mean
@@ -1418,8 +1423,10 @@ ORDER BY event_type
 
 def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_pairs, slope) — Theil-Sen median pairwise slope
-    (centi-value units per hour) of the hourly centi-mean grid; lower
-    median with a deterministic (slope, h1, h2) order."""
+    (centi-value units per hour) of the hourly centi-mean grid; the
+    standard median: average of the two middle slopes when the pair
+    count is even (ADVICE r7 — the lower median biased slightly low),
+    deterministic (slope, h1, h2) rank order."""
     g = _hour_grid(spark, sf_dir)
     g2 = g.select(
         F.col("event_type").alias("et2"),
@@ -1449,12 +1456,17 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m"),
     )
+    # odd m: both rank expressions pick the same middle row (avg of 1);
+    # even m: ranks m/2 and m/2+1 — avg of the two middle slopes
     return (
-        ranked.filter(F.col("rn") == F.expr("(m + 1) DIV 2"))
-        .select(
-            "event_type",
-            F.col("m").alias("n_pairs"),
-            F.round(F.col("slope"), 6).alias("slope"),
+        ranked.filter(
+            (F.col("rn") == F.expr("(m + 1) DIV 2"))
+            | (F.col("rn") == F.expr("m DIV 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("m").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("slope"),
         )
         .orderBy("event_type")
     )
@@ -1475,8 +1487,10 @@ ranked AS (
     COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS m
   FROM pairs
 )
-SELECT event_type, m AS n_pairs, ROUND(slope, 6) AS slope
-FROM ranked WHERE rn = (m + 1) // 2
+SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+  ROUND(AVG(slope), 6) AS slope
+FROM ranked WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+GROUP BY event_type
 ORDER BY event_type
 """
 
@@ -1590,8 +1604,10 @@ ORDER BY event_type, hour_us
 # Bollinger-band breakouts — volatility-scaled anomaly flags
 # ---------------------------------------------------------------------------
 #
-# An hour breaks out when its centi-mean sits more than BOLL_K sample
-# standard deviations from the TRAILING BOLL_W-hour window (current
+# An hour breaks out when its centi-mean sits more than BOLL_K
+# POPULATION standard deviations (σ² = Σ(x−μ)²/c, no c−1 — ADVICE r7:
+# the predicate below is population variance; a sample-σ band at W=24
+# would sit ~2% wider) from the TRAILING BOLL_W-hour window (current
 # hour excluded — breakout vs history).  The flag never touches a
 # float: (x−μ)² > k²·σ²  ⟺  (c·x − s)² > k²·(c·ssq − s²) with s, ssq
 # exact BIGINT window sums — both sides exact integers, so the flag

@@ -72,6 +72,54 @@ def has_shuffle_exchange(df: DataFrame) -> bool:
     )
 
 
+def window_partition_specs(df: DataFrame) -> list[list[str]]:
+    """Base column names of each Window node's PARTITION BY spec, one
+    list per Window node in the physical plan (empty list = global
+    window).  Parsed from the formatted plan's Arguments line, whose
+    tail is `], [<partition cols>], [<order cols>]`; `#id` suffixes are
+    stripped so callers compare plain names.  The scale audit in
+    tests/test_plans.py uses this to forbid corpus-grain windows whose
+    spec is empty or constant-cardinality (VERDICT r7 finding #1)."""
+    import re
+
+    plan = formatted_plan(df).split("== Physical Plan ==")[-1]
+    lines = plan.splitlines()
+    specs: list[list[str]] = []
+    for i, line in enumerate(lines):
+        # exactly the Window node — NOT WindowGroupLimit (the map-side
+        # rank-limit pushdown, whose Arguments line has a different
+        # shape and no windowspecdefinition)
+        if not re.fullmatch(r"\(\d+\) Window", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if not lines[j].startswith("Arguments:"):
+                continue
+            # bracket groups: [window exprs] then, when non-empty,
+            # [partition cols] and/or [order cols] — the formatter
+            # OMITS empty lists, so a lone trailing group whose items
+            # carry ASC/DESC direction markers is the order list of a
+            # global (empty-spec) window
+            groups = re.findall(r"\[([^\[\]]*)\]", lines[j])
+            rest = groups[1:]
+            if len(rest) >= 2:
+                spec = rest[-2]
+            elif len(rest) == 1 and not (
+                " ASC" in rest[0] or " DESC" in rest[0]
+            ):
+                spec = rest[0]
+            else:
+                spec = ""
+            specs.append(
+                [
+                    re.sub(r"#\d+\w*", "", c.strip())
+                    for c in spec.split(",")
+                    if c.strip()
+                ]
+            )
+            break
+    return specs
+
+
 def partial_aggregation_count(df: DataFrame) -> int:
     """HashAggregate appears in partial+final pairs when map-side
     combine is active."""

@@ -47,3 +47,20 @@ def test_driver_window_ordering():
     # being new
     assert len(unproven) == len(qs) - len(e._DRIVER_PROVEN & set(qs))
     assert list(e.oracle_sql()) == qs  # same keys, same order
+
+
+def test_proven_gate_requires_hash_match():
+    """VERDICT r7 finding #2: the derived proven-status must equal the
+    driver's three-way gate — a rows+schema-only record is NOT proven
+    and must stay in the re-audit window."""
+    import __spark_entry__ as e
+
+    full = {"rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None}
+    assert e._rec_is_proven(full)
+    assert not e._rec_is_proven({**full, "hash_match": False})
+    assert not e._rec_is_proven({**full, "hash_match": None})
+    assert not e._rec_is_proven({**full, "rows_match": False})
+    assert not e._rec_is_proven({**full, "schema_match": False})
+    assert not e._rec_is_proven({**full, "err": "boom"})
+    assert not e._rec_is_proven("not-a-dict")

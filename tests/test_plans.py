@@ -600,3 +600,143 @@ def test_r7_late_ops_have_clean_plans(spark):
             )
         }
         assert len(ids) <= max_ids, body
+
+
+# --------------------------------------------------------------------------
+# Generalized constant-cardinality window guard (VERDICT r7 finding #1)
+# --------------------------------------------------------------------------
+#
+# A WindowExec whose partition spec is empty or built only from
+# constant-cardinality columns concentrates its WHOLE input in O(1)
+# tasks — the one shape that turns a correct plan into a 100 TB
+# scale-killer.  The rule: such a window is allowed ONLY when its input
+# frame is metadata-scale by construction.  Every allowance below is a
+# (count, grain) pair naming why the frame can't grow with the corpus:
+#
+#   bucket-offsets   the COARSE window of the ml_auc two-level prefix
+#                    sum: input = one row per (group, value-band) —
+#                    band count is domain-bounded, corpus-independent
+#   hour-grid        input = per-(type, hour) cells; grows with the
+#                    TIMESPAN, never with corpus rows (pair variants
+#                    are quadratic in the grid, still corpus-free)
+#   limit-then-rank  orderBy().limit(K) plans as TakeOrderedAndProject
+#                    BEFORE the window, so row_number ranks <= K rows
+#   rank-limit       rank <= K filter: Spark inserts a map-side
+#                    WindowGroupLimit, so the shuffle carries <= K rows
+#                    per input partition (asserted separately below)
+#   value-histogram  input = one row per DISTINCT value of a bounded
+#                    measure (count-of-counts, retention day, sample)
+
+CONSTANT_CARDINALITY_COLS = frozenset(
+    {
+        "l_returnflag", "l_linestatus", "event_type", "c_nationkey",
+        "n_nationkey", "n_name", "r_name", "o_orderstatus",
+        "o_orderpriority", "abc_class", "s_nationkey", "direction",
+        "rule", "lang", "source", "quality_band", "split", "kind",
+        "et", "et2", "event_type_a", "event_type_b",
+    }
+)
+
+CONSTANT_WINDOW_ALLOWANCE = {
+    # --- bucket-offsets (two-level prefix-sum coarse frames) ---
+    "ml_auc": (1, "bucket-offsets"),
+    "ml_spearman_corr": (2, "bucket-offsets"),  # one per rank axis
+    "bi_abc_parts": (1, "bucket-offsets"),
+    "bi_pareto_share": (1, "bucket-offsets"),
+    "bi_gini_revenue": (1, "bucket-offsets"),
+    "quality_ts_order_audit": (1, "bucket-offsets"),  # shard boundaries
+    "curation_pack_sequences": (1, "bucket-offsets"),
+    # --- hour-grid grain ---
+    "ts_bollinger_breakouts": (1, "hour-grid"),
+    "ts_lttb_downsample": (1, "hour-grid"),
+    "ts_peaks": (1, "hour-grid"),
+    "ts_sma_crossover": (2, "hour-grid"),
+    "ts_stl_decompose": (1, "hour-grid"),
+    "ts_theil_sen": (2, "hour-grid"),  # pair grain = grid^2, corpus-free
+    "ts_rolling_corr": (1, "hour-grid"),
+    "win_reach_curve": (1, "hour-grid"),  # day grain
+    # --- limit-then-rank (<= K-row frames) ---
+    "bi_basket_lift": (1, "limit-then-rank"),
+    "graph_jaccard_neighbors": (1, "limit-then-rank"),
+    "graph_pagerank": (1, "limit-then-rank"),
+    "graph_pref_attachment": (1, "limit-then-rank"),
+    "graph_resource_allocation": (1, "limit-then-rank"),
+    "graph_triangles": (1, "limit-then-rank"),
+    "sim_hybrid_rrf": (3, "limit-then-rank"),  # both legs + fused rank
+    "text_bm25": (1, "limit-then-rank"),
+    "text_bigram_lm": (1, "limit-then-rank"),
+    "text_keyness_llr": (1, "limit-then-rank"),
+    "text_pmi_collocations": (1, "limit-then-rank"),
+    "text_term_burstiness": (1, "limit-then-rank"),
+    "text_zipf_slope": (1, "limit-then-rank"),
+    # --- rank-limit (map-side WindowGroupLimit, asserted below) ---
+    "sample_weighted": (1, "rank-limit"),
+    "curation_bpe_pairs": (1, "rank-limit"),  # char-bigram domain too
+    # --- value-histogram / bounded-domain frames ---
+    "quality_key_skew": (1, "value-histogram"),  # count-of-counts rows
+    "ml_km_survival": (2, "value-histogram"),  # distinct retention days
+    "sketch_sample_quantiles": (1, "value-histogram"),  # k-row sample
+    "text_vocab_growth": (1, "value-histogram"),  # checkpoint grain
+    "curation_token_budget": (1, "value-histogram"),  # source grain acc
+}
+
+
+def test_no_corpus_grain_constant_window(spark):
+    """Sweep EVERY registered query's physical plan: a Window node
+    whose partition spec is empty or constant-cardinality-only must be
+    covered by a documented metadata-grain allowance — and the
+    allowance must stay tight (an entry that stops being needed fails
+    too, so the table can't rot)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    over, stale = {}, {}
+    for name, fn in sorted(qs.items()):
+        specs = E.window_partition_specs(fn(spark, SF_ORACLE))
+        n_bad = sum(
+            1
+            for s in specs
+            if not s or set(s) <= CONSTANT_CARDINALITY_COLS
+        )
+        allowed = CONSTANT_WINDOW_ALLOWANCE.get(name, (0, ""))[0]
+        if n_bad > allowed:
+            over[name] = (n_bad, allowed)
+        elif n_bad < allowed:
+            stale[name] = (n_bad, allowed)
+    assert not over, (
+        f"corpus-grain constant/empty-spec windows over allowance: {over}"
+    )
+    assert not stale, f"stale allowances (tighten the table): {stale}"
+
+
+def test_rank_limit_windows_group_limit_pushdown(spark):
+    """The 'rank-limit' allowance class is only sound because Spark
+    bounds the window input ahead of the shuffle — either a map-side
+    WindowGroupLimit (rank <= K filter) or a TakeOrderedAndProject
+    (LimitPushDownThroughWindow) — pin that one of them planned."""
+    from ingestprocessstoreinnrt_spark.operators import curation, textops
+
+    for df in (
+        textops.weighted_sample(spark, SF_ORACLE),
+        curation.bpe_pair_counts(spark, SF_ORACLE),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert (
+            "WindowGroupLimit" in body or "TakeOrderedAndProject" in body
+        ), body
+
+
+def test_ann_incremental_probe_is_cell_pruned(spark):
+    """The maintained-index serve must be CELL PRUNING: a broadcast
+    hash equi-join keyed on the inverted-list id (cid), never a
+    cartesian/corpus-wide nested loop."""
+    import re
+
+    from ingestprocessstoreinnrt_spark.operators import similarity
+
+    body = E.formatted_plan(
+        similarity.ann_incremental(spark, SF_ORACLE)
+    ).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert re.search(r"keys \[1\]: \[cid#\d+", body), body
+    assert "BroadcastHashJoin" in body, body

@@ -1105,3 +1105,53 @@ def test_reclaim_stale_breaks_dead_writer(spark, workdir):
     t.txn_log.reclaim_stale(t._data(), max_age_sec=0.0)
     t.apply_batch(1, mk([(1, 7)]), writer_id="w2")
     assert {r.n for r in t.read().filter("k=1").collect()} == {7}
+
+
+def test_streaming_ann_index_upsert_equals_batch(spark, workdir):
+    """Streaming twin of sim_ann_incremental (VERDICT r7 item 3):
+    embedding batches arrive as 2 file micro-batches; each is coarse-
+    assigned with the base-fitted quantizer inside foreachBatch and
+    upserted into the UpsertTable-persisted IVF index (exactly-once
+    via apply_batch) — no refit, no corpus rescan.  The maintained
+    index then serves top-k identically to a one-pass rebuild."""
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+
+    emb, base, cdf = sim.fit_base_quantizer(spark, SF_ORACLE)
+    table = UpsertTable(spark, workdir + "/ivf", ["vec_id"], num_buckets=4)
+    table.init(sim.ivf_assign_rows(base, cdf))
+    batch = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(sim.ANN_INC_MOD))
+        == F.lit(sim.ANN_INC_REM)
+    )
+    src = workdir + "/emb_stream"
+    # vec_id % 10 == 7 is always odd — chunk on the decade instead
+    batch.withColumn(
+        "chunk", F.pmod(F.floor(F.col("vec_id") / F.lit(10)), F.lit(2))
+    ).write.partitionBy("chunk").parquet(src)
+    chunk_schema = spark.read.parquet(src + "/chunk=0").schema
+
+    for c in range(2):
+        stream = spark.readStream.schema(chunk_schema).parquet(
+            f"{src}/chunk={c}"
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid, c=c: table.apply_batch(
+                    c, sim.ivf_assign_rows(df, cdf), namespace="ivf"
+                )
+            )
+            .option("checkpointLocation", f"{workdir}/ann_ckpt{c}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def serve(index):
+        return {
+            (r.query_id, r.vec_id): (r.cos_sim, r.rank)
+            for r in sim._ivf_probe_topk(
+                index, emb, cdf, sim.IVF_NPROBE_MULTI
+            ).collect()
+        }
+
+    assert serve(table.read()) == serve(sim.ivf_assign_rows(emb, cdf))
