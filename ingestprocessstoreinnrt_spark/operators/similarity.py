@@ -694,9 +694,10 @@ PQ_K = 16         # codes per subspace
 PQ_ITERS = 3
 
 
-def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, code0..code{M-1}, qerr) — per-vector PQ codes and the
-    exact squared-L2 reconstruction error in quantized (x1e4) units."""
+def _pq_codebook_row(spark: SparkSession, sf_dir: str):
+    """(emb, cdf): the embedding frame and the PQ_M*PQ_K codebook
+    centroids as ONE broadcastable row — the fitted artifact shared by
+    pq_quantize (encode) and pq_search (ADC serve)."""
     from . import ml
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -721,6 +722,26 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            for cid, cv in cs],)],
         "cents array<struct<m:int, cid:int, cv:array<bigint>>>",
     )
+    return emb, cdf
+
+
+def pq_encode_rows(emb_rows: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Encode embedding rows against a PINNED codebook row — a per-row
+    broadcast fold, no refit, no shuffle: (vec_id, code0.., qerr).
+    What an ingest job appends/upserts into the persisted code table
+    (the incremental-ANN maintenance pattern applied to PQ codes)."""
+    return _pq_encode(emb_rows, cdf)
+
+
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code0..code{M-1}, qerr) — per-vector PQ codes and the
+    exact squared-L2 reconstruction error in quantized (x1e4) units."""
+    emb, cdf = _pq_codebook_row(spark, sf_dir)
+    return _pq_encode(emb, cdf)
+
+
+def _pq_encode(emb: DataFrame, cdf: DataFrame) -> DataFrame:
+    from . import ml
 
     def best_of(m: int):
         # fold over the pre-projected subvector COLUMN (s{m}), not a
@@ -803,6 +824,133 @@ def _pq_sql() -> str:
         + f"\nSELECT a0.vec_id, {codes}, CAST({err} AS BIGINT) AS qerr\n"
         + "FROM " + "\n".join(joins)
         + "\nORDER BY a0.vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search — serving on the compressed corpus
+# ---------------------------------------------------------------------------
+#
+# The read path PQ exists for (Jégou, Douze & Schmid 2011, §IV): the
+# query stays FULL precision; per subspace a PQ_K-entry distance table
+# d(query_sub, centroid) is computed once (metadata-scale), and each
+# corpus vector's approximate distance is the sum of PQ_M table
+# LOOKUPS on its stored codes — the 64-float corpus is never touched.
+# Exactness: subvectors and centroids are quantized BIGINTs, so every
+# table entry and every ADC sum is an exact integer — the top-k rank
+# (adc ASC, vec_id ASC) cannot flip cross-engine.  Spark shape: the
+# per-query tables ride in ONE broadcast row set (N_QUERIES x M x K
+# entries); the corpus side is a scan of the CODE table (the
+# maintained artifact pq_quantize emits) + a per-row fold — at 100 TB
+# this scans PQ_M bytes/vector instead of 256, the entire point.
+
+PQ_SEARCH_TOPK = TOP_K
+
+
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank) — top-k nearest corpus
+    vectors per demo query by PQ asymmetric distance over the encoded
+    corpus; adc_dist in exact quantized (x1e4) squared-L2 units."""
+    from . import ml
+
+    emb, cdf = _pq_codebook_row(spark, sf_dir)
+    codes = pq_quantize(spark, sf_dir).select(
+        "vec_id", *[f"code{m}" for m in range(PQ_M)]
+    )
+
+    def _dfold(sub, c):
+        return F.aggregate(
+            F.zip_with(sub, c["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # per-query distance tables: one entry per (m, cid), exact BIGINT.
+    # NB: each lambda must stay 1-ARITY — a `m=m` default arg would
+    # make Spark bind the second parameter as the array INDEX.
+    def _dt_part(m: int):
+        def entry(c):
+            return F.struct(
+                c["m"].alias("m"),
+                c["cid"].alias("cid"),
+                _dfold(
+                    F.slice(F.col("qv"), m * PQ_SUBDIM + 1, PQ_SUBDIM), c
+                ).alias("d"),
+            )
+
+        return F.transform(
+            F.filter(F.col("cents"), lambda c: c["m"] == F.lit(m)), entry
+        )
+
+    dt_parts = [_dt_part(m) for m in range(PQ_M)]
+    qdt = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), ml._qvec().alias("qv"))
+        .join(F.broadcast(cdf))
+        .select("query_id", F.concat(*dt_parts).alias("dt"))
+    )
+
+    def _lookup(m: int):
+        def pred(e):
+            return (e["m"] == F.lit(m)) & (e["cid"] == F.col(f"code{m}"))
+
+        return F.element_at(F.filter(F.col("dt"), pred), 1)["d"]
+
+    adc = sum(_lookup(m) for m in range(PQ_M))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        codes.join(
+            F.broadcast(qdt), F.col("vec_id") != F.col("query_id")
+        )
+        .select("query_id", "vec_id", adc.cast("long").alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_SEARCH_TOPK)
+    )
+
+
+def _pq_search_sql() -> str:
+    from . import ml
+
+    last = PQ_ITERS - 1
+    chains = []
+    for m in range(PQ_M):
+        chains.extend(
+            ml.centroid_ctes_sliced(
+                f"p{m}_", m * PQ_SUBDIM, PQ_SUBDIM, PQ_K, PQ_ITERS
+            )
+        )
+    adc = " + ".join(
+        f"(q{m}.q{j} - c{m}.c{j}) * (q{m}.q{j} - c{m}.c{j})"
+        for m in range(PQ_M)
+        for j in range(PQ_SUBDIM)
+    )
+    joins = [f"p0_af a0 JOIN p0_c{last} c0 ON c0.cid = a0.cid"]
+    for m in range(1, PQ_M):
+        joins.append(f"JOIN p{m}_af a{m} ON a{m}.vec_id = a0.vec_id")
+        joins.append(f"JOIN p{m}_c{last} c{m} ON c{m}.cid = a{m}.cid")
+    joins.append(
+        f"JOIN p0_q q0 ON q0.vec_id < {N_QUERIES} AND q0.vec_id <> a0.vec_id"
+    )
+    for m in range(1, PQ_M):
+        joins.append(f"JOIN p{m}_q q{m} ON q{m}.vec_id = q0.vec_id")
+    return (
+        "WITH "
+        + ",\n".join(chains)
+        + f""",
+cand AS (
+  SELECT q0.vec_id AS query_id, a0.vec_id AS vec_id,
+    CAST({adc} AS BIGINT) AS adc_dist
+  FROM {chr(10).join(joins)}
+)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+  )::BIGINT AS rank
+  FROM cand
+) r
+WHERE rank <= {PQ_SEARCH_TOPK}"""
     )
 
 
@@ -939,6 +1087,7 @@ QUERIES = {
     "ml_knn_eval": knn_label_eval,
     "sim_hybrid_rrf": hybrid_rrf,
     "sim_pq_quantize": pq_quantize,
+    "sim_pq_search": pq_search,
     "sim_ann_incremental": ann_incremental,
 }
 
@@ -951,5 +1100,6 @@ ORACLE = {
     "ml_knn_eval": _KNN_SQL,
     "sim_hybrid_rrf": _hybrid_rrf_sql(),
     "sim_pq_quantize": _pq_sql(),
+    "sim_pq_search": _pq_search_sql(),
     "sim_ann_incremental": _ann_incremental_sql(),
 }
