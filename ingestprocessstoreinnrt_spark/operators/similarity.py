@@ -512,6 +512,63 @@ WHERE rank <= {TOP_K}"""
     )
 
 
+# --- ANN recall audit — approximate-vs-exact as an ORACLED metric -----------
+#
+# Recall@k of the multi-probe IVF serving path against the brute-force
+# exact top-k, per query — the acceptance metric every ANN deployment
+# tracks, here as a first-class audited query rather than a test-only
+# assertion (tests pin thresholds; this emits the number).  Both
+# rankings are already engine-exact (6dp-rounded cosine + id
+# tie-break), so the intersection — hence recall — is cell-exact
+# cross-engine.  Scale shape: both legs are bounded top-k frames
+# (k x N_QUERIES rows); the audit join is metadata-scale.
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall) — recall@TOP_K of the
+    multi-probe IVF path vs the exact cosine top-k, per demo query."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
+    approx = ann_ivf_multiprobe(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    j = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("vec_id") == F.col("a_vec")),
+        "left",
+    ).select(exact.query_id.alias("qid"), "vec_id", "a_vec")
+    g = j.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("a_vec").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return g.select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+            6,
+        ).alias("recall"),
+    ).orderBy("query_id")
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH e AS (SELECT query_id, vec_id FROM ({_TOPK_SQL})),
+v AS (SELECT query_id, vec_id FROM ({_ann_ivf_sql(IVF_NPROBE_MULTI)}))
+SELECT e.query_id, COUNT(*)::BIGINT AS n_exact,
+  CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  ROUND(CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE, 6) AS recall
+FROM e LEFT JOIN v ON e.query_id = v.query_id AND e.vec_id = v.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 # --- int8 storage quantization ---------------------------------------------
 #
 # The format a 100 TB embedding table actually ships in: per-vector
@@ -1089,6 +1146,7 @@ QUERIES = {
     "sim_pq_quantize": pq_quantize,
     "sim_pq_search": pq_search,
     "sim_ann_incremental": ann_incremental,
+    "sim_recall_eval": ann_recall_eval,
 }
 
 ORACLE = {
@@ -1102,4 +1160,5 @@ ORACLE = {
     "sim_pq_quantize": _pq_sql(),
     "sim_pq_search": _pq_search_sql(),
     "sim_ann_incremental": _ann_incremental_sql(),
+    "sim_recall_eval": _ann_recall_sql(),
 }

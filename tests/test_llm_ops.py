@@ -1039,3 +1039,14 @@ def test_pq_codes_incremental_upsert_equals_rebuilt(spark, tmp_path):
         for r in sim.pq_encode_rows(emb, cdf).collect()
     }
     assert got == want
+
+
+def test_ann_recall_eval_meets_multiprobe_tier(spark):
+    """The oracled recall audit must report the multi-probe tier's
+    operating point (r7 measured 0.95 on this corpus): overall
+    recall@k >= 0.9."""
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+
+    rows = sim.ann_recall_eval(spark, SF_ORACLE).collect()
+    overall = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
+    assert overall >= 0.9, f"multi-probe recall {overall:.3f}"
