@@ -740,3 +740,30 @@ def test_ann_incremental_probe_is_cell_pruned(spark):
     assert "CartesianProduct" not in body, body
     assert re.search(r"keys \[1\]: \[cid#\d+", body), body
     assert "BroadcastHashJoin" in body, body
+
+
+def test_r8_sim_ops_have_clean_plans(spark):
+    """Round-8 similarity additions: no cartesian anywhere; nested-loop
+    joins are only the bounded anchors (the <= N_QUERIES query panel
+    and the 1-row codebook/centroid rides — metadata-scale by
+    construction, the sim_topk_cosine serving shape).  recall_eval's
+    final audit join runs over two <= k x N_QUERIES frames, so its
+    join strategy is immaterial."""
+    import re
+
+    from ingestprocessstoreinnrt_spark.operators import similarity
+
+    for df, max_bnlj in (
+        (similarity.pq_search(spark, SF_ORACLE), 5),
+        (similarity.ann_recall_eval(spark, SF_ORACLE), 4),
+        (similarity.ann_incremental(spark, SF_ORACLE), 4),
+    ):
+        body = E.formatted_plan(df).split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in body, body
+        ids = {
+            m.group(1)
+            for m in re.finditer(
+                r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", body
+            )
+        }
+        assert len(ids) <= max_bnlj, body
