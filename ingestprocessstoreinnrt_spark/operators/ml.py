@@ -361,6 +361,8 @@ def fit_centroids(
         for i, r in enumerate(q.orderBy("vec_id").limit(k).collect())
     ]
     dim = len(cents[0][1]) if cents else EMB_DIM
+    # an undersized table yields len(cents) < k: iterate over the
+    # centroids that EXIST — range(k) would index past the init list
     for _ in range(iters - 1):
         got = _agg_pass(spark, q, cents)
         cents = [
@@ -373,7 +375,7 @@ def fit_centroids(
             )
             if i in got
             else cents[i]  # empty cluster keeps its centroid
-            for i in range(k)
+            for i in range(len(cents))
         ]
     if memo_key is not None:
         _CENTROID_MEMO[(memo_key, k, iters, tag)] = cents

@@ -117,19 +117,22 @@ def _signature(vec_col):
     return sig
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k with multi-probe: candidates share the query's
-    8-bit hyperplane bucket OR any bucket at hamming distance 1 (the 8
-    adjacent probes) — the standard recall lever for hyperplane LSH.
-    Candidate fraction ~9/256 of the corpus; exact cosine re-rank
-    inside.  At 100 TB the bucket column is precomputed and the table
-    partitioned by it, so a query touches 9 partitions."""
-    emb = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
-        .withColumn("bucket", _signature(F.col("embedding")))
-        .withColumn("nrm", norm2(F.col("embedding")))
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+def lsh_bucket_rows(emb_rows: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm, bucket) LSH bucket-index rows — what an
+    ingest job appends/upserts into the persisted bucket index.  The
+    signature is a pure row-local function of the embedding (NO fitted
+    artifact, unlike IVF/PQ), so maintenance is refit-free by
+    construction: maintained == rebuilt is tested, not assumed."""
+    return emb_rows.withColumn(
+        "bucket", _signature(F.col("embedding"))
+    ).withColumn("nrm", norm2(F.col("embedding")))
+
+
+def _lsh_probe_topk(index: DataFrame) -> DataFrame:
+    """Serve approximate top-k against a (vec_id, embedding, nrm,
+    bucket) index: candidates within hamming<=1 of the query's bucket
+    (multi-probe), exact cosine re-rank inside."""
+    q = index.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
@@ -145,7 +148,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
     )
     return (
-        emb.join(
+        index.join(
             F.broadcast(q),
             (hamming <= 1) & (F.col("vec_id") != F.col("query_id")),
         )
@@ -153,6 +156,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k with multi-probe: candidates share the query's
+    8-bit hyperplane bucket OR any bucket at hamming distance 1 (the 8
+    adjacent probes) — the standard recall lever for hyperplane LSH.
+    Candidate fraction ~9/256 of the corpus; exact cosine re-rank
+    inside.  At 100 TB the bucket column is precomputed and the table
+    partitioned by it, so a query touches 9 partitions."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return _lsh_probe_topk(lsh_bucket_rows(emb))
 
 
 def sql_signature(col: str = "embedding") -> str:
@@ -260,19 +274,15 @@ def ivf_assign_rows(emb_rows: DataFrame, cdf: DataFrame) -> DataFrame:
     ).select("vec_id", "embedding", "nrm", "cid")
 
 
-def _ivf_probe_topk(
-    index: DataFrame, emb: DataFrame, cdf: DataFrame, nprobe: int
-) -> DataFrame:
-    """Serve top-k against a maintained (vec_id, embedding, nrm, cid)
-    index: each demo query (vec_id < N_QUERIES of `emb`) probes its
-    `nprobe` nearest cells — cell pruning via a broadcast equi-join on
-    the cell id — and exact cosine re-ranks inside them."""
+def _centroid_probe_cids(nprobe: int):
+    """Array of the `nprobe` nearest coarse-centroid ids for the
+    current row's embedding — a per-row fold over the broadcast
+    `cents` row: score all k centroids, array_sort on (dist, cid),
+    keep the nprobe nearest.  Replaces a crossJoin + row_number
+    window: the metadata-size query side never shuffles.  Shared by
+    the IVF serve paths and the composed IVF-PQ serve."""
     from . import ml
 
-    # query probes: a per-row fold — score all k centroids, array_sort
-    # on (dist, cid), keep the nprobe nearest, explode.  Replaces a
-    # crossJoin + row_number window: the metadata-size query side
-    # never shuffles.
     def _cdist(qcol, c):
         return F.aggregate(
             F.zip_with(qcol, c["cv"], lambda a, b: (a - b) * (a - b)),
@@ -286,9 +296,19 @@ def _ivf_probe_topk(
             _cdist(ml._qvec(), c).alias("d"), c["cid"].alias("cid")
         ),
     )
-    probe_cids = F.transform(
+    return F.transform(
         F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
     )
+
+
+def _ivf_probe_topk(
+    index: DataFrame, emb: DataFrame, cdf: DataFrame, nprobe: int
+) -> DataFrame:
+    """Serve top-k against a maintained (vec_id, embedding, nrm, cid)
+    index: each demo query (vec_id < N_QUERIES of `emb`) probes its
+    `nprobe` nearest cells — cell pruning via a broadcast equi-join on
+    the cell id — and exact cosine re-ranks inside them."""
+    probe_cids = _centroid_probe_cids(nprobe)
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("qnrm", norm2(F.col("embedding")))
@@ -510,6 +530,34 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 ) r
 WHERE rank <= {TOP_K}"""
     )
+
+
+# --- incremental LSH-ANN maintenance (VERDICT r8 item 5) ---------------------
+#
+# The last serving tier without a maintained-index verb.  Unlike
+# IVF/PQ there is NO fitted artifact to pin — the bucket is a pure
+# row-local hash of the embedding — so an incoming batch is bucketed
+# with the same deterministic signature expression and upserted;
+# maintained == rebuilt holds by construction and is TESTED via the
+# UpsertTable twin (test_llm_ops), mirroring sim_ann_incremental.
+
+
+def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracled incremental LSH-ANN demo: the ANN_INC split's 10%
+    batch is bucketed row-locally and unioned into the base bucket
+    index (an UpsertTable upsert in the persisted twin); queries serve
+    multi-probe top-k against the maintained index.  Output contract
+    matches sim_ann_lsh — the cross-engine oracle doubles as the
+    maintained-equals-rebuilt proof."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    base = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(ANN_INC_MOD)) != F.lit(ANN_INC_REM)
+    )
+    batch = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(ANN_INC_MOD)) == F.lit(ANN_INC_REM)
+    )
+    index = lsh_bucket_rows(base).unionByName(lsh_bucket_rows(batch))
+    return _lsh_probe_topk(index)
 
 
 # --- ANN recall audit — approximate-vs-exact as an ORACLED metric -----------
@@ -794,10 +842,15 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, code0..code{M-1}, qerr) — per-vector PQ codes and the
     exact squared-L2 reconstruction error in quantized (x1e4) units."""
     emb, cdf = _pq_codebook_row(spark, sf_dir)
-    return _pq_encode(emb, cdf)
+    return _pq_encode(emb, cdf, ordered=True)
 
 
-def _pq_encode(emb: DataFrame, cdf: DataFrame) -> DataFrame:
+def _pq_encode(
+    emb: DataFrame,
+    cdf: DataFrame,
+    ordered: bool = False,
+    keep: tuple = (),
+) -> DataFrame:
     from . import ml
 
     def best_of(m: int):
@@ -830,26 +883,33 @@ def _pq_encode(emb: DataFrame, cdf: DataFrame) -> DataFrame:
 
     sliced = emb.select(
         "vec_id",
+        *keep,
         ml._qvec().alias("qv"),
     ).select(
         "vec_id",
+        *keep,
         *[
             F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"s{m}")
             for m in range(PQ_M)
         ],
     )
     enc = sliced.join(F.broadcast(cdf)).select(
-        "vec_id", *[best_of(m).alias(f"b{m}") for m in range(PQ_M)]
+        "vec_id", *keep, *[best_of(m).alias(f"b{m}") for m in range(PQ_M)]
     )
     qerr = sum(F.col(f"b{m}")["d"] for m in range(PQ_M))
-    return enc.select(
+    out = enc.select(
         "vec_id",
+        *keep,
         *[
             F.col(f"b{m}")["cid"].cast("int").alias(f"code{m}")
             for m in range(PQ_M)
         ],
         qerr.cast("long").alias("qerr"),
-    ).orderBy("vec_id")
+    )
+    # the global sort exists ONLY for the oracled pq_quantize result
+    # contract; serving/ingest consumers (pq_search, pq_encode_rows)
+    # skip it — a corpus-wide range shuffle buys them nothing
+    return out.orderBy("vec_id") if ordered else out
 
 
 def _pq_sql() -> str:
@@ -904,16 +964,12 @@ def _pq_sql() -> str:
 PQ_SEARCH_TOPK = TOP_K
 
 
-def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id, adc_dist, rank) — top-k nearest corpus
-    vectors per demo query by PQ asymmetric distance over the encoded
-    corpus; adc_dist in exact quantized (x1e4) squared-L2 units."""
-    from . import ml
-
-    emb, cdf = _pq_codebook_row(spark, sf_dir)
-    codes = pq_quantize(spark, sf_dir).select(
-        "vec_id", *[f"code{m}" for m in range(PQ_M)]
-    )
+def _pq_query_dt_col():
+    """Per-query PQ distance-table column: array<struct<m,cid,d>> with
+    one exact-BIGINT entry per (subspace, code) — computed from the
+    quantized query column `qv` and the broadcast codebook column
+    `cents`.  NB: each lambda must stay 1-ARITY — a `m=m` default arg
+    would make Spark bind the second parameter as the array INDEX."""
 
     def _dfold(sub, c):
         return F.aggregate(
@@ -922,30 +978,34 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    # per-query distance tables: one entry per (m, cid), exact BIGINT.
-    # NB: each lambda must stay 1-ARITY — a `m=m` default arg would
-    # make Spark bind the second parameter as the array INDEX.
     def _dt_part(m: int):
+        # named_struct, not struct+alias: alias-derived field names on
+        # lambda-internal aggregates are plan-context-sensitive (the
+        # same expression resolved `d` standalone but `col3` after an
+        # upstream join in ivfpq_search) — named_struct pins them
         def entry(c):
-            return F.struct(
-                c["m"].alias("m"),
-                c["cid"].alias("cid"),
+            return F.named_struct(
+                F.lit("m"),
+                c["m"],
+                F.lit("cid"),
+                c["cid"],
+                F.lit("d"),
                 _dfold(
                     F.slice(F.col("qv"), m * PQ_SUBDIM + 1, PQ_SUBDIM), c
-                ).alias("d"),
+                ),
             )
 
         return F.transform(
             F.filter(F.col("cents"), lambda c: c["m"] == F.lit(m)), entry
         )
 
-    dt_parts = [_dt_part(m) for m in range(PQ_M)]
-    qdt = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), ml._qvec().alias("qv"))
-        .join(F.broadcast(cdf))
-        .select("query_id", F.concat(*dt_parts).alias("dt"))
-    )
+    return F.concat(*[_dt_part(m) for m in range(PQ_M)])
+
+
+def _pq_adc_col():
+    """ADC distance of the current row's codes (`code0..`) against the
+    query's distance-table column `dt`: PQ_M table lookups summed —
+    exact BIGINT, never touches the raw corpus vector."""
 
     def _lookup(m: int):
         def pred(e):
@@ -953,7 +1013,26 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return F.element_at(F.filter(F.col("dt"), pred), 1)["d"]
 
-    adc = sum(_lookup(m) for m in range(PQ_M))
+    return sum(_lookup(m) for m in range(PQ_M))
+
+
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank) — top-k nearest corpus
+    vectors per demo query by PQ asymmetric distance over the encoded
+    corpus; adc_dist in exact quantized (x1e4) squared-L2 units."""
+    from . import ml
+
+    emb, cdf = _pq_codebook_row(spark, sf_dir)
+    codes = _pq_encode(emb, cdf).select(
+        "vec_id", *[f"code{m}" for m in range(PQ_M)]
+    )
+    qdt = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), ml._qvec().alias("qv"))
+        .join(F.broadcast(cdf))
+        .select("query_id", _pq_query_dt_col().alias("dt"))
+    )
+    adc = _pq_adc_col()
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -1009,6 +1088,261 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
 ) r
 WHERE rank <= {PQ_SEARCH_TOPK}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed serving — the production 100 TB ANN layout
+# ---------------------------------------------------------------------------
+#
+# The composition every large-scale ANN deployment actually runs
+# (Jégou, Douze & Schmid 2011 §V; VERDICT r8 item 1): IVF alone
+# re-reads raw vectors inside probed cells, PQ alone scans every code —
+# composed, a query (1) probes its nprobe nearest IVF cells, (2) scores
+# ONLY the PQ codes inside those cells with asymmetric distance, and
+# (3) exact-re-ranks the small ADC shortlist against raw vectors.
+#
+# Spark shape: the index is ONE scan of the corpus emitting
+# (vec_id, cid, code0..M-1) — coarse-assign fold + PQ-encode fold, both
+# against broadcast fitted artifacts, no join; at 100 TB this is the
+# persisted table, partitioned by cid with the codes stored IN the
+# inverted lists.  Serving: probes + per-query distance tables ride in
+# one broadcast row set; the candidate scan is a broadcast equi-join on
+# cid touching nprobe/k of the codes (PQ_M bytes/vector); the re-rank
+# fetches raw vectors for only |queries| x IVFPQ_SHORTLIST ids via a
+# broadcast semi-join on vec_id.  Determinism: ADC sums are exact
+# BIGINTs with a vec_id tie-break, so the shortlist is cell-identical
+# cross-engine; the final cosine uses the module-wide 6dp-round +
+# tie-break recipe.
+
+IVFPQ_NPROBE = IVF_NPROBE_MULTI
+# ADC shortlist depth = the composed path's recall lever, CALIBRATED
+# like IVF_NPROBE: this corpus is near-orthogonal (module docstring),
+# so the 16-bit PQ code carries little neighbor signal and recall
+# tracks the re-ranked FRACTION — measured at sf0.1: 40 -> 0.46,
+# 160 -> 0.78, 320 -> 0.88 (vs 0.95 for uncompressed IVF multiprobe).
+# 320 ids/query is still <1% of the probed cells at sf0.1 and a
+# constant metadata-scale re-rank at any corpus size; on a real corpus
+# with true near-neighbors (cos > 0.9) ADC concentrates them in the
+# first tens of candidates and the same machinery runs a far shorter
+# shortlist.
+IVFPQ_SHORTLIST = 32 * TOP_K
+
+
+def ivfpq_index_rows(
+    emb_rows: DataFrame, cdf: DataFrame, pq_cdf: DataFrame
+) -> DataFrame:
+    """(vec_id, cid, code0..code{M-1}) composed-index rows from ONE
+    scan: nearest-cell fold against the pinned coarse quantizer + PQ
+    encode fold against the pinned codebooks.  What an ingest job
+    appends/upserts into the persisted IVF-PQ index (both constituent
+    maintenance verbs — ivf_assign_rows, pq_encode_rows — are already
+    incrementally maintained and tested)."""
+    assigned = ivf_assign_rows(emb_rows, cdf)  # vec_id, embedding, nrm, cid
+    return _pq_encode(assigned, pq_cdf, keep=("cid",)).drop("qerr")
+
+
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank) — top-k per demo query served
+    by the composed path: IVF cell pruning -> PQ ADC over codes in the
+    probed cells -> exact cosine re-rank of the ADC shortlist."""
+    from . import ml
+
+    emb, pq_cdf = _pq_codebook_row(spark, sf_dir)
+    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
+    )
+    cdf = ml._cdf_of(spark, cents)
+    index = ivfpq_index_rows(emb, cdf, pq_cdf)
+
+    # query side: probed cells (vs the coarse-centroid row) + the PQ
+    # distance tables (vs the codebook row) — two broadcast joins on a
+    # |N_QUERIES|-row frame, all metadata-scale
+    q1 = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cdf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            _centroid_probe_cids(IVFPQ_NPROBE).alias("pcids"),
+        )
+    )
+    qprobe = (
+        q1.select("query_id", "pcids", ml._qvec().alias("qv"))
+        .join(F.broadcast(pq_cdf))
+        .select(
+            "query_id",
+            _pq_query_dt_col().alias("dt"),
+            F.explode("pcids").alias("cid"),
+        )
+    )
+
+    # ADC scan restricted to probed cells: broadcast equi-join on cid,
+    # then PQ_M table lookups per (candidate, query) — codes only, the
+    # raw corpus vector is never read here
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        index.join(
+            F.broadcast(qprobe),
+            (index.cid == qprobe.cid) & (index.vec_id != qprobe.query_id),
+        )
+        .select(
+            "query_id",
+            index.vec_id.alias("vec_id"),
+            _pq_adc_col().cast("long").alias("adc_dist"),
+        )
+        .withColumn("srn", F.row_number().over(wshort))
+        .filter(F.col("srn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+
+    # exact re-rank: fetch raw vectors for the bounded shortlist only
+    # (broadcast join on vec_id prunes the scan), cosine vs the raw
+    # query vectors (a second broadcast), module-wide rank recipe
+    qraw = q1.select(
+        F.col("query_id").alias("rq_id"),
+        F.col("embedding").alias("qv_raw"),
+        norm2(F.col("embedding")).alias("qnrm"),
+    )
+    corpus = emb.withColumn("nrm", norm2(F.col("embedding")))
+    cos = F.round(
+        dot(F.col("qv_raw"), F.col("embedding"))
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qraw), F.col("query_id") == F.col("rq_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB twin: shared IVF centroid chain (af = inverted lists) +
+    the PQ subspace chains (p{m}_af = code table), probe -> ADC ->
+    shortlist -> exact re-rank, all boundaries on exact integers."""
+    from . import ml
+
+    last = PQ_ITERS - 1
+    ctes = ml.centroid_ctes()  # q, c{iters-1}, af
+    for m in range(PQ_M):
+        ctes.extend(
+            ml.centroid_ctes_sliced(
+                f"p{m}_", m * PQ_SUBDIM, PQ_SUBDIM, PQ_K, PQ_ITERS
+            )
+        )
+    d = ml.EMB_DIM
+    dist = " + ".join(
+        f"(q.q{j} - c.c{j}) * (q.q{j} - c.c{j})" for j in range(d)
+    )
+    final_c = f"c{ml.KMEANS_ITERS - 1}"
+    ctes.append(
+        f"probes AS (SELECT query_id, cid FROM ("
+        f"SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS prn "
+        f"FROM q, {final_c} c WHERE q.vec_id < {N_QUERIES}) "
+        f"WHERE prn <= {IVFPQ_NPROBE})"
+    )
+    adc = " + ".join(
+        f"(qq{m}.q{j} - cc{m}.c{j}) * (qq{m}.q{j} - cc{m}.c{j})"
+        for m in range(PQ_M)
+        for j in range(PQ_SUBDIM)
+    )
+    code_joins = []
+    for m in range(PQ_M):
+        code_joins.append(f"JOIN p{m}_af aa{m} ON aa{m}.vec_id = a.vec_id")
+        code_joins.append(f"JOIN p{m}_c{last} cc{m} ON cc{m}.cid = aa{m}.cid")
+        code_joins.append(f"JOIN p{m}_q qq{m} ON qq{m}.vec_id = p.query_id")
+    ctes.append(
+        f"""cand AS (
+  SELECT p.query_id, a.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+  FROM probes p
+  JOIN af a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  {chr(10).join(code_joins)})"""
+    )
+    ctes.append(
+        f"short AS (SELECT query_id, vec_id FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY adc_dist ASC, vec_id ASC) AS srn FROM cand) "
+        f"WHERE srn <= {IVFPQ_SHORTLIST})"
+    )
+    ctes.append(
+        """rr AS (
+  SELECT s.query_id, s.vec_id,
+    round(
+      list_dot_product(eq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings eq ON eq.vec_id = s.query_id)"""
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+  )::BIGINT AS rank
+  FROM rr
+) r
+WHERE rank <= {TOP_K}"""
+    )
+
+
+def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall) — recall@TOP_K of the
+    composed IVF-PQ serving path vs the exact cosine top-k: the
+    acceptance metric for the compressed-serving layout, audited
+    cross-engine like sim_recall_eval."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "vec_id")
+    approx = ivfpq_search(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    j = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("vec_id") == F.col("a_vec")),
+        "left",
+    ).select(exact.query_id.alias("qid"), "vec_id", "a_vec")
+    g = j.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("a_vec").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return g.select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+            6,
+        ).alias("recall"),
+    ).orderBy("query_id")
+
+
+def _ivfpq_recall_sql() -> str:
+    return f"""
+WITH e AS (SELECT query_id, vec_id FROM ({_TOPK_SQL})),
+v AS (SELECT query_id, vec_id FROM ({_ivfpq_sql()}))
+SELECT e.query_id, COUNT(*)::BIGINT AS n_exact,
+  CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  ROUND(CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE, 6) AS recall
+FROM e LEFT JOIN v ON e.query_id = v.query_id AND e.vec_id = v.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1147,6 +1481,9 @@ QUERIES = {
     "sim_pq_search": pq_search,
     "sim_ann_incremental": ann_incremental,
     "sim_recall_eval": ann_recall_eval,
+    "sim_ivfpq_search": ivfpq_search,
+    "sim_ivfpq_recall": ivfpq_recall_eval,
+    "sim_ann_lsh_incremental": ann_lsh_incremental,
 }
 
 ORACLE = {
@@ -1161,4 +1498,9 @@ ORACLE = {
     "sim_pq_search": _pq_search_sql(),
     "sim_ann_incremental": _ann_incremental_sql(),
     "sim_recall_eval": _ann_recall_sql(),
+    "sim_ivfpq_search": _ivfpq_sql(),
+    "sim_ivfpq_recall": _ivfpq_recall_sql(),
+    # row-local signature => maintained index == rebuilt index: the
+    # incremental serve twins against the SAME bucket-index SQL
+    "sim_ann_lsh_incremental": _ann_lsh_sql(),
 }

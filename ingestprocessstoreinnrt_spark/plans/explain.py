@@ -72,6 +72,30 @@ def has_shuffle_exchange(df: DataFrame) -> bool:
     )
 
 
+def _bracket_groups(line: str) -> list[str]:
+    """Top-level `[...]` group contents of an Arguments line, parsed
+    with a balanced depth scan — a nested bracket inside the
+    window-expressions group (array literal, future type formats)
+    cannot shift the partition/order groups the way a flat regex
+    findall would (ADVICE r8)."""
+    groups: list[str] = []
+    depth, start = 0, -1
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(line[start:i])
+            elif depth < 0:
+                raise ValueError(f"unbalanced brackets in plan line: {line}")
+    if depth != 0:
+        raise ValueError(f"unbalanced brackets in plan line: {line}")
+    return groups
+
+
 def window_partition_specs(df: DataFrame) -> list[list[str]]:
     """Base column names of each Window node's PARTITION BY spec, one
     list per Window node in the physical plan (empty list = global
@@ -98,8 +122,15 @@ def window_partition_specs(df: DataFrame) -> list[list[str]]:
             # [partition cols] and/or [order cols] — the formatter
             # OMITS empty lists, so a lone trailing group whose items
             # carry ASC/DESC direction markers is the order list of a
-            # global (empty-spec) window
-            groups = re.findall(r"\[([^\[\]]*)\]", lines[j])
+            # global (empty-spec) window.  Balanced scan, and fail
+            # loudly on an unexpected shape: a silently-misread spec
+            # would hollow out the corpus-grain window guard.
+            groups = _bracket_groups(lines[j])
+            if not 1 <= len(groups) <= 3:
+                raise ValueError(
+                    f"unexpected Window Arguments shape ({len(groups)} "
+                    f"bracket groups): {lines[j]}"
+                )
             rest = groups[1:]
             if len(rest) >= 2:
                 spec = rest[-2]

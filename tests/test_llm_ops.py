@@ -1050,3 +1050,92 @@ def test_ann_recall_eval_meets_multiprobe_tier(spark):
     rows = sim.ann_recall_eval(spark, SF_ORACLE).collect()
     overall = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
     assert overall >= 0.9, f"multi-probe recall {overall:.3f}"
+
+
+def test_lsh_ann_maintained_bucket_index_equals_rebuilt(spark, tmp_path):
+    """VERDICT r8 item 5: the LSH-ANN bucket index maintained through
+    UpsertTable upserts — base corpus bucketed at build time, two
+    incoming batches bucketed with the same row-local signature and
+    upserted — serves top-k EXACTLY like a rebuilt index, and exactly
+    like the oracled sim_ann_lsh_incremental composition."""
+    from ingestprocessstoreinnrt_spark.catalog import fan_out, load_table
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+    from pyspark.sql import functions as F
+
+    emb = fan_out(load_table(spark, SF_ORACLE, "embeddings"))
+    base = emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(sim.ANN_INC_MOD))
+        != F.lit(sim.ANN_INC_REM)
+    )
+    table = UpsertTable(
+        spark, str(tmp_path / "lshann"), ["vec_id"], num_buckets=4
+    )
+    table.init(sim.lsh_bucket_rows(base))
+    for rem in (sim.ANN_INC_REM, sim.ANN_INC_REM + sim.ANN_INC_MOD):
+        sub = emb.filter(
+            F.pmod(F.col("vec_id"), F.lit(2 * sim.ANN_INC_MOD))
+            == F.lit(rem)
+        )
+        table.upsert(sim.lsh_bucket_rows(sub))
+
+    def serve(index):
+        return {
+            (r.query_id, r.vec_id): (r.cos_sim, r.rank)
+            for r in sim._lsh_probe_topk(index).collect()
+        }
+
+    maintained = serve(table.read())
+    rebuilt = serve(sim.lsh_bucket_rows(emb))
+    assert maintained == rebuilt
+    oracled = {
+        (r.query_id, r.vec_id): (r.cos_sim, r.rank)
+        for r in sim.ann_lsh_incremental(spark, SF_ORACLE).collect()
+    }
+    assert maintained == oracled
+
+
+def test_ivfpq_maintained_index_equals_rebuilt(spark, tmp_path):
+    """The COMPOSED index frame (vec_id, cid, codes) is maintainable
+    with the same pinned artifacts: base built + batch upserted ==
+    one-pass rebuild (both constituent folds are pure per-row
+    functions of the pinned quantizer/codebooks)."""
+    from ingestprocessstoreinnrt_spark.catalog import fan_out, load_table
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+    from pyspark.sql import functions as F
+
+    emb, pq_cdf = sim._pq_codebook_row(spark, SF_ORACLE)
+    qv = emb.select("vec_id", ml._qvec().alias("qv"))
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=SF_ORACLE
+    )
+    cdf = ml._cdf_of(spark, cents)
+    is_batch = (
+        F.pmod(F.col("vec_id"), F.lit(sim.ANN_INC_MOD))
+        == F.lit(sim.ANN_INC_REM)
+    )
+    table = UpsertTable(
+        spark, str(tmp_path / "ivfpq"), ["vec_id"], num_buckets=4
+    )
+    table.init(sim.ivfpq_index_rows(emb.filter(~is_batch), cdf, pq_cdf))
+    table.upsert(sim.ivfpq_index_rows(emb.filter(is_batch), cdf, pq_cdf))
+    cols = ["vec_id", "cid"] + [f"code{m}" for m in range(sim.PQ_M)]
+    got = {tuple(r[c] for c in cols) for r in table.read().collect()}
+    want = {
+        tuple(r[c] for c in cols)
+        for r in sim.ivfpq_index_rows(emb, cdf, pq_cdf).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_recall_meets_calibrated_tier(spark):
+    """The composed IVF-PQ path at the calibrated shortlist depth
+    (IVFPQ_SHORTLIST — see the constant's measured table) must hold
+    its operating point: overall recall@k >= 0.75 at the oracle SF."""
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+
+    rows = sim.ivfpq_recall_eval(spark, SF_ORACLE).collect()
+    overall = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
+    assert overall >= 0.75, f"ivfpq recall {overall:.3f}"

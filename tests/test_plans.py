@@ -767,3 +767,40 @@ def test_r8_sim_ops_have_clean_plans(spark):
             )
         }
         assert len(ids) <= max_bnlj, body
+
+
+def test_r9_sim_ops_have_clean_plans(spark):
+    """Round-9 similarity additions: the composed IVF-PQ serve is cell
+    pruned (broadcast hash equi-join keyed on cid, codes-only corpus
+    side), never cartesian; nested-loop joins stay the bounded anchors
+    (<= N_QUERIES query panel, 1-row artifact rides).  The incremental
+    LSH serve keeps sim_ann_lsh's shape: its hamming<=1 probe is a
+    nested-loop against the 8-row broadcast query panel only."""
+    import re
+
+    from ingestprocessstoreinnrt_spark.operators import similarity
+
+    body = E.formatted_plan(
+        similarity.ivfpq_search(spark, SF_ORACLE)
+    ).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert re.search(r"keys \[1\]: \[cid#\d+", body), body
+    assert "BroadcastHashJoin" in body, body
+    # 8 = the 1-row artifact rides only: coarse-centroid row + codebook
+    # row on each of (index build, probe side, dt side) plus the
+    # re-planned qraw arm — every BNLJ build side is <= N_QUERIES rows
+    ids = {
+        m.group(1)
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", body)
+    }
+    assert len(ids) <= 8, body
+
+    body2 = E.formatted_plan(
+        similarity.ann_lsh_incremental(spark, SF_ORACLE)
+    ).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body2, body2
+    ids2 = {
+        m.group(1)
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", body2)
+    }
+    assert len(ids2) <= 1, body2

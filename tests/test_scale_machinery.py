@@ -237,3 +237,21 @@ def test_semdedup_design_grain_pair_counts_bounded(spark):
         assigned, ["cid"], id_col="vec_id"
     ).count()
     assert got == total_pairs
+
+
+def test_fit_centroids_undersized_table(spark):
+    """A table with fewer than k rows must fit without IndexError: the
+    update loop iterates the centroids that exist (ADVICE r8) and the
+    fit degrades to one centroid per row."""
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    rows = [(i, [i * 10] * 4) for i in range(3)]  # 3 rows, ask k=8
+    qv = spark.createDataFrame(rows, "vec_id long, qv array<bigint>")
+    cents = ml.fit_centroids(spark, qv, k=8, iters=3, memo_key=None)
+    assert len(cents) == 3
+    # each row is its own nearest centroid, so Lloyd's is a fixpoint
+    assert [cv for _, cv in cents] == [[0] * 4, [10] * 4, [20] * 4]
+
+    # empty table: no clusters, no crash
+    empty = qv.filter(F.col("vec_id") < 0)
+    assert ml.fit_centroids(spark, empty, k=8, iters=3, memo_key=None) == []
