@@ -144,3 +144,18 @@ def oracle_sql() -> dict[str, str]:
                 basket, jsonops, dss, bloom):
         out.update(mod.ORACLE)
     return _ordered(out)
+
+
+def oracle_sql_mat() -> dict[str, list[str]]:
+    """Materialized (temp-table) twin formulations for the few oracles
+    whose single-statement CTE form re-derives a shared pair/wedge
+    frame per inlined reference — multi-hour at sf1 for DuckDB-side
+    reasons only.  Each value is a statement list: setup temp tables,
+    then the final SELECT.  Semantics are pinned equal to the plain
+    oracle at sf0.01 (tests/test_entry_contract.py); consumed by
+    tools/oracle_check.py --mat for the full-surface sf1 sweep.  NOT
+    part of the driver contract — the driver runs oracle_sql()."""
+    out: dict[str, list[str]] = {}
+    for mod in (dedup, basket):
+        out.update(getattr(mod, "ORACLE_MAT", {}))
+    return out

@@ -918,3 +918,52 @@ ORACLE = {
     "graph_assortativity": _ASSORT_SQL,
     "graph_rich_club": _rich_club_sql(),
 }
+
+
+# --- materialized oracle twin for the sf1 sweep (VERDICT r8 item 2) ---------
+#
+# The rich-club CTE form re-derives the co-purchase pair frame (pc —
+# quadratic in basket size) once per inlined reference: e feeds adj
+# twice, ec once, and deg flows into ec twice and nc once.  The mat
+# twin builds the thresholded edge list and degree table ONCE as temp
+# tables; every aggregate after that is metadata-scale.  Same integer
+# counts into the same float expression => cell-identical; pinned
+# against the plain oracle at sf0.01.
+
+
+def _rich_club_mat() -> list[str]:
+    ecols = ", ".join(
+        f"CAST(SUM(CASE WHEN d1.deg > {k} AND d2.deg > {k} THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS e{k}"
+        for k in RICH_CLUB_KS
+    )
+    ncols = ", ".join(
+        f"CAST(SUM(CASE WHEN deg > {k} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n{k}"
+        for k in RICH_CLUB_KS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS k, n{k} AS n_nodes, e{k} AS n_edges, "
+        f"CASE WHEN n{k} >= 2 THEN ROUND(2.0 * e{k}::DOUBLE "
+        f"/ (n{k}::DOUBLE * (n{k} - 1)::DOUBLE), 6) END AS phi "
+        f"FROM mat_ec CROSS JOIN mat_nc"
+        for k in RICH_CLUB_KS
+    )
+    return [
+        f"CREATE OR REPLACE TEMP TABLE mat_e AS WITH {_PAIRS_SQL} "
+        f"SELECT p1, p2 FROM pc WHERE pair_orders >= {MIN_PAIR_ORDERS}",
+        "CREATE OR REPLACE TEMP TABLE mat_deg AS "
+        "SELECT a, COUNT(*)::BIGINT AS deg FROM ("
+        "SELECT p1 AS a FROM mat_e UNION ALL SELECT p2 FROM mat_e"
+        ") adj GROUP BY a",
+        f"CREATE OR REPLACE TEMP TABLE mat_ec AS SELECT {ecols} "
+        f"FROM mat_e e JOIN mat_deg d1 ON e.p1 = d1.a "
+        f"JOIN mat_deg d2 ON e.p2 = d2.a",
+        f"CREATE OR REPLACE TEMP TABLE mat_nc AS SELECT {ncols} FROM mat_deg",
+        f"SELECT * FROM ({rows}) ORDER BY k",
+    ]
+
+
+ORACLE_MAT = {
+    "graph_rich_club": _rich_club_mat(),
+}

@@ -64,3 +64,31 @@ def test_proven_gate_requires_hash_match():
     assert not e._rec_is_proven({**full, "schema_match": False})
     assert not e._rec_is_proven({**full, "err": "boom"})
     assert not e._rec_is_proven("not-a-dict")
+
+
+def test_mat_oracle_twins_equal_plain_oracles(duck):
+    """Every materialized sf1 twin (oracle_sql_mat) must produce the
+    EXACT result of its single-statement oracle at the oracle SF —
+    same columns, same sorted rows, cell-for-cell (the mat form is a
+    factoring of the same SQL, never a reformulation of semantics)."""
+    import __spark_entry__ as e
+    from tools.oracle_check import _norm_rows
+
+    oracles = e.oracle_sql()
+    mats = e.oracle_sql_mat()
+    assert mats, "mat registry must not be empty"
+    for name, stmts in mats.items():
+        assert name in oracles, name
+        assert len(stmts) >= 2, name
+        res = duck.execute(oracles[name])
+        pcols = [d[0] for d in res.description]
+        prows = res.fetchall()
+        for stmt in stmts[:-1]:
+            duck.execute(stmt)
+        res = duck.execute(stmts[-1])
+        mcols = [d[0] for d in res.description]
+        mrows = res.fetchall()
+        pc, pr = _norm_rows(pcols, prows)
+        mc, mr = _norm_rows(mcols, mrows)
+        assert pc == mc, f"{name}: columns {pc} vs {mc}"
+        assert pr == mr, f"{name}: {len(pr)} vs {len(mr)} rows or values"

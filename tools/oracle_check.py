@@ -6,7 +6,12 @@ names/order-insensitive schema, and exact cell values (stricter than a
 value-hash: floats must match bit-for-bit, which the decimal-sum contract
 in functions.scalars guarantees).
 
-Usage:  python tools/oracle_check.py [sf_dir] [query ...]
+Usage:  python tools/oracle_check.py [--mat] [sf_dir] [query ...]
+
+--mat: for queries that publish a materialized twin formulation
+(``__spark_entry__.oracle_sql_mat``), run that statement list (shared
+frames as temp tables) instead of the single-statement oracle — the
+sf1 sweep path; semantics are pinned equal at sf0.01 by tests.
 """
 
 from __future__ import annotations
@@ -52,13 +57,16 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
-def check(sf_dir: str, only: list[str] | None = None) -> bool:
+def check(
+    sf_dir: str, only: list[str] | None = None, use_mat: bool = False
+) -> bool:
     import __spark_entry__ as e
     from ingestprocessstoreinnrt_spark.session import get_spark
 
     spark = get_spark("oracle-check")
     con = _duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
+    mats = e.oracle_sql_mat() if use_mat else {}
     ok = True
     for name, fn in qs.items():
         if only and name not in only:
@@ -69,7 +77,12 @@ def check(sf_dir: str, only: list[str] | None = None) -> bool:
         if name not in oracles:
             print(f"  {name}: rows={len(srows)} (rows-only check, no oracle)")
             continue
-        res = con.execute(oracles[name])
+        if name in mats:
+            for stmt in mats[name][:-1]:
+                con.execute(stmt)
+            res = con.execute(mats[name][-1])
+        else:
+            res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
         sc, sr = _norm_rows(scols, srows)
@@ -95,7 +108,10 @@ def check(sf_dir: str, only: list[str] | None = None) -> bool:
 
 
 if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:] or None
-    print(f"oracle check @ {sf_dir}")
-    sys.exit(0 if check(sf_dir, only) else 1)
+    args = sys.argv[1:]
+    use_mat = "--mat" in args
+    args = [a for a in args if a != "--mat"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:] or None
+    print(f"oracle check @ {sf_dir}{' (mat twins)' if use_mat else ''}")
+    sys.exit(0 if check(sf_dir, only, use_mat=use_mat) else 1)
