@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import SparkSession
 
@@ -50,23 +51,35 @@ def parquet_file_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
-def _tmp(path: str) -> str:
-    return path.rstrip("/") + "._compact_tmp"
+def _scratch_name(path: str, scratch_dir: str | None, suffix: str) -> str:
+    # sibling by default; under scratch_dir when the path lives inside
+    # a partition-discovered layout — a crashed run must NEVER leave
+    # `_bucket=NN._compact_old` where a reader would parse it as a
+    # phantom partition value
+    if scratch_dir is None:
+        return path.rstrip("/") + suffix
+    return os.path.join(
+        scratch_dir, os.path.basename(path.rstrip("/")) + suffix
+    )
 
 
-def _old(path: str) -> str:
-    return path.rstrip("/") + "._compact_old"
+def _tmp(path: str, scratch_dir: str | None = None) -> str:
+    return _scratch_name(path, scratch_dir, "._compact_tmp")
 
 
-def _lock(path: str) -> str:
-    return path.rstrip("/") + "._compact_lock"
+def _old(path: str, scratch_dir: str | None = None) -> str:
+    return _scratch_name(path, scratch_dir, "._compact_old")
 
 
-def recover_compaction(path: str) -> bool:
+def _lock(path: str, scratch_dir: str | None = None) -> str:
+    return _scratch_name(path, scratch_dir, "._compact_lock")
+
+
+def recover_compaction(path: str, scratch_dir: str | None = None) -> bool:
     """Restore a table lost to a crash between the swap renames (old
     exists, path missing).  Returns True if a recovery happened."""
-    if os.path.exists(_old(path)) and not os.path.exists(path):
-        os.rename(_old(path), path)
+    if os.path.exists(_old(path, scratch_dir)) and not os.path.exists(path):
+        os.rename(_old(path, scratch_dir), path)
         return True
     return False
 
@@ -75,13 +88,18 @@ def compact_parquet_dir(
     spark: SparkSession,
     path: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    scratch_dir: str | None = None,
 ) -> int:
     """Rewrite `path` to ceil(total/target) files; returns the new file
-    count (0 = nothing to do)."""
-    recover_compaction(path)
+    count (0 = nothing to do).  `scratch_dir` relocates the tmp/old/
+    lock working names outside the table's parent directory (required
+    when `path` is a partition directory — see _scratch_name)."""
+    if scratch_dir is not None:
+        os.makedirs(scratch_dir, exist_ok=True)
+    recover_compaction(path, scratch_dir)
     # stale leftovers from a crashed run must not wedge this one
-    shutil.rmtree(_tmp(path), ignore_errors=True)
-    shutil.rmtree(_old(path), ignore_errors=True)
+    shutil.rmtree(_tmp(path, scratch_dir), ignore_errors=True)
+    shutil.rmtree(_old(path, scratch_dir), ignore_errors=True)
 
     if not os.path.isdir(path):
         return 0
@@ -106,11 +124,13 @@ def compact_parquet_dir(
 
     df = spark.read.parquet(path)
     before = df.count()
-    df.coalesce(n_files).write.mode("overwrite").parquet(_tmp(path))
+    df.coalesce(n_files).write.mode("overwrite").parquet(
+        _tmp(path, scratch_dir)
+    )
 
-    after = spark.read.parquet(_tmp(path)).count()
+    after = spark.read.parquet(_tmp(path, scratch_dir)).count()
     if after != before:
-        shutil.rmtree(_tmp(path), ignore_errors=True)
+        shutil.rmtree(_tmp(path, scratch_dir), ignore_errors=True)
         raise RuntimeError(
             f"compaction row-count mismatch: {before} -> {after}"
         )
@@ -119,32 +139,89 @@ def compact_parquet_dir(
     # writers.  It cannot stop an arbitrary external writer — the
     # quiescence contract remains the caller's (see module docstring).
     try:
-        lock_fd = os.open(_lock(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        lock_fd = os.open(
+            _lock(path, scratch_dir), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
     except FileExistsError:
-        shutil.rmtree(_tmp(path), ignore_errors=True)
+        shutil.rmtree(_tmp(path, scratch_dir), ignore_errors=True)
         raise RuntimeError(
-            f"{_lock(path)} exists: another compaction holds the lock "
-            "(or crashed in the swap window — run recover_compaction "
-            "and remove the lock file)."
+            f"{_lock(path, scratch_dir)} exists: another compaction holds "
+            "the lock (or crashed in the swap window — run "
+            "recover_compaction and remove the lock file)."
         )
     try:
         # quiescence check: if a writer landed anything since the first
         # stat, abort rather than delete its data in the swap
         if parquet_file_stats(path) != (n_before, total):
-            shutil.rmtree(_tmp(path), ignore_errors=True)
+            shutil.rmtree(_tmp(path, scratch_dir), ignore_errors=True)
             raise RuntimeError(
                 f"{path} changed during compaction (live writer?); aborted "
                 "without modifying the table. Quiesce the stream first."
             )
 
-        os.rename(path, _old(path))
+        os.rename(path, _old(path, scratch_dir))
         try:
-            os.rename(_tmp(path), path)
+            os.rename(_tmp(path, scratch_dir), path)
         except OSError:
-            os.rename(_old(path), path)  # roll back, table never missing
+            # roll back, table never missing
+            os.rename(_old(path, scratch_dir), path)
             raise
-        shutil.rmtree(_old(path), ignore_errors=True)
+        shutil.rmtree(_old(path, scratch_dir), ignore_errors=True)
     finally:
         os.close(lock_fd)
-        os.unlink(_lock(path))
+        os.unlink(_lock(path, scratch_dir))
     return n_files
+
+
+def compact_upsert_table(
+    table,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    writer_id: str = "compactor",
+    lock_timeout: float = 120.0,
+) -> dict[str, int]:
+    """OPTIMIZE for a live UpsertTable: compact each `_bucket=NN`
+    partition to ~target-sized files while micro-batch upserts keep
+    landing (VERDICT r8 item 4 — compaction under ingest).
+
+    Safety composition:
+      * each bucket swap runs INSIDE the table's commit lock
+        (LocalFSTxnLog.table_lock) — the same lock every apply_batch
+        write holds — so a swap can never interleave with a batch's
+        read-merge-write and a committed batch can never be lost; the
+        heavy rewrite itself happens per-bucket under the lock, and
+        the lock is released between buckets, so ingest stalls are
+        bounded by ONE bucket's rewrite, not the table's.
+      * tmp/old/lock working dirs live under `<table>/_compact_scratch`
+        (outside data/): a crash can never leave a
+        `_bucket=NN._compact_old` sibling that partition discovery
+        would parse as a phantom partition.
+      * the quiescence re-check inside compact_parquet_dir is then a
+        true invariant (no writer can land under the table lock), and
+        uncommitted crashed batches are immaterial: their undo-log
+        rollback restores bucket snapshots wholesale on the next
+        apply_batch, which composes with any file layout.
+
+    On a transactional table format this whole function is the
+    engine's OPTIMIZE/rewrite-data-files action; the commit-lock
+    composition is what its snapshot-conflict detection provides.
+    Returns {bucket_dir_name: new_file_count} for compacted buckets."""
+    data = table._data()
+    if not os.path.isdir(data):
+        return {}
+    scratch = os.path.join(table.path, "_compact_scratch")
+    out: dict[str, int] = {}
+    for entry in sorted(os.listdir(data)):
+        p = os.path.join(data, entry)
+        if not (entry.startswith("_bucket=") and os.path.isdir(p)):
+            continue
+        with table.txn_log.table_lock(writer_id, timeout=lock_timeout):
+            out[entry] = compact_parquet_dir(
+                table.spark, p, target_bytes, scratch_dir=scratch
+            )
+        # yield window between buckets: the commit lock is an unfair
+        # O_EXCL poll — re-acquiring the instant it is released starves
+        # a waiting writer (poll interval 20 ms), and the "stalls
+        # bounded by one bucket" contract above depends on the writer
+        # actually winning the lock here
+        time.sleep(0.05)
+    return out
