@@ -1728,7 +1728,112 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-gram fraction — the corpus-grain twin of
+# gopher_repetition's within-doc signals
+# ---------------------------------------------------------------------------
+#
+# MassiveText/Gopher gate documents on within-doc repetition (above);
+# the CROSS-document signal — what share of a doc's distinct 8-grams
+# occur in at least one OTHER document — is the memorization-risk
+# audit from Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better", arXiv:2107.06499): high-dup-fraction docs
+# are the ones whose spans the model will regurgitate.  Dedup REMOVES
+# near-dups; this MEASURES residual cross-doc duplication after (or
+# before) that pass, per document.
+#
+# Spark shape: distinct grams per doc (row-local), ONE shuffle keyed
+# on the gram hash to get per-gram document frequency (map-side
+# partial counts), a gram-keyed join back, and a per-doc aggregate —
+# nothing quadratic, both sides bucket on gram at 100 TB.  Spark moves
+# 64-bit gram hashes; the DuckDB twin keeps raw string grams — equal
+# counts => bit-identical output, and the cross-engine match doubles
+# as a standing collision check (the _shingle_frame precedent).
+
+XDOC_GRAM_N = 8
+
+
+def xdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, n_dup, dup_fraction) per document with >=
+    XDOC_GRAM_N words: distinct word-8-grams and the share of them
+    appearing in at least one other document."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = XDOC_GRAM_N
+    grams = (
+        docs.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(F.col("w"), i + j)
+                                    for j in range(n)
+                                ],
+                            )
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    # per-gram document frequency: grams are distinct within a doc, so
+    # COUNT(*) == the number of documents carrying the gram
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).cast("long").alias(
+                "n_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+_XDOC_SQL = f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, len(w) - {XDOC_GRAM_N - 2}),
+      i -> array_to_string(w[i : i + {XDOC_GRAM_N - 1}], ' ')
+    ))) AS gram
+  FROM (
+    SELECT doc_id,
+      regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+    FROM documents
+  )
+  WHERE len(w) >= {XDOC_GRAM_N}
+),
+df AS (SELECT gram, COUNT(*)::BIGINT AS df FROM g GROUP BY gram)
+SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+    / COUNT(*)::DOUBLE, 6) AS dup_fraction
+FROM g JOIN df USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "curation_dup_ngrams": xdoc_dup_ngrams,
     "curation_pack_sequences": pack_sequences,
     "curation_pii_redact": pii_redact,
     "curation_chunk_windows": chunk_windows,
@@ -1748,6 +1853,7 @@ QUERIES = {
     "curation_decontaminate": decontaminate,
 }
 ORACLE = {
+    "curation_dup_ngrams": _XDOC_SQL,
     "curation_pack_sequences": _PACK_SQL,
     "curation_pii_redact": _PII_SQL,
     "curation_chunk_windows": _CHUNK_SQL,
