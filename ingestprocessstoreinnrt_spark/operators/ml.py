@@ -428,6 +428,7 @@ def centroid_ctes_sliced(
     k: int,
     iters: int,
     where: str = "",
+    source_sql: str | None = None,
 ) -> list:
     """DuckDB CTE chain reproducing fit_centroids bit-for-bit over the
     embedding slice [lo, lo+dim) — names prefixed so several chains
@@ -437,7 +438,11 @@ def centroid_ctes_sliced(
     nearest-centroid assignment.  `where` filters the FIT population
     (e.g. the incremental-ANN base corpus); assignments in
     `{prefix}af` cover only that population — callers assigning a
-    wider set join `{prefix}c{iters-1}` themselves."""
+    wider set join `{prefix}c{iters-1}` themselves.  `source_sql`
+    replaces the default embeddings-table quantization as the `{p}q`
+    body — it must yield (vec_id, q0..q{dim-1}) already in quantized
+    BIGINT units (the residual-PQ chains fit on computed residual
+    columns, not on a stored table)."""
     qs = ", ".join(
         f"CAST(FLOOR(embedding[{lo + j + 1}]::DOUBLE * 10000.0 + 0.5) "
         f"AS BIGINT) AS q{j}"
@@ -463,9 +468,14 @@ def centroid_ctes_sliced(
             f"FROM {p}q q, {p}{cent} c) WHERE rn = 1)"
         )
 
+    q_body = (
+        source_sql
+        if source_sql is not None
+        else f"SELECT vec_id, {qs} FROM embeddings"
+        f"{' WHERE ' + where if where else ''}"
+    )
     ctes = [
-        f"{p}q AS (SELECT vec_id, {qs} FROM embeddings"
-        f"{' WHERE ' + where if where else ''})",
+        f"{p}q AS ({q_body})",
         f"{p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
         f"{ccols} FROM (SELECT * FROM {p}q ORDER BY vec_id LIMIT {k}))",
     ]

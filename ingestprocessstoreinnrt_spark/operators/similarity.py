@@ -850,7 +850,11 @@ def _pq_encode(
     cdf: DataFrame,
     ordered: bool = False,
     keep: tuple = (),
+    vec_col=None,
 ) -> DataFrame:
+    """`vec_col` overrides the encoded vector expression (default: the
+    quantized embedding) — the residual-PQ path encodes computed
+    residual columns instead of a stored table column."""
     from . import ml
 
     def best_of(m: int):
@@ -884,7 +888,7 @@ def _pq_encode(
     sliced = emb.select(
         "vec_id",
         *keep,
-        ml._qvec().alias("qv"),
+        (vec_col if vec_col is not None else ml._qvec()).alias("qv"),
     ).select(
         "vec_id",
         *keep,
@@ -1298,6 +1302,130 @@ WHERE rank <= {TOP_K}"""
     )
 
 
+# --- residual-encoded IVF-PQ (IVFADC, Jégou, Douze & Schmid 2011 §V.A) ------
+#
+# Production IVF-PQ (Faiss IVFPQ default) encodes the RESIDUAL
+# r = x - c_cid, not the raw vector: after the coarse quantizer
+# removes the cell's component, the remaining energy is smaller and
+# the same PQ_M x PQ_K codebook budget spends its precision on the
+# part that distinguishes neighbors WITHIN a cell.  This op fits the
+# codebooks on residuals (pinned artifacts, tags _rpq{m}) and emits
+# the residual-encoded index with its exact reconstruction error —
+# the fidelity audit that justifies the residual layout (tested:
+# total residual qerr < total raw-PQ qerr).  All arithmetic stays in
+# quantized BIGINT units: residual = exact int difference, so the
+# fit/encode chain is cell-identical cross-engine.
+
+
+def _residual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, rv): each vector's coarse cell and its quantized
+    residual rv = q(x) - centroid[cid] (exact BIGINTs)."""
+    from . import ml
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
+    )
+    assigned = ml.assign_nearest(qv, ml._cdf_of(spark, cents))
+    cvec = F.element_at(
+        F.filter(F.col("cents"), lambda c: c["cid"] == F.col("cid")), 1
+    )["cv"]
+    rv = F.zip_with(F.col("qv"), cvec, lambda a, b: a - b)
+    return assigned.select("vec_id", "cid", rv.alias("rv"))
+
+
+def _rpq_codebook_row(spark: SparkSession, sf_dir: str):
+    """(resid, rcdf): the residual frame and the PQ_M*PQ_K codebooks
+    FITTED ON RESIDUAL SLICES as one broadcastable row (pinned
+    artifacts, cache tags _rpq{m})."""
+    from . import ml
+
+    resid = _residual_frame(spark, sf_dir).cache()
+    all_cents = []
+    for m in range(PQ_M):
+        qm = resid.select(
+            "vec_id",
+            F.slice("rv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qv"),
+        ).cache()
+        cents = ml.fit_centroids(
+            spark, qm, PQ_K, PQ_ITERS, memo_key=sf_dir, tag=f"_rpq{m}"
+        )
+        qm.unpersist()
+        all_cents.append(cents)
+    rcdf = spark.createDataFrame(
+        [([(m, cid, cv) for m, cs in enumerate(all_cents)
+           for cid, cv in cs],)],
+        "cents array<struct<m:int, cid:int, cv:array<bigint>>>",
+    )
+    return resid, rcdf
+
+
+def ivfpq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, code0..code{M-1}, qerr) — the residual-encoded
+    IVF-PQ index rows plus each vector's exact residual reconstruction
+    error in quantized (x1e4) squared-L2 units."""
+    resid, rcdf = _rpq_codebook_row(spark, sf_dir)
+    return _pq_encode(
+        resid, rcdf, ordered=True, keep=("cid",), vec_col=F.col("rv")
+    )
+
+
+def _ivfpq_residual_sql() -> str:
+    """DuckDB twin: coarse chain -> residual columns (exact integer
+    differences off the af assignment) -> per-subspace codebook chains
+    FITTED ON the residual source -> encode + exact error."""
+    from . import ml
+
+    d = ml.EMB_DIM
+    last = PQ_ITERS - 1
+    ctes = ml.centroid_ctes()  # q, c{iters-1}, af
+    final_c = f"c{ml.KMEANS_ITERS - 1}"
+    rcols = ", ".join(f"a.q{j} - c.c{j} AS q{j}" for j in range(d))
+    # MATERIALIZED: every subspace chain references resid 2x per
+    # Lloyd's iteration; inlining would re-evaluate the entire coarse
+    # kmeans chain per reference (observed: OOM at sf0.01) — pinning
+    # resid evaluates the coarse chain exactly once
+    ctes.append(
+        f"resid AS MATERIALIZED (SELECT a.vec_id, a.cid, {rcols} "
+        f"FROM af a JOIN {final_c} c ON c.cid = a.cid)"
+    )
+    for m in range(PQ_M):
+        sub_cols = ", ".join(
+            f"q{m * PQ_SUBDIM + j} AS q{j}" for j in range(PQ_SUBDIM)
+        )
+        ctes.extend(
+            ml.centroid_ctes_sliced(
+                f"r{m}_",
+                0,
+                PQ_SUBDIM,
+                PQ_K,
+                PQ_ITERS,
+                source_sql=f"SELECT vec_id, {sub_cols} FROM resid",
+            )
+        )
+    err = " + ".join(
+        f"(a{m}.q{j} - c{m}.c{j}) * (a{m}.q{j} - c{m}.c{j})"
+        for m in range(PQ_M)
+        for j in range(PQ_SUBDIM)
+    )
+    joins = ["resid rs", f"JOIN r0_af a0 ON a0.vec_id = rs.vec_id",
+             f"JOIN r0_c{last} c0 ON c0.cid = a0.cid"]
+    for m in range(1, PQ_M):
+        joins.append(f"JOIN r{m}_af a{m} ON a{m}.vec_id = rs.vec_id")
+        joins.append(f"JOIN r{m}_c{last} c{m} ON c{m}.cid = a{m}.cid")
+    codes = ", ".join(
+        f"CAST(a{m}.cid AS INTEGER) AS code{m}" for m in range(PQ_M)
+    )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT rs.vec_id, CAST(rs.cid AS INTEGER) AS cid, {codes}, "
+        f"CAST({err} AS BIGINT) AS qerr\nFROM "
+        + "\n".join(joins)
+        + "\nORDER BY rs.vec_id"
+    )
+
+
 def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, n_exact, n_hit, recall) — recall@TOP_K of the
     composed IVF-PQ serving path vs the exact cosine top-k: the
@@ -1484,6 +1612,7 @@ QUERIES = {
     "sim_ivfpq_search": ivfpq_search,
     "sim_ivfpq_recall": ivfpq_recall_eval,
     "sim_ann_lsh_incremental": ann_lsh_incremental,
+    "sim_ivfpq_residual": ivfpq_residual_encode,
 }
 
 ORACLE = {
@@ -1500,6 +1629,7 @@ ORACLE = {
     "sim_recall_eval": _ann_recall_sql(),
     "sim_ivfpq_search": _ivfpq_sql(),
     "sim_ivfpq_recall": _ivfpq_recall_sql(),
+    "sim_ivfpq_residual": _ivfpq_residual_sql(),
     # row-local signature => maintained index == rebuilt index: the
     # incremental serve twins against the SAME bucket-index SQL
     "sim_ann_lsh_incremental": _ann_lsh_sql(),

@@ -1139,3 +1139,41 @@ def test_ivfpq_recall_meets_calibrated_tier(spark):
     rows = sim.ivfpq_recall_eval(spark, SF_ORACLE).collect()
     overall = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
     assert overall >= 0.75, f"ivfpq recall {overall:.3f}"
+
+
+def test_residual_pq_beats_raw_pq_fidelity(spark):
+    """The point of IVFADC residual encoding: after the coarse
+    quantizer removes the cell component, the same PQ_M x PQ_K code
+    budget reconstructs with LESS total squared error than encoding
+    raw vectors — both errors exact BIGINTs from the oracled ops."""
+    from pyspark.sql import functions as F
+
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+
+    raw = sim.pq_quantize(spark, SF_ORACLE).agg(
+        F.sum("qerr").alias("e")
+    ).collect()[0].e
+    res = sim.ivfpq_residual_encode(spark, SF_ORACLE).agg(
+        F.sum("qerr").alias("e")
+    ).collect()[0].e
+    assert res < raw, f"residual qerr {res} !< raw qerr {raw}"
+    # and the residual index rows agree with the composed raw index on
+    # the coarse assignment (same pinned quantizer)
+    rcids = {
+        (r.vec_id, r.cid)
+        for r in sim.ivfpq_residual_encode(spark, SF_ORACLE)
+        .select("vec_id", "cid").collect()
+    }
+    emb, pq_cdf = sim._pq_codebook_row(spark, SF_ORACLE)
+    from ingestprocessstoreinnrt_spark.operators import ml
+
+    qv = emb.select("vec_id", ml._qvec().alias("qv"))
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=SF_ORACLE
+    )
+    icids = {
+        (r.vec_id, r.cid)
+        for r in sim.ivfpq_index_rows(emb, ml._cdf_of(spark, cents), pq_cdf)
+        .select("vec_id", "cid").collect()
+    }
+    assert rcids == icids
