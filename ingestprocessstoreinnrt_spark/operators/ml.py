@@ -429,6 +429,7 @@ def centroid_ctes_sliced(
     iters: int,
     where: str = "",
     source_sql: str | None = None,
+    materialize: tuple = (),
 ) -> list:
     """DuckDB CTE chain reproducing fit_centroids bit-for-bit over the
     embedding slice [lo, lo+dim) — names prefixed so several chains
@@ -442,7 +443,11 @@ def centroid_ctes_sliced(
     replaces the default embeddings-table quantization as the `{p}q`
     body — it must yield (vec_id, q0..q{dim-1}) already in quantized
     BIGINT units (the residual-PQ chains fit on computed residual
-    columns, not on a stored table)."""
+    columns, not on a stored table).  `materialize` lists unprefixed
+    CTE names ('af', 'c2', ...) to emit AS MATERIALIZED — a DuckDB
+    execution hint only (results identical); deep consumers like the
+    IVFADC serve re-reference the chain enough times that pure
+    inlining explodes the plan (observed OOM)."""
     qs = ", ".join(
         f"CAST(FLOOR(embedding[{lo + j + 1}]::DOUBLE * 10000.0 + 0.5) "
         f"AS BIGINT) AS q{j}"
@@ -460,9 +465,12 @@ def centroid_ctes_sliced(
     coal = ", ".join(f"COALESCE(u.c{j}, p.c{j}) AS c{j}" for j in range(dim))
     p = prefix
 
+    def _mat(name: str) -> str:
+        return " MATERIALIZED" if name in materialize else ""
+
     def assign_cte(name: str, cent: str) -> str:
         return (
-            f"{p}{name} AS (SELECT vec_id, {qnames}, cid FROM ("
+            f"{p}{name} AS{_mat(name)} (SELECT vec_id, {qnames}, cid FROM ("
             f"SELECT q.*, c.cid, ROW_NUMBER() OVER ("
             f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
             f"FROM {p}q q, {p}{cent} c) WHERE rn = 1)"
@@ -485,8 +493,8 @@ def centroid_ctes_sliced(
             f"{p}u{t} AS (SELECT cid, {upd} FROM {p}a{t} GROUP BY cid)"
         )
         ctes.append(
-            f"{p}c{t} AS (SELECT p.cid, {coal} FROM {p}c{t - 1} p "
-            f"LEFT JOIN {p}u{t} u USING (cid))"
+            f"{p}c{t} AS{_mat(f'c{t}')} (SELECT p.cid, {coal} "
+            f"FROM {p}c{t - 1} p LEFT JOIN {p}u{t} u USING (cid))"
         )
     ctes.append(assign_cte("af", f"c{iters - 1}"))
     return ctes

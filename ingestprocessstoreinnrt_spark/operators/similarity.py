@@ -1202,13 +1202,21 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
 
-    # exact re-rank: fetch raw vectors for the bounded shortlist only
-    # (broadcast join on vec_id prunes the scan), cosine vs the raw
-    # query vectors (a second broadcast), module-wide rank recipe
-    qraw = q1.select(
-        F.col("query_id").alias("rq_id"),
-        F.col("embedding").alias("qv_raw"),
-        norm2(F.col("embedding")).alias("qnrm"),
+    return _exact_rerank(emb, short)
+
+
+def _exact_rerank(emb: DataFrame, short: DataFrame) -> DataFrame:
+    """Exact cosine re-rank of a bounded (query_id, vec_id) shortlist:
+    raw vectors fetched via a broadcast join on vec_id (prunes the
+    scan), query vectors via a second broadcast, module-wide 6dp-round
+    + tie-break rank recipe.  Shared by the composed serve paths."""
+    qraw = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("rq_id"),
+            F.col("embedding").alias("qv_raw"),
+            norm2(F.col("embedding")).alias("qnrm"),
+        )
     )
     corpus = emb.withColumn("nrm", norm2(F.col("embedding")))
     cos = F.round(
@@ -1426,6 +1434,177 @@ def _ivfpq_residual_sql() -> str:
     )
 
 
+def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank) — the FULL IVFADC serve
+    (Jégou, Douze & Schmid 2011 §V): probe cells; per probed cell the
+    query's RESIDUAL against that cell's centroid feeds the PQ
+    distance tables (so tables are per-(query, cell) — N_QUERIES x
+    nprobe broadcast rows); ADC over the residual-encoded code table
+    inside probed cells only; exact cosine re-rank of the calibrated
+    shortlist.  All ADC arithmetic exact BIGINT, so the shortlist is
+    cell-identical cross-engine."""
+    from . import ml
+
+    resid, rcdf = _rpq_codebook_row(spark, sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
+    )
+    cdf = ml._cdf_of(spark, cents)
+    index = _pq_encode(
+        resid, rcdf, keep=("cid",), vec_col=F.col("rv")
+    ).drop("qerr")
+
+    # query side: probed cells, then the per-cell query residual
+    # (quantized query minus THAT cell's centroid — exact ints)
+    q1 = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cdf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            ml._qvec().alias("qfull"),
+            F.explode(_centroid_probe_cids(IVFPQ_NPROBE)).alias("cid"),
+            F.col("cents").alias("coarse"),
+        )
+    )
+    cv = F.element_at(
+        F.filter(F.col("coarse"), lambda c: c["cid"] == F.col("cid")), 1
+    )["cv"]
+    q2 = q1.select(
+        "query_id",
+        "cid",
+        F.zip_with("qfull", cv, lambda a, b: a - b).alias("qv"),
+    )
+    qdt = q2.join(F.broadcast(rcdf)).select(
+        "query_id", "cid", _pq_query_dt_col().alias("dt")
+    )
+
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        index.join(
+            F.broadcast(qdt),
+            (index.cid == qdt.cid) & (index.vec_id != qdt.query_id),
+        )
+        .select(
+            "query_id",
+            index.vec_id.alias("vec_id"),
+            _pq_adc_col().cast("long").alias("adc_dist"),
+        )
+        .withColumn("srn", F.row_number().over(wshort))
+        .filter(F.col("srn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank(emb, short)
+
+
+def _ivfpq_residual_search_sql() -> str:
+    """DuckDB twin of the IVFADC serve: coarse chain -> materialized
+    residuals -> residual codebook chains -> per-(query, cell) residual
+    query columns -> exact-integer ADC -> shortlist -> exact re-rank."""
+    from . import ml
+
+    d = ml.EMB_DIM
+    last = PQ_ITERS - 1
+    # the serve references the coarse chain from resid, probes, qresid
+    # AND cand's af leg, and each residual chain twice — materialize
+    # the chain heads or DuckDB's pure inlining explodes the plan
+    # (observed OOM with free RAM); hints only, results identical
+    final_c = f"c{ml.KMEANS_ITERS - 1}"
+    coarse = ml.centroid_ctes_sliced(
+        "", 0, d, ml.K_CLUSTERS, ml.KMEANS_ITERS,
+        materialize=("af", final_c),
+    )
+    ctes = ["WITH " + coarse[0]] + coarse[1:]
+    rcols = ", ".join(f"a.q{j} - c.c{j} AS q{j}" for j in range(d))
+    ctes.append(
+        f"resid AS MATERIALIZED (SELECT a.vec_id, a.cid, {rcols} "
+        f"FROM af a JOIN {final_c} c ON c.cid = a.cid)"
+    )
+    for m in range(PQ_M):
+        sub_cols = ", ".join(
+            f"q{m * PQ_SUBDIM + j} AS q{j}" for j in range(PQ_SUBDIM)
+        )
+        ctes.extend(
+            ml.centroid_ctes_sliced(
+                f"r{m}_",
+                0,
+                PQ_SUBDIM,
+                PQ_K,
+                PQ_ITERS,
+                source_sql=f"SELECT vec_id, {sub_cols} FROM resid",
+                materialize=("af", f"c{last}"),
+            )
+        )
+    dist = " + ".join(
+        f"(q.q{j} - c.c{j}) * (q.q{j} - c.c{j})" for j in range(d)
+    )
+    ctes.append(
+        f"probes AS MATERIALIZED (SELECT query_id, cid FROM ("
+        f"SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS prn "
+        f"FROM q, {final_c} c WHERE q.vec_id < {N_QUERIES}) "
+        f"WHERE prn <= {IVFPQ_NPROBE})"
+    )
+    qrcols = ", ".join(f"q.q{j} - c.c{j} AS q{j}" for j in range(d))
+    ctes.append(
+        f"qresid AS MATERIALIZED (SELECT p.query_id, p.cid, {qrcols} "
+        f"FROM probes p JOIN q ON q.vec_id = p.query_id "
+        f"JOIN {final_c} c ON c.cid = p.cid)"
+    )
+    adc = " + ".join(
+        f"(qr.q{m * PQ_SUBDIM + j} - cc{m}.c{j}) * "
+        f"(qr.q{m * PQ_SUBDIM + j} - cc{m}.c{j})"
+        for m in range(PQ_M)
+        for j in range(PQ_SUBDIM)
+    )
+    code_joins = []
+    for m in range(PQ_M):
+        code_joins.append(f"JOIN r{m}_af aa{m} ON aa{m}.vec_id = a.vec_id")
+        code_joins.append(
+            f"JOIN r{m}_c{last} cc{m} ON cc{m}.cid = aa{m}.cid"
+        )
+    ctes.append(
+        f"""cand AS (
+  SELECT p.query_id, a.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+  FROM probes p
+  JOIN af a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN qresid qr ON qr.query_id = p.query_id AND qr.cid = p.cid
+  {chr(10).join(code_joins)})"""
+    )
+    ctes.append(
+        f"short AS (SELECT query_id, vec_id FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY adc_dist ASC, vec_id ASC) AS srn FROM cand) "
+        f"WHERE srn <= {IVFPQ_SHORTLIST})"
+    )
+    ctes.append(
+        """rr AS (
+  SELECT s.query_id, s.vec_id,
+    round(
+      list_dot_product(eq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings eq ON eq.vec_id = s.query_id)"""
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+  )::BIGINT AS rank
+  FROM rr
+) r
+WHERE rank <= {TOP_K}"""
+    )
+
+
 def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, n_exact, n_hit, recall) — recall@TOP_K of the
     composed IVF-PQ serving path vs the exact cosine top-k: the
@@ -1613,6 +1792,7 @@ QUERIES = {
     "sim_ivfpq_recall": ivfpq_recall_eval,
     "sim_ann_lsh_incremental": ann_lsh_incremental,
     "sim_ivfpq_residual": ivfpq_residual_encode,
+    "sim_ivfpq_residual_search": ivfpq_residual_search,
 }
 
 ORACLE = {
@@ -1629,8 +1809,9 @@ ORACLE = {
     "sim_recall_eval": _ann_recall_sql(),
     "sim_ivfpq_search": _ivfpq_sql(),
     "sim_ivfpq_recall": _ivfpq_recall_sql(),
-    "sim_ivfpq_residual": _ivfpq_residual_sql(),
     # row-local signature => maintained index == rebuilt index: the
     # incremental serve twins against the SAME bucket-index SQL
     "sim_ann_lsh_incremental": _ann_lsh_sql(),
+    "sim_ivfpq_residual": _ivfpq_residual_sql(),
+    "sim_ivfpq_residual_search": _ivfpq_residual_search_sql(),
 }

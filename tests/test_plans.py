@@ -804,3 +804,15 @@ def test_r9_sim_ops_have_clean_plans(spark):
         for m in re.finditer(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", body2)
     }
     assert len(ids2) <= 1, body2
+
+    # IVFADC serve: same cell-pruned shape as the raw-code serve
+    body3 = E.formatted_plan(
+        similarity.ivfpq_residual_search(spark, SF_ORACLE)
+    ).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body3, body3
+    assert re.search(r"keys \[1\]: \[cid#\d+", body3), body3
+    ids3 = {
+        m.group(1)
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", body3)
+    }
+    assert len(ids3) <= 8, body3
