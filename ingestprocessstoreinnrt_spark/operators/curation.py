@@ -1832,8 +1832,120 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicate-span extraction — the ExactSubstr removal plan
+# ---------------------------------------------------------------------------
+#
+# Lee et al. 2022's second dedup level: not "drop near-dup DOCUMENTS"
+# but "cut the exact repeated SPANS out of otherwise-unique documents"
+# (their ExactSubstr, built on a suffix array).  The Spark-shaped
+# equivalent: a word-8-gram occurs "duplicated" when the same gram
+# appears at any OTHER (doc, pos) in the corpus (cross-doc or
+# within-doc, like ExactSubstr); maximal runs of >= SPAN_MIN_RUN
+# consecutive duplicated gram starts are the spans a removal pass
+# would cut.  Plan: positional gram explode -> global occurrence
+# count (one shuffle keyed on the gram hash, map-side partials) ->
+# join back -> per-doc run grouping via the pos - row_number() trick
+# (windows partitioned by doc_id — document grain, never corpus
+# grain).  Exact integer positions/counts end to end; Spark moves
+# gram hashes, the DuckDB twin raw strings (collision-check pattern).
+
+SPAN_MIN_RUN = 3  # >= 3 consecutive 8-gram starts = >= 10-word span
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, n_grams, span_words) per maximal run of
+    consecutive corpus-duplicated word-8-grams with run length >=
+    SPAN_MIN_RUN; span_start is the 1-based word index, span_words =
+    n_grams + 7."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = XDOC_GRAM_N
+    grams = (
+        docs.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(F.col("w"), i + j)
+                                    for j in range(n)
+                                ],
+                            )
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
+    )
+    occ = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    dup = (
+        grams.join(occ, "g")
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= SPAN_MIN_RUN)
+        .select(
+            "doc_id",
+            "span_start",
+            "n_grams",
+            (F.col("n_grams") + (n - 1)).cast("long").alias("span_words"),
+        )
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(w[i : i + {XDOC_GRAM_N - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id,
+      regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+    FROM documents
+  ), unnest(range(1, len(w) - {XDOC_GRAM_N - 2})) AS t(i)
+  WHERE len(w) >= {XDOC_GRAM_N}
+),
+occ AS (SELECT gram, COUNT(*)::BIGINT AS occ FROM g GROUP BY gram),
+dup AS (
+  SELECT doc_id, pos FROM g JOIN occ USING (gram) WHERE occ >= 2
+),
+runs AS (
+  SELECT doc_id, pos,
+    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+  COUNT(*)::BIGINT AS n_grams,
+  (COUNT(*) + {XDOC_GRAM_N - 1})::BIGINT AS span_words
+FROM runs
+GROUP BY doc_id, grp
+HAVING COUNT(*) >= {SPAN_MIN_RUN}
+"""
+
+
 QUERIES = {
     "curation_dup_ngrams": xdoc_dup_ngrams,
+    "curation_dup_spans": dup_spans,
     "curation_pack_sequences": pack_sequences,
     "curation_pii_redact": pii_redact,
     "curation_chunk_windows": chunk_windows,
@@ -1854,6 +1966,7 @@ QUERIES = {
 }
 ORACLE = {
     "curation_dup_ngrams": _XDOC_SQL,
+    "curation_dup_spans": _DUP_SPANS_SQL,
     "curation_pack_sequences": _PACK_SQL,
     "curation_pii_redact": _PII_SQL,
     "curation_chunk_windows": _CHUNK_SQL,

@@ -437,3 +437,40 @@ def test_strip_boilerplate_agrees_with_dedup_paragraphs(spark):
         assert r.kept_tokens == d.kept_tokens
         any_dropped |= r.n_dropped > 0
     assert any_dropped
+
+
+def test_dup_spans_exact_boundaries(spark, tmp_path):
+    """ExactSubstr-style span semantics on a constructed corpus: two
+    docs share an exact 12-word span (>= the 10-word gate), a third is
+    unique, and a fourth repeats a span WITHIN itself — spans land at
+    the exact word offsets, the unique doc emits nothing."""
+    from ingestprocessstoreinnrt_spark.operators import curation
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    docs = [
+        # doc 0: shared span at word 4 (3 unique words before it)
+        (0, "u0a u0b u0c " + shared + " t0x t0y", "s"),
+        # doc 1: same span at word 1
+        (1, shared + " u1a u1b u1c u1d", "s"),
+        # doc 2: fully unique
+        (2, "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14", "s"),
+        # doc 3: repeats ITS OWN 12-word block back to back
+        (3, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 "
+            "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11", "s"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.span_start, r.n_grams, r.span_words)
+        for r in curation.dup_spans(spark, str(tmp_path)).collect()
+    }
+    # 12 shared words = 5 duplicated 8-gram starts; span_words = 12
+    assert (0, 4, 5, 12) in got
+    assert (1, 1, 5, 12) in got
+    assert not any(d == 2 for d, *_ in got)
+    # doc 3: grams starting at 1..5 recur at 13..17; grams 6..12 span
+    # the seam (w5..w11 w0.. etc) and are unique -> two runs of 5
+    assert (3, 1, 5, 12) in got and (3, 13, 5, 12) in got
+    assert len([g for g in got if g[0] == 3]) == 2
