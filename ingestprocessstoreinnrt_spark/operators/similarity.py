@@ -1325,6 +1325,36 @@ WHERE rank <= {TOP_K}"""
 # fit/encode chain is cell-identical cross-engine.
 
 
+def residual_rows(emb_rows: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, cid, rv) for arbitrary embedding rows against a PINNED
+    coarse-quantizer row: nearest-cell fold + exact-integer residual
+    rv = q(x) - centroid[cid].  A pure per-row function of the pinned
+    artifact — what an ingest job computes per batch when maintaining
+    the residual-encoded (IVFADC) index."""
+    from . import ml
+
+    assigned = ml.assign_nearest(
+        emb_rows.select("vec_id", ml._qvec().alias("qv")), cdf
+    )
+    cvec = F.element_at(
+        F.filter(F.col("cents"), lambda c: c["cid"] == F.col("cid")), 1
+    )["cv"]
+    rv = F.zip_with(F.col("qv"), cvec, lambda a, b: a - b)
+    return assigned.select("vec_id", "cid", rv.alias("rv"))
+
+
+def ivfadc_index_rows(
+    emb_rows: DataFrame, cdf: DataFrame, rcdf: DataFrame
+) -> DataFrame:
+    """(vec_id, cid, code0..M-1) residual-encoded index rows from a
+    pinned coarse quantizer + pinned residual codebooks — the IVFADC
+    maintenance verb (append/upsert per batch, no refit)."""
+    return _pq_encode(
+        residual_rows(emb_rows, cdf), rcdf, keep=("cid",),
+        vec_col=F.col("rv"),
+    ).drop("qerr")
+
+
 def _residual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, rv): each vector's coarse cell and its quantized
     residual rv = q(x) - centroid[cid] (exact BIGINTs)."""
@@ -1335,12 +1365,7 @@ def _residual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ml.fit_centroids(
         spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
     )
-    assigned = ml.assign_nearest(qv, ml._cdf_of(spark, cents))
-    cvec = F.element_at(
-        F.filter(F.col("cents"), lambda c: c["cid"] == F.col("cid")), 1
-    )["cv"]
-    rv = F.zip_with(F.col("qv"), cvec, lambda a, b: a - b)
-    return assigned.select("vec_id", "cid", rv.alias("rv"))
+    return residual_rows(emb, ml._cdf_of(spark, cents))
 
 
 def _rpq_codebook_row(spark: SparkSession, sf_dir: str):

@@ -1202,3 +1202,47 @@ def test_ivfpq_residual_serve_recall_tier(spark):
     r_raw = len(exact & raw) / len(exact)
     assert r_res >= 0.9, f"residual serve recall {r_res:.3f}"
     assert r_res >= r_raw, f"residual {r_res:.3f} < raw {r_raw:.3f}"
+
+
+def test_ivfadc_maintained_index_equals_rebuilt(spark, tmp_path):
+    """IVFADC maintenance symmetry: the residual-encoded index
+    maintained through UpsertTable upserts (batch rows residual-encoded
+    against the PINNED coarse quantizer + residual codebooks, no
+    refit) equals a one-pass rebuild — closing the incremental story
+    for the residual layout like the raw IVF/PQ/LSH tiers."""
+    from ingestprocessstoreinnrt_spark.catalog import fan_out, load_table
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+    from pyspark.sql import functions as F
+
+    _, rcdf = sim._rpq_codebook_row(spark, SF_ORACLE)
+    emb = fan_out(load_table(spark, SF_ORACLE, "embeddings"))
+    qv = emb.select("vec_id", ml._qvec().alias("qv"))
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=SF_ORACLE
+    )
+    cdf = ml._cdf_of(spark, cents)
+    is_batch = (
+        F.pmod(F.col("vec_id"), F.lit(sim.ANN_INC_MOD))
+        == F.lit(sim.ANN_INC_REM)
+    )
+    table = UpsertTable(
+        spark, str(tmp_path / "ivfadc"), ["vec_id"], num_buckets=4
+    )
+    table.init(sim.ivfadc_index_rows(emb.filter(~is_batch), cdf, rcdf))
+    table.upsert(sim.ivfadc_index_rows(emb.filter(is_batch), cdf, rcdf))
+    cols = ["vec_id", "cid"] + [f"code{m}" for m in range(sim.PQ_M)]
+    got = {tuple(r[c] for c in cols) for r in table.read().collect()}
+    want = {
+        tuple(r[c] for c in cols)
+        for r in sim.ivfadc_index_rows(emb, cdf, rcdf).collect()
+    }
+    assert got == want
+    # and the rebuilt rows agree with the oracled encode on codes
+    enc = {
+        tuple(r[c] for c in cols)
+        for r in sim.ivfpq_residual_encode(spark, SF_ORACLE)
+        .drop("qerr").collect()
+    }
+    assert want == enc
