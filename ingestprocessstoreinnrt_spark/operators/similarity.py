@@ -670,6 +670,118 @@ FROM s, (SELECT unnest(range(0, {EMB_DIM})) AS i) t
 """
 
 
+# --- SQ8 serving — top-k over the int8-quantized corpus ---------------------
+#
+# The middle compressed-serving tier (Faiss SQ8): 4x smaller than
+# float32 with far better fidelity than 16-bit PQ codes — scan cost 64
+# bytes/vector.  Approximate score = int8 dot x the two absmax scales
+# (monotone in the reconstructed dot product; the constant 1/127^2 is
+# rank-irrelevant), exact shortlist boundary: the int dot is an exact
+# BIGINT (|products| <= 127^2, 64-term sums exact in any order) and
+# the scales are exact maxima of float->double widenings, so the
+# score double is bit-identical cross-engine; exact cosine re-rank of
+# the shortlist on raw vectors.
+
+SQ8_SHORTLIST = 4 * TOP_K
+
+
+def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank) — top-k per demo query served
+    from the int8-quantized corpus (absmax per-vector scale), exact
+    re-rank of the SQ8_SHORTLIST approximate-dot shortlist."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(
+            F.col("scale") == 0.0, F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                x.cast("double") / F.col("scale") * F.lit(127.0)
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    )
+    sq = emb.select("vec_id", "embedding", scale.alias("scale")).select(
+        "vec_id", "scale", qarr.alias("qv8")
+    )
+    q = sq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qscale"),
+        F.col("qv8").alias("q8"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q8"), F.col("qv8"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = idot.cast("double") * F.col("qscale") * F.col("scale")
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        sq.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score.alias("score"))
+        .withColumn("srn", F.row_number().over(wshort))
+        .filter(F.col("srn") <= SQ8_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank(emb, short)
+
+
+def _sq8_sql() -> str:
+    q8 = (
+        "CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0::BIGINT) "
+        "ELSE list_transform(embedding, x -> "
+        "FLOOR(x::DOUBLE / scale * 127.0 + 0.5)::BIGINT) END"
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+  FROM embeddings
+),
+sq AS (SELECT vec_id, scale, {q8} AS qv8 FROM s),
+q AS (
+  SELECT vec_id AS query_id, scale AS qscale, qv8 AS q8
+  FROM sq WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, sq.vec_id,
+    (CAST(list_dot_product(q8::DOUBLE[], sq.qv8::DOUBLE[]) AS BIGINT)::DOUBLE
+     * q.qscale) * sq.scale AS score
+  FROM sq JOIN q ON sq.vec_id <> q.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS srn
+    FROM scored
+  ) WHERE srn <= {SQ8_SHORTLIST}
+),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+    round(
+      list_dot_product(eq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      6) AS cos_sim
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings eq ON eq.vec_id = s.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+  )::BIGINT AS rank
+  FROM rr
+) r
+WHERE rank <= {TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # kNN label-accuracy evaluation (embedding-quality probe)
 # ---------------------------------------------------------------------------
@@ -1818,6 +1930,7 @@ QUERIES = {
     "sim_ann_lsh_incremental": ann_lsh_incremental,
     "sim_ivfpq_residual": ivfpq_residual_encode,
     "sim_ivfpq_residual_search": ivfpq_residual_search,
+    "sim_sq8_search": sq8_search,
 }
 
 ORACLE = {
@@ -1839,4 +1952,5 @@ ORACLE = {
     "sim_ann_lsh_incremental": _ann_lsh_sql(),
     "sim_ivfpq_residual": _ivfpq_residual_sql(),
     "sim_ivfpq_residual_search": _ivfpq_residual_search_sql(),
+    "sim_sq8_search": _sq8_sql(),
 }

@@ -1246,3 +1246,20 @@ def test_ivfadc_maintained_index_equals_rebuilt(spark, tmp_path):
         .drop("qerr").collect()
     }
     assert want == enc
+
+
+def test_sq8_serve_recall_tier(spark):
+    """SQ8's fidelity claim: the int8 tier's 40-deep shortlist must
+    essentially recover the exact top-k (measured 1.0 at sf0.01 and
+    sf0.1 — int8 dot error is far below top-10 boundary gaps)."""
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.ann_topk_cosine(spark, SF_ORACLE).collect()
+    }
+    sq8 = {
+        (r.query_id, r.vec_id)
+        for r in sim.sq8_search(spark, SF_ORACLE).collect()
+    }
+    assert len(exact & sq8) / len(exact) >= 0.95
