@@ -235,6 +235,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
             f"store)"
         )
 
+    with _stage("14 round-9 compressed serving + span dedup"):
+        from ingestprocessstoreinnrt_spark.operators import (
+            similarity as sim,
+        )
+
+        served = sim.ivfpq_residual_search(spark, sf_dir)
+        top1 = served.filter(F.col("rank") == 1).count()
+        sq8 = sim.sq8_search(spark, sf_dir).filter(F.col("rank") == 1)
+        spans = curation.dup_spans(spark, sf_dir)
+        sstat = spans.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("span_words").alias("w"),
+        ).collect()[0]
+        print(
+            f"[14] IVFADC serve answered {top1} queries from the "
+            f"residual-encoded index (PQ_M bytes/vector in probed "
+            f"cells); SQ8 tier agreed on {sq8.count()} top-1s; "
+            f"ExactSubstr pass found {sstat.n} duplicated spans "
+            f"covering {sstat.w} words to cut"
+        )
+
     total = round(sum(s for _, s in _STAGES), 2)
     print(f"\nstage breakdown @ {sf_dir} (load_1m "
           f"{os.getloadavg()[0]:.2f}):")
