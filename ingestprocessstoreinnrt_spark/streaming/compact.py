@@ -84,6 +84,52 @@ def recover_compaction(path: str, scratch_dir: str | None = None) -> bool:
     return False
 
 
+_OLD_SUFFIX = "._compact_old"
+_LOCK_SUFFIX = "._compact_lock"
+
+
+def recover_compaction_scratch(
+    data_dir: str, scratch_dir: str, break_locks: bool = False
+) -> list[str]:
+    """Scan a compaction scratch directory for crash leftovers and
+    restore every partition a crashed compactor left missing.
+
+    A compactor that dies between compact_parquet_dir's two swap
+    renames leaves `<bucket>._compact_old` in the scratch dir while the
+    bucket itself is missing from `data_dir` — to any later reader the
+    bucket looks empty, and the next upsert would silently rewrite it
+    with batch rows only.  This is the table-open / reclaim-stale hook
+    (ADVICE r9): for each `*._compact_old` under `scratch_dir`, restore
+    the partition if it is missing, else drop the stale backup (the
+    swap completed; only the post-swap cleanup was lost).
+
+    `break_locks=True` (reclaim_stale only — the operator has declared
+    all writers dead) also removes per-bucket `._compact_lock` files so
+    the next compaction isn't wedged.  Table open leaves locks and
+    `._compact_tmp` dirs alone: a LIVE compactor may legitimately hold
+    them, and compact_parquet_dir cleans its own stale tmp on entry.
+    Returns the names of partitions that were RESTORED."""
+    if not os.path.isdir(scratch_dir):
+        return []
+    restored: list[str] = []
+    for entry in sorted(os.listdir(scratch_dir)):
+        p = os.path.join(scratch_dir, entry)
+        if entry.endswith(_OLD_SUFFIX):
+            part = entry[: -len(_OLD_SUFFIX)]
+            if recover_compaction(os.path.join(data_dir, part), scratch_dir):
+                restored.append(part)
+            else:
+                # partition present: the swap finished, the backup is
+                # stale — a crashed-cleanup leftover, safe to drop
+                shutil.rmtree(p, ignore_errors=True)
+        elif break_locks and entry.endswith(_LOCK_SUFFIX):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    return restored
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -121,6 +167,11 @@ def compact_parquet_dir(
     if total == 0:
         return 0
     n_files = max(1, -(-total // target_bytes))  # ceil
+    if n_before <= n_files:
+        # already at (or under) the target layout: a steady-state
+        # compactor loop pays one directory stat here, not a full
+        # rewrite under the table commit lock (ADVICE r9)
+        return 0
 
     df = spark.read.parquet(path)
     before = df.count()
@@ -204,7 +255,9 @@ def compact_upsert_table(
     On a transactional table format this whole function is the
     engine's OPTIMIZE/rewrite-data-files action; the commit-lock
     composition is what its snapshot-conflict detection provides.
-    Returns {bucket_dir_name: new_file_count} for compacted buckets."""
+    Returns {bucket_dir_name: new_file_count} for the buckets that were
+    actually REWRITTEN — already-compact buckets (compact_parquet_dir's
+    no-op early exit) are omitted."""
     data = table._data()
     if not os.path.isdir(data):
         return {}
@@ -215,9 +268,11 @@ def compact_upsert_table(
         if not (entry.startswith("_bucket=") and os.path.isdir(p)):
             continue
         with table.txn_log.table_lock(writer_id, timeout=lock_timeout):
-            out[entry] = compact_parquet_dir(
+            n = compact_parquet_dir(
                 table.spark, p, target_bytes, scratch_dir=scratch
             )
+        if n:
+            out[entry] = n
         # yield window between buckets: the commit lock is an unfair
         # O_EXCL poll — re-acquiring the instant it is released starves
         # a waiting writer (poll interval 20 ms), and the "stalls

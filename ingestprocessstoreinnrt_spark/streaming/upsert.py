@@ -75,6 +75,7 @@ class LocalFSTxnLog:
     """
 
     def __init__(self, root: str):
+        self.root = root
         self.ledger_dir = os.path.join(root, "_applied_batches")
         self.pending_dir = os.path.join(root, "_pending")
         self.intent_dir = os.path.join(root, "_intents")
@@ -277,6 +278,19 @@ class LocalFSTxnLog:
                 if self.is_applied(key) or _stale(p):
                     with contextlib.suppress(FileNotFoundError):
                         os.unlink(p)
+        # a compactor that died between its swap renames left the
+        # bucket missing from data/ with the backup in scratch —
+        # restore BEFORE rollback so no later writer sees an
+        # empty-looking bucket and rewrites it batch-only (ADVICE r9)
+        from ingestprocessstoreinnrt_spark.streaming.compact import (
+            recover_compaction_scratch,
+        )
+
+        recover_compaction_scratch(
+            data_dir,
+            os.path.join(self.root, "_compact_scratch"),
+            break_locks=True,  # operator declared all writers dead
+        )
         self.rollback_incomplete(data_dir)
 
 
@@ -296,6 +310,17 @@ class UpsertTable:
         # layout aliases (tests and external tooling inspect these)
         self._ledger = self.txn_log.ledger_dir
         self._pending = self.txn_log.pending_dir
+        # table-open recovery (ADVICE r9): restore any bucket a crashed
+        # compactor left stranded in _compact_scratch before a writer
+        # can mistake it for empty.  One isdir stat when no compaction
+        # ever ran.
+        from ingestprocessstoreinnrt_spark.streaming.compact import (
+            recover_compaction_scratch,
+        )
+
+        recover_compaction_scratch(
+            self._data(), os.path.join(path, "_compact_scratch")
+        )
 
     # -- storage ------------------------------------------------------------
 

@@ -231,7 +231,13 @@ def test_compaction_under_active_upserts_loses_nothing(spark, tmp_path):
 
     th = threading.Thread(target=ingest)
     th.start()
-    compactions = 0
+    # do-while shape (ADVICE r9): the ingest thread can finish every
+    # batch before the first loop-condition check, so one concurrent-era
+    # compaction is guaranteed unconditionally before the wait loop
+    compact.compact_upsert_table(
+        table, target_bytes=10**9, writer_id="compactor"
+    )
+    compactions = 1
     while not stop.is_set():
         compact.compact_upsert_table(
             table, target_bytes=10**9, writer_id="compactor"
@@ -245,10 +251,19 @@ def test_compaction_under_active_upserts_loses_nothing(spark, tmp_path):
     assert not errors, errors
     assert compactions >= 1
 
-    # quiesced final compaction for the file-count claim
+    # quiesced final compaction: the report lists only buckets actually
+    # rewritten (no-op early exit omits already-compact ones), so the
+    # one-file-per-bucket claim is checked on disk below
     out = compact.compact_upsert_table(table, target_bytes=10**9)
-    assert set(out) == {f"_bucket={i}" for i in range(4)}
+    assert set(out) <= {f"_bucket={i}" for i in range(4)}
     assert all(v == 1 for v in out.values())
+    import os
+
+    for i in range(4):
+        n_files, _ = compact.parquet_file_stats(
+            os.path.join(table._data(), f"_bucket={i}")
+        )
+        assert n_files == 1, f"_bucket={i} has {n_files} files"
 
     expected = {}
     for b in range(n_batches):  # registry order = batch order (LWW)
@@ -265,3 +280,65 @@ def test_compaction_under_active_upserts_loses_nothing(spark, tmp_path):
         for e in entries
         if "_SUCCESS" not in e  # _SUCCESS + its Hadoop .crc twin
     ), entries
+
+
+def test_compactor_crash_mid_swap_recovered_at_table_open(spark, tmp_path):
+    """ADVICE r9 (medium): a compactor that dies between the two swap
+    renames leaves the bucket missing from data/ with its backup in
+    _compact_scratch — committed rows MUST NOT be lost.  Both recovery
+    hooks restore it: opening the table (UpsertTable.__init__) and
+    txn_log.reclaim_stale (the documented stale-lock recovery path)."""
+    import os
+
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+
+    path = str(tmp_path / "t")
+    table = UpsertTable(spark, path, ["k"], num_buckets=2)
+    table.init(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS payload")
+    )
+    before = {(r.k, r.payload) for r in table.read().collect()}
+
+    # simulate the crash window: bucket gone, backup stranded in
+    # scratch, commit lock + compact lock left behind (the compactor
+    # held both when it died)
+    scratch = os.path.join(path, "_compact_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    bucket = os.path.join(table._data(), "_bucket=0")
+    os.rename(bucket, os.path.join(scratch, "_bucket=0._compact_old"))
+    open(os.path.join(scratch, "_bucket=0._compact_lock"), "w").close()
+    open(table.txn_log.lock_path, "w").close()
+    assert not os.path.exists(bucket)
+
+    # hook 1: reclaim_stale restores the bucket and breaks both the
+    # stale commit lock and the dead compactor's bucket lock
+    table.txn_log.reclaim_stale(table._data(), max_age_sec=0.0)
+    assert os.path.isdir(bucket)
+    assert {(r.k, r.payload) for r in table.read().collect()} == before
+    assert not os.path.exists(
+        os.path.join(scratch, "_bucket=0._compact_lock")
+    )
+
+    # hook 2: re-stage the crash, then a fresh open of the table
+    # (new process after the crash) restores it too
+    os.rename(bucket, os.path.join(scratch, "_bucket=0._compact_old"))
+    reopened = UpsertTable(spark, path, ["k"], num_buckets=2)
+    assert os.path.isdir(bucket)
+    assert {(r.k, r.payload) for r in reopened.read().collect()} == before
+
+    # post-swap crash (cleanup lost, bucket intact): the stale backup
+    # is dropped, the live bucket untouched
+    import shutil
+
+    shutil.copytree(bucket, os.path.join(scratch, "_bucket=0._compact_old"))
+    UpsertTable(spark, path, ["k"], num_buckets=2)
+    assert not os.path.exists(
+        os.path.join(scratch, "_bucket=0._compact_old")
+    )
+    assert {(r.k, r.payload) for r in table.read().collect()} == before
+
+    # and the next upsert sees the full table (no batch-only rewrite)
+    table.apply_batch(
+        1, spark.range(5).selectExpr("id + 200 AS k", "id AS payload")
+    )
+    assert table.read().count() == 105
