@@ -67,20 +67,27 @@ def test_proven_gate_requires_hash_match():
 
 
 def test_mat_oracle_twins_equal_plain_oracles(duck):
-    """Every materialized sf1 twin (oracle_sql_mat) must produce the
-    EXACT result of its single-statement oracle at the oracle SF —
-    same columns, same sorted rows, cell-for-cell (the mat form is a
-    factoring of the same SQL, never a reformulation of semantics)."""
+    """Three-way pin for every materialized sf1 twin: the plain
+    single-statement oracle, the temp-table statement list, and the
+    joined multi-statement string oracle_sql() ships to the driver
+    (VERDICT r9 item 2) must all produce the EXACT same result — same
+    columns, same sorted rows, cell-for-cell (the mat forms are
+    factorings of the same SQL, never reformulations of semantics).
+    The joined form is executed DRIVER-STYLE — one execute() of the
+    whole string — pinning that DuckDB returns the final SELECT."""
     import __spark_entry__ as e
     from tools.oracle_check import _norm_rows
 
-    oracles = e.oracle_sql()
+    plain = e.oracle_sql_plain()
+    contract = e.oracle_sql()
     mats = e.oracle_sql_mat()
     assert mats, "mat registry must not be empty"
     for name, stmts in mats.items():
-        assert name in oracles, name
+        assert name in plain, name
         assert len(stmts) >= 2, name
-        res = duck.execute(oracles[name])
+        # the driver contract string IS the joined mat twin
+        assert contract[name] == ";\n".join(stmts), name
+        res = duck.execute(plain[name])
         pcols = [d[0] for d in res.description]
         prows = res.fetchall()
         for stmt in stmts[:-1]:
@@ -88,7 +95,12 @@ def test_mat_oracle_twins_equal_plain_oracles(duck):
         res = duck.execute(stmts[-1])
         mcols = [d[0] for d in res.description]
         mrows = res.fetchall()
+        res = duck.execute(contract[name])  # driver-style: one execute
+        fcols = [d[0] for d in res.description]
+        frows = res.fetchall()
         pc, pr = _norm_rows(pcols, prows)
         mc, mr = _norm_rows(mcols, mrows)
-        assert pc == mc, f"{name}: columns {pc} vs {mc}"
+        fc, fr = _norm_rows(fcols, frows)
+        assert pc == mc == fc, f"{name}: columns {pc} vs {mc} vs {fc}"
         assert pr == mr, f"{name}: {len(pr)} vs {len(mr)} rows or values"
+        assert pr == fr, f"{name}: joined form differs from plain"
