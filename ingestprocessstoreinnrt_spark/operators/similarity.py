@@ -1571,27 +1571,16 @@ def _ivfpq_residual_sql() -> str:
     )
 
 
-def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id, cos_sim, rank) — the FULL IVFADC serve
-    (Jégou, Douze & Schmid 2011 §V): probe cells; per probed cell the
-    query's RESIDUAL against that cell's centroid feeds the PQ
-    distance tables (so tables are per-(query, cell) — N_QUERIES x
-    nprobe broadcast rows); ADC over the residual-encoded code table
-    inside probed cells only; exact cosine re-rank of the calibrated
-    shortlist.  All ADC arithmetic exact BIGINT, so the shortlist is
-    cell-identical cross-engine."""
+def ivfadc_serve(
+    emb: DataFrame, index: DataFrame, cdf: DataFrame, rcdf: DataFrame
+) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank): serve IVFADC queries from an
+    ARBITRARY residual-encoded index frame (vec_id, cid, code0..M-1)
+    against the pinned coarse quantizer + residual codebooks — the
+    query path of an ingest-MAINTAINED index table (the demo/test
+    serve `UpsertTable.read()` through this between upsert batches;
+    ivfpq_residual_search passes the one-pass rebuilt frame)."""
     from . import ml
-
-    resid, rcdf = _rpq_codebook_row(spark, sf_dir)
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
-    cents = ml.fit_centroids(
-        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
-    )
-    cdf = ml._cdf_of(spark, cents)
-    index = _pq_encode(
-        resid, rcdf, keep=("cid",), vec_col=F.col("rv")
-    ).drop("qerr")
 
     # query side: probed cells, then the per-cell query residual
     # (quantized query minus THAT cell's centroid — exact ints)
@@ -1635,6 +1624,30 @@ def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     return _exact_rerank(emb, short)
+
+
+def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank) — the FULL IVFADC serve
+    (Jégou, Douze & Schmid 2011 §V): probe cells; per probed cell the
+    query's RESIDUAL against that cell's centroid feeds the PQ
+    distance tables (so tables are per-(query, cell) — N_QUERIES x
+    nprobe broadcast rows); ADC over the residual-encoded code table
+    inside probed cells only; exact cosine re-rank of the calibrated
+    shortlist.  All ADC arithmetic exact BIGINT, so the shortlist is
+    cell-identical cross-engine."""
+    from . import ml
+
+    resid, rcdf = _rpq_codebook_row(spark, sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
+    )
+    cdf = ml._cdf_of(spark, cents)
+    index = _pq_encode(
+        resid, rcdf, keep=("cid",), vec_col=F.col("rv")
+    ).drop("qerr")
+    return ivfadc_serve(emb, index, cdf, rcdf)
 
 
 def _ivfpq_residual_search_sql() -> str:

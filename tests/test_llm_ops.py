@@ -1248,6 +1248,51 @@ def test_ivfadc_maintained_index_equals_rebuilt(spark, tmp_path):
     assert want == enc
 
 
+def test_ivfadc_streamed_ingest_serves_like_rebuilt(spark, tmp_path):
+    """VERDICT r9 item 5: stream 4 batches of new embeddings through
+    residual_rows/ivfadc_index_rows upserts while SERVING between
+    batches (ivfadc_serve over table.read()), with one mid-stream
+    compaction — after every batch the maintained table must serve
+    EXACTLY what a one-pass rebuild over the same corpus serves."""
+    from ingestprocessstoreinnrt_spark.catalog import fan_out, load_table
+    from ingestprocessstoreinnrt_spark.operators import ml
+    from ingestprocessstoreinnrt_spark.operators import similarity as sim
+    from ingestprocessstoreinnrt_spark.streaming import compact
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+    from pyspark.sql import functions as F
+
+    _, rcdf = sim._rpq_codebook_row(spark, SF_ORACLE)
+    emb = fan_out(load_table(spark, SF_ORACLE, "embeddings"))
+    qv = emb.select("vec_id", ml._qvec().alias("qv"))
+    cents = ml.fit_centroids(
+        spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=SF_ORACLE
+    )
+    cdf = ml._cdf_of(spark, cents)
+
+    part = F.pmod(F.col("vec_id"), F.lit(8))
+    table = UpsertTable(
+        spark, str(tmp_path / "ivfadc"), ["vec_id"], num_buckets=4
+    )
+    table.init(sim.ivfadc_index_rows(emb.filter(part < 4), cdf, rcdf))
+
+    def served(index):
+        return {
+            (r.query_id, r.vec_id, r.rank)
+            for r in sim.ivfadc_serve(emb, index, cdf, rcdf).collect()
+        }
+
+    for b in range(4, 8):
+        table.upsert(
+            sim.ivfadc_index_rows(emb.filter(part == b), cdf, rcdf)
+        )
+        if b == 5:  # mid-stream OPTIMIZE must not change the answers
+            compact.compact_upsert_table(table, target_bytes=10**9)
+        rebuilt = sim.ivfadc_index_rows(
+            emb.filter(part <= b), cdf, rcdf
+        )
+        assert served(table.read()) == served(rebuilt), f"batch {b}"
+
+
 def test_sq8_serve_recall_tier(spark):
     """SQ8's fidelity claim: the int8 tier's 40-deep shortlist must
     essentially recover the exact top-k (measured 1.0 at sf0.01 and
