@@ -244,13 +244,21 @@ def main() -> None:
         _dd._LSH_PAIRS_MEMO.clear()  # family-cold includes the memo
         out: dict[str, tuple[float, float]] = {}
         for name in members:
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            t1 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t1 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as ex:
+                # name the culprit: the r10 sf10 sweep died anonymous
+                # on an ml_correlation int64 overflow and cost a
+                # bisection to attribute
+                raise RuntimeError(
+                    f"bench query {name!r} failed at {sf_dir}"
+                ) from ex
             out[name] = (round(t1 - t0, 4), round(time.perf_counter() - t1, 4))
         return out
 

@@ -38,16 +38,26 @@ def quantize(c: Column) -> Column:
 
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a double column (quantized to 4 decimals),
-    returned as double."""
+    returned as double.  The accumulator is decimal(38,0), not long: a
+    quantized extendedprice is ~1e9/row, so an int64 sum overflows around
+    1e10 rows — inside the 100 TB target — while DuckDB's SUM(BIGINT)
+    widens to HUGEINT automatically.  Decimal summing the exact integers
+    is the faithful mirror; values (and hashes) are unchanged wherever the
+    long sum didn't overflow."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(quantize(c)).cast("double") / F.lit(10000.0)).alias(alias)
+    return (
+        F.sum(quantize(c).cast("decimal(38,0)")).cast("double")
+        / F.lit(10000.0)
+    ).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
     """Order-independent AVG (quantized sum / count), returned as double."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(quantize(c)).cast("double") / F.lit(10000.0) / F.count(c)
+        F.sum(quantize(c).cast("decimal(38,0)")).cast("double")
+        / F.lit(10000.0)
+        / F.count(c)
     ).alias(alias)
 
 

@@ -42,16 +42,24 @@ def _pscale(a: str, b: str) -> float:
 
 
 def _quantp(c, scale: float):
-    return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")
+    # decimal(38,0) accumulator, NOT long: product terms (extendedprice^2
+    # * scale ~1e12/row) overflow an int64 sum near 60M rows — ml_correlation
+    # crashed the first full sf10 sweep exactly there.  DuckDB's SUM(BIGINT)
+    # widens to HUGEINT (128-bit) automatically, so the decimal sum is the
+    # faithful Spark mirror; the quantized value itself is an exact integer
+    # either way and the final ::DOUBLE conversion agrees bit-for-bit.
+    return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("decimal(38,0)")
 
 
 def _sums(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         aggs += [
-            F.sum(quantize(F.col(c))).cast("double").alias(f"s1_{c}"),
+            F.sum(quantize(F.col(c)).cast("decimal(38,0)"))
+            .cast("double").alias(f"s1_{c}"),
             F.sum(_quantp(F.col(c) * F.col(c), _pscale(c, c))).cast("double").alias(f"s2_{c}"),
-            F.sum(quantize(F.abs(F.col(c)))).cast("double").alias(f"l1_{c}"),
+            F.sum(quantize(F.abs(F.col(c))).cast("decimal(38,0)"))
+            .cast("double").alias(f"l1_{c}"),
             F.max(c).alias(f"max_{c}"),
             F.min(c).alias(f"min_{c}"),
             F.sum(F.when(F.col(c) != 0, 1).otherwise(0))
@@ -111,7 +119,11 @@ def correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in FEATURES:
-        aggs.append(F.sum(quantize(F.col(c))).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(quantize(F.col(c)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{c}")
+        )
         aggs.append(
             F.sum(_quantp(F.col(c) * F.col(c), _pscale(c, c)))
             .cast("double")

@@ -255,3 +255,30 @@ def test_fit_centroids_undersized_table(spark):
     # empty table: no clusters, no crash
     empty = qv.filter(F.col("vec_id") < 0)
     assert ml.fit_centroids(spark, empty, k=8, iters=3, memo_key=None) == []
+
+
+def test_quantized_sums_survive_beyond_int64(spark):
+    """Round-10 sf10 lesson: ml_correlation's product-term sums
+    (extendedprice^2 * scale ~ 1e12/row) overflowed an int64
+    accumulator at 60M rows and crashed the first full sf10 sweep.
+    dsum/davg and ml's _quantp now accumulate in decimal(38,0) —
+    exact far past int64, matching DuckDB's automatic
+    BIGINT -> HUGEINT widening.  This pins the headroom with values
+    whose quantized sum is ~40x past int64 max."""
+    from ingestprocessstoreinnrt_spark.functions.scalars import davg, dsum
+    from ingestprocessstoreinnrt_spark.operators.ml import _pscale, _quantp
+    from pyspark.sql import functions as F
+
+    # 40 rows of 9.2e14 -> quantized 9.2e18 each ~ int64 max PER ROW
+    v = 922_337_203_685_477.0
+    df = spark.range(40).select(F.lit(v).alias("x"))
+    row = df.agg(
+        dsum("x", "s"),
+        davg("x", "a"),
+        F.sum(_quantp(F.col("x"), _pscale("l_quantity", "l_quantity")))
+        .cast("double")
+        .alias("p"),
+    ).collect()[0]
+    assert row.s == 40 * v
+    assert row.a == v
+    assert row.p == 40 * v * 10000.0
