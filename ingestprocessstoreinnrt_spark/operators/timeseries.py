@@ -781,14 +781,20 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     w = Window.orderBy("h").rowsBetween(-(CORR_WINDOW - 1), 0)
+    # the hourly sums x/y are ~1e10 at sf10 (corpus-dense hours), so
+    # their PRODUCTS cross int64 — decimal(19,0) operands widen the
+    # product/sum to decimal(38,0), mirroring the ::HUGEINT products
+    # in the DuckDB twin (this overflowed the first full sf10 sweep)
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
     g = hourly.select(
         "h",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(dx * dx).over(w).alias("sxx"),
+        F.sum(dy * dy).over(w).alias("syy"),
+        F.sum(dx * dy).over(w).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
@@ -830,9 +836,9 @@ g AS (
     COUNT(*) OVER wr AS n,
     CAST(SUM(x) OVER wr AS BIGINT) AS sx,
     CAST(SUM(y) OVER wr AS BIGINT) AS sy,
-    CAST(SUM(x * x) OVER wr AS BIGINT) AS sxx,
-    CAST(SUM(y * y) OVER wr AS BIGINT) AS syy,
-    CAST(SUM(x * y) OVER wr AS BIGINT) AS sxy
+    SUM(x::HUGEINT * x) OVER wr AS sxx,
+    SUM(y::HUGEINT * y) OVER wr AS syy,
+    SUM(x::HUGEINT * y) OVER wr AS sxy
   FROM hourly
   WINDOW wr AS (ORDER BY h
     ROWS BETWEEN {CORR_WINDOW - 1} PRECEDING AND CURRENT ROW)
