@@ -178,8 +178,10 @@ def oracle_sql_mat() -> dict[str, list[str]]:
     reasons only.  Each value is a statement list: setup temp tables,
     then the final SELECT.  Semantics are pinned equal to the plain
     oracle at sf0.01 (tests/test_entry_contract.py); consumed by
-    tools/oracle_check.py --mat, and — folded to one statement via
-    oraclegen.mat_to_single_sql — by the oracle_sql() driver contract."""
+    tools/oracle_check.py --mat, and — the statement list joined with
+    ';\\n' into one multi-statement string — by the oracle_sql()
+    driver contract (duckdb.sql on such a string returns the LAST
+    statement's result)."""
     out: dict[str, list[str]] = {}
     for mod in (dedup, basket):
         out.update(getattr(mod, "ORACLE_MAT", {}))

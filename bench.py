@@ -124,6 +124,23 @@ def windowed_stream_bench(spark, sf_dir: str) -> dict:
 LOAD_GATE = 4.0
 LOAD_WAIT_SEC = 600
 
+# Record-protocol gate (VERDICT r10 "what's wrong" #3): the canonical
+# BENCH_full_latest.json is only ever written by a run that STARTED on
+# a quiet box — a contended run goes to a load-stamped side file so the
+# protocol can't regress by habit.  PERFORMANCE.md documents the rule;
+# this enforces it in code.
+LATEST_LOAD_MAX = 1.0
+
+
+def record_path(repo_dir: str, load_1m: float) -> str:
+    """Where this run's full record lands: the canonical latest file iff
+    the pre-sweep loadavg was under LATEST_LOAD_MAX, else a
+    contended-run side file named by the load reading."""
+    if load_1m < LATEST_LOAD_MAX:
+        return os.path.join(repo_dir, "BENCH_full_latest.json")
+    tag = f"{load_1m:.2f}".replace(".", "p")
+    return os.path.join(repo_dir, f"BENCH_full_contended_load{tag}.json")
+
 
 def _wait_for_quiet() -> float:
     """Block until loadavg(1m) < LOAD_GATE or LOAD_WAIT_SEC elapses.
@@ -321,8 +338,11 @@ def main() -> None:
     # so cross-round comparison sees ~26 of 150+ queries.  Persist the
     # FULL record to a repo file so each round's judge can diff the
     # whole surface (committed as BENCH_full_r{N}.json at round end).
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
+    # Contended runs (load_1m >= LATEST_LOAD_MAX at sweep start) are
+    # diverted to a side file — BENCH_full_latest.json stays quiet-box
+    # only.
+    full_path = record_path(
+        os.path.dirname(os.path.abspath(__file__)), load_1m
     )
     try:
         with open(full_path, "w") as f:

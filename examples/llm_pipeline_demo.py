@@ -279,42 +279,46 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         cdf = ml._cdf_of(spark, cents)
         part = F.pmod(F.col("vec_id"), F.lit(8))
         tmp = tempfile.mkdtemp(prefix="demo_ivfadc_")
-        table = UpsertTable(
-            spark, tmp + "/index", ["vec_id"], num_buckets=4
-        )
-        table.init(sim.ivfadc_index_rows(emb.filter(part < 4), cdf, rcdf))
-        n_rows, t_ing, serves = 0, 0.0, []
-        for b in range(4, 8):
-            batch = emb.filter(part == b)
-            t0 = time.perf_counter()
-            table.upsert(sim.ivfadc_index_rows(batch, cdf, rcdf))
-            t_ing += time.perf_counter() - t0
-            n_rows += batch.count()
-            if b == 5:  # one mid-stream OPTIMIZE under the same lock
-                compact.compact_upsert_table(table, target_bytes=10**9)
-            serves.append(
-                sim.ivfadc_serve(emb, table.read(), cdf, rcdf)
-                .filter(F.col("rank") == 1)
-                .count()
+        try:  # a divergence assert must not leak the temp dir (ADVICE r10)
+            table = UpsertTable(
+                spark, tmp + "/index", ["vec_id"], num_buckets=4
             )
-        final = sim.ivfadc_serve(emb, table.read(), cdf, rcdf)
-        rebuilt = sim.ivfadc_serve(
-            emb, sim.ivfadc_index_rows(emb, cdf, rcdf), cdf, rcdf
-        )
-        same = (
-            final.exceptAll(rebuilt).count()
-            + rebuilt.exceptAll(final).count()
-        ) == 0
-        print(
-            f"[15] streamed {n_rows} embeddings through 4 "
-            f"residual-encode upserts at "
-            f"{n_rows / max(t_ing, 1e-9):.0f} rows/s, served top-1 for "
-            f"{serves} queries between batches (one mid-stream "
-            f"compaction); final maintained serve == rebuilt serve: "
-            f"{same}"
-        )
-        assert same, "maintained IVFADC serve diverged from rebuilt"
-        shutil.rmtree(tmp, ignore_errors=True)
+            table.init(
+                sim.ivfadc_index_rows(emb.filter(part < 4), cdf, rcdf)
+            )
+            n_rows, t_ing, serves = 0, 0.0, []
+            for b in range(4, 8):
+                batch = emb.filter(part == b)
+                t0 = time.perf_counter()
+                table.upsert(sim.ivfadc_index_rows(batch, cdf, rcdf))
+                t_ing += time.perf_counter() - t0
+                n_rows += batch.count()
+                if b == 5:  # one mid-stream OPTIMIZE under the same lock
+                    compact.compact_upsert_table(table, target_bytes=10**9)
+                serves.append(
+                    sim.ivfadc_serve(emb, table.read(), cdf, rcdf)
+                    .filter(F.col("rank") == 1)
+                    .count()
+                )
+            final = sim.ivfadc_serve(emb, table.read(), cdf, rcdf)
+            rebuilt = sim.ivfadc_serve(
+                emb, sim.ivfadc_index_rows(emb, cdf, rcdf), cdf, rcdf
+            )
+            same = (
+                final.exceptAll(rebuilt).count()
+                + rebuilt.exceptAll(final).count()
+            ) == 0
+            print(
+                f"[15] streamed {n_rows} embeddings through 4 "
+                f"residual-encode upserts at "
+                f"{n_rows / max(t_ing, 1e-9):.0f} rows/s, served top-1 for "
+                f"{serves} queries between batches (one mid-stream "
+                f"compaction); final maintained serve == rebuilt serve: "
+                f"{same}"
+            )
+            assert same, "maintained IVFADC serve diverged from rebuilt"
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(s for _, s in _STAGES), 2)
     print(f"\nstage breakdown @ {sf_dir} (load_1m "

@@ -437,7 +437,7 @@ def centroid_ctes_sliced(
     prefix: str,
     lo: int,
     dim: int,
-    k: int,
+    k: int | str,
     iters: int,
     where: str = "",
     source_sql: str | None = None,
@@ -459,7 +459,10 @@ def centroid_ctes_sliced(
     CTE names ('af', 'c2', ...) to emit AS MATERIALIZED — a DuckDB
     execution hint only (results identical); deep consumers like the
     IVFADC serve re-reference the chain enough times that pure
-    inlining explodes the plan (observed OOM)."""
+    inlining explodes the plan (observed OOM).  `k` may be a SQL
+    expression string (e.g. a COUNT(*)-derived scalar subquery) —
+    DuckDB accepts expressions in LIMIT — for corpus-adaptive cluster
+    counts (the SemDeDup oracle); int k embeds as a literal."""
     qs = ", ".join(
         f"CAST(FLOOR(embedding[{lo + j + 1}]::DOUBLE * 10000.0 + 0.5) "
         f"AS BIGINT) AS q{j}"
@@ -512,7 +515,9 @@ def centroid_ctes_sliced(
     return ctes
 
 
-def centroid_ctes(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> list:
+def centroid_ctes(
+    k: int | str = K_CLUSTERS, iters: int = KMEANS_ITERS
+) -> list:
     """DuckDB CTE chain reproducing fit_centroids bit-for-bit: `q` =
     quantized vectors, `c{iters-1}` = final centroids, `af` = final
     nearest-centroid assignment of every vector.  Shared by the kmeans

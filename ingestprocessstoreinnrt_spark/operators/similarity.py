@@ -101,9 +101,9 @@ def _plane(j: int):
     )
 
 
-def _signature(vec_col):
+def _signature(vec_col, n_planes: int = _N_PLANES):
     sig = F.lit(0)
-    for j in range(_N_PLANES):
+    for j in range(n_planes):
         dot_j = F.aggregate(
             F.zip_with(vec_col, _plane(j), lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -169,12 +169,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_probe_topk(lsh_bucket_rows(emb))
 
 
-def sql_signature(col: str = "embedding") -> str:
+def sql_signature(
+    col: str = "embedding", n_planes: int = _N_PLANES
+) -> str:
     """DuckDB twin of `_signature` — same integer plane formula, same
     quantized-sign decision, so the bucket is bit-identical
-    cross-engine.  Shared with operators.dedup's bucketized near-dup."""
+    cross-engine.  Shared with operators.dedup's bucketized near-dup
+    (which passes its adaptive-width plane count; plane j's term
+    contributes only bit j, so a wide signature masked to b bits
+    equals the b-plane signature)."""
     sig_terms = []
-    for j in range(_N_PLANES):
+    for j in range(n_planes):
         plane = (
             f"list_transform(range(0, {_DIM}), d -> "
             f"(((({17 * j + 3}) * (d + 1) + {7919 * j + 101}) % 2001) - 1000)"

@@ -89,7 +89,10 @@ _LOCK_SUFFIX = "._compact_lock"
 
 
 def recover_compaction_scratch(
-    data_dir: str, scratch_dir: str, break_locks: bool = False
+    data_dir: str,
+    scratch_dir: str,
+    break_locks: bool = False,
+    skip_locked: bool = False,
 ) -> list[str]:
     """Scan a compaction scratch directory for crash leftovers and
     restore every partition a crashed compactor left missing.
@@ -102,6 +105,16 @@ def recover_compaction_scratch(
     (ADVICE r9): for each `*._compact_old` under `scratch_dir`, restore
     the partition if it is missing, else drop the stale backup (the
     swap completed; only the post-swap cleanup was lost).
+
+    `skip_locked=True` (table open — ADVICE r10): leave alone any
+    partition whose per-bucket `._compact_lock` is present.  A LIVE
+    compactor (another process) holds that lock for the entire
+    stat-through-swap window, so restoring its backup here would make
+    its rename(tmp, path) fail and its rollback find the backup gone.
+    A compactor that CRASHED in that window also left the lock — but
+    it held the table commit lock too, so writers are fenced with a
+    TimeoutError pointing at reclaim_stale, which restores the bucket.
+    No committed row is readable-as-missing by a writer either way.
 
     `break_locks=True` (reclaim_stale only — the operator has declared
     all writers dead) also removes per-bucket `._compact_lock` files so
@@ -116,6 +129,10 @@ def recover_compaction_scratch(
         p = os.path.join(scratch_dir, entry)
         if entry.endswith(_OLD_SUFFIX):
             part = entry[: -len(_OLD_SUFFIX)]
+            if skip_locked and os.path.exists(
+                os.path.join(scratch_dir, part + _LOCK_SUFFIX)
+            ):
+                continue  # live-or-crashed compactor owns this bucket
             if recover_compaction(os.path.join(data_dir, part), scratch_dir):
                 restored.append(part)
             else:

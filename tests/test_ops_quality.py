@@ -342,3 +342,53 @@ def test_compactor_crash_mid_swap_recovered_at_table_open(spark, tmp_path):
         1, spark.range(5).selectExpr("id + 200 AS k", "id AS payload")
     )
     assert table.read().count() == 105
+
+
+def test_table_open_skips_locked_compaction_bucket(spark, tmp_path):
+    """ADVICE r10 (medium): table open must NOT restore a bucket whose
+    per-bucket ._compact_lock is present — a LIVE compactor holds that
+    lock for its whole swap window, and an open-time restore would make
+    its rename(tmp, path) fail and strand its rollback.  The locked
+    state is left byte-identical; a crashed holder also left the table
+    commit lock, so writers are fenced until reclaim_stale (which
+    restores under break_locks)."""
+    import os
+
+    import pytest
+
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+
+    path = str(tmp_path / "t")
+    table = UpsertTable(spark, path, ["k"], num_buckets=2)
+    table.init(spark.range(100).selectExpr("id AS k", "id * 2 AS payload"))
+    before = {(r.k, r.payload) for r in table.read().collect()}
+
+    # compactor mid-swap: bucket renamed away, bucket lock + commit
+    # lock held
+    scratch = os.path.join(path, "_compact_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    bucket = os.path.join(table._data(), "_bucket=0")
+    old = os.path.join(scratch, "_bucket=0._compact_old")
+    lock = os.path.join(scratch, "_bucket=0._compact_lock")
+    os.rename(bucket, old)
+    open(lock, "w").close()
+    open(table.txn_log.lock_path, "w").close()
+
+    # fresh open: leaves the in-window state alone (no restore, no
+    # backup drop, lock intact)
+    reopened = UpsertTable(spark, path, ["k"], num_buckets=2)
+    assert not os.path.exists(bucket)
+    assert os.path.isdir(old)
+    assert os.path.exists(lock)
+
+    # a writer cannot slip a batch-only rewrite in: the dead holder's
+    # commit lock fences it toward reclaim_stale
+    with pytest.raises(TimeoutError, match="reclaim_stale"):
+        with reopened.txn_log.table_lock("w2", timeout=0.1):
+            pass
+
+    # the documented recovery path restores everything
+    reopened.txn_log.reclaim_stale(reopened._data(), max_age_sec=0.0)
+    assert os.path.isdir(bucket)
+    assert not os.path.exists(lock)
+    assert {(r.k, r.payload) for r in reopened.read().collect()} == before

@@ -173,10 +173,11 @@ def test_salted_self_join_zipf_mega_bucket(spark):
 
 
 def test_semdedup_design_grain_pair_counts_bounded(spark):
-    """SemDeDup at its DESIGN operating point (VERDICT r6 item 7): the
-    oracled dedup_semantic pins k to ml.K_CLUSTERS=8 for oracle-chain
-    reuse, but the real deployment scales k as n/target_cluster_size
-    so per-cluster quadratic work stays bounded.  Run the actual
+    """SemDeDup at its DESIGN operating point (VERDICT r6 item 7): k
+    scales as n/target_cluster_size so per-cluster quadratic work
+    stays bounded — since r11 the oracled dedup_semantic itself does
+    this (_sem_k), closing the r10 sf10 exponent-1.98 flag; this test
+    proves the bound at sf1 with an independent target.  Run the actual
     machinery (Lloyd's fit + nearest assignment + the salted in-cluster
     pair generator) at sf1 with k = n/250 and prove (a) the in-cluster
     pair universe stays ~n*target — NOT the n^2/2 a collapsed
@@ -282,3 +283,50 @@ def test_quantized_sums_survive_beyond_int64(spark):
     assert row.s == 40 * v
     assert row.a == v
     assert row.p == 40 * v * 10000.0
+
+
+def test_adaptive_plan_params_match_sql_twins():
+    """r11 scale fix: embedding_neardup's signature width and
+    dedup_semantic's cluster count are corpus-adaptive on BOTH engines.
+    The Python rule and the SQL threshold chain must agree at every
+    corpus size — especially at the power-of-two boundaries where a
+    floating log2 would wobble.  (Own connection: the session `duck`
+    fixture's registered views must not be shadowed.)"""
+    import duckdb
+
+    from ingestprocessstoreinnrt_spark.operators.dedup import (
+        NEARDUP_MAX_BITS,
+        NEARDUP_TARGET_BUCKET,
+        SEM_MAX_K,
+        SEM_TARGET_CLUSTER,
+        _adaptive_mask_sql,
+        _sem_k,
+        _sem_k_sql,
+        adaptive_sig_bits,
+    )
+
+    con = duckdb.connect()
+    # boundary-heavy probe set: around every threshold, plus extremes
+    ns = {1, 2, 100, 200, 2000, 20000, 200000, 10**9}
+    for b in range(8, NEARDUP_MAX_BITS + 1):
+        t = NEARDUP_TARGET_BUCKET << b
+        ns |= {t - 1, t, t + 1}
+    for m in (1, SEM_TARGET_CLUSTER, SEM_MAX_K * SEM_TARGET_CLUSTER):
+        ns |= {m - 1, m, m + 1}
+    for n in sorted(ns):
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT 1 AS vec_id FROM range({n})"
+        )
+        (mask,) = con.execute(f"SELECT {_adaptive_mask_sql()}").fetchone()
+        assert mask == (1 << adaptive_sig_bits(n)) - 1, n
+        (k,) = con.execute(f"SELECT {_sem_k_sql()}").fetchone()
+        assert k == _sem_k(n), n
+    con.close()
+    # driver scales stay at the pre-adaptive operating point
+    assert adaptive_sig_bits(200) == 8 and adaptive_sig_bits(2000) == 8
+    assert _sem_k(200) == 8 and _sem_k(2000) == 8
+    # the measured sf1/sf10 corpora land where the fix predicts
+    assert adaptive_sig_bits(20000) == 11
+    assert adaptive_sig_bits(200000) == 14
+    assert _sem_k(20000) == 50 and _sem_k(200000) == 500

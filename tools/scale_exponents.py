@@ -38,6 +38,12 @@ def main() -> None:
     r1, r2 = json.load(open(f1)), json.load(open(f2))
     sf1 = sf1 if sf1 is not None else float(r1["sf"])
     sf2 = sf2 if sf2 is not None else float(r2["sf"])
+    if sf1 == sf2:  # ADVICE r10: two same-scale records -> log(1) = 0
+        sys.exit(
+            f"error: both records are at sf={sf1:g} — exponents need two "
+            "DIFFERENT scales (pass explicit sf overrides if the records "
+            "mislabel theirs)"
+        )
     key = "queries" if use_cold else "queries_warm"
     q1, q2 = r1[key], r2[key]
     ratio = math.log10(sf2 / sf1)
