@@ -36,28 +36,38 @@ def quantize(c: Column) -> Column:
     return F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("long")
 
 
-def dsum(col: Column | str, alias: str) -> Column:
+def dsum(col: Column | str, alias: str, bounded: bool = False) -> Column:
     """Order-independent SUM of a double column (quantized to 4 decimals),
     returned as double.  The accumulator is decimal(38,0), not long: a
     quantized extendedprice is ~1e9/row, so an int64 sum overflows around
     1e10 rows — inside the 100 TB target — while DuckDB's SUM(BIGINT)
     widens to HUGEINT automatically.  Decimal summing the exact integers
     is the faithful mirror; values (and hashes) are unchanged wherever the
-    long sum didn't overflow."""
+    long sum didn't overflow.
+
+    `bounded=True` keeps the BIGINT accumulator (whole-stage-codegen
+    primitive path; decimal summing measured 1.75x slower on the bare
+    aggregate — tools/microbench_decimal.py, PERFORMANCE.md).  The
+    CALLER owns the proof obligation: per-group quantized |sum| must
+    stay under 2^63 AT 100 TB, i.e. the GROUP's row count must not
+    grow with corpus size (entity-keyed rollups where rows-per-entity
+    is structurally constant — ~10 orders/customer at any TPC-H SF —
+    qualify; corpus-grain or low-cardinality-group sums do NOT).
+    State the bound in a comment at the call site.  The SQL twins are
+    unaffected either way (DuckDB auto-widens BIGINT sums to
+    HUGEINT)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(quantize(c).cast("decimal(38,0)")).cast("double")
-        / F.lit(10000.0)
-    ).alias(alias)
+    acc = quantize(c) if bounded else quantize(c).cast("decimal(38,0)")
+    return (F.sum(acc).cast("double") / F.lit(10000.0)).alias(alias)
 
 
-def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent AVG (quantized sum / count), returned as double."""
+def davg(col: Column | str, alias: str, bounded: bool = False) -> Column:
+    """Order-independent AVG (quantized sum / count), returned as double.
+    `bounded` as in dsum — same proof obligation on the caller."""
     c = F.col(col) if isinstance(col, str) else col
+    acc = quantize(c) if bounded else quantize(c).cast("decimal(38,0)")
     return (
-        F.sum(quantize(c).cast("decimal(38,0)")).cast("double")
-        / F.lit(10000.0)
-        / F.count(c)
+        F.sum(acc).cast("double") / F.lit(10000.0) / F.count(c)
     ).alias(alias)
 
 

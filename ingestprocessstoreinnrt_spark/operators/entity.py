@@ -69,14 +69,20 @@ GROUP BY o_custkey
 def entity_from_orders(orders: DataFrame) -> DataFrame:
     """A1 aggregation over an arbitrary orders-shaped DataFrame (used by
     the streaming path on each micro-batch)."""
+    # bounded=True (PERFORMANCE.md §decimal-accumulators): the group is
+    # o_custkey and TPC-H holds rows-per-customer at ~10 at EVERY scale
+    # factor (measured 10.0 across sf0.001-0.1), so the per-group
+    # quantized sum is ~10 x 5e9 ~ 5e10 — eight orders of magnitude of
+    # int64 headroom at any corpus size.  Corpus-grain dsum sites keep
+    # the decimal accumulator.
     aggs = [
         F.count(F.lit(1)).alias("total_orders"),
-        dsum("o_totalprice", "total_spend"),
+        dsum("o_totalprice", "total_spend", bounded=True),
         F.max("o_totalprice").alias("max_order_price"),
-        davg("o_totalprice", "avg_order_price"),
+        davg("o_totalprice", "avg_order_price", bounded=True),
     ]
     for status, stem in ORDER_STATUS_NAMES.items():
-        aggs.append(dsum(_cond(status), f"total_{stem}_spend"))
+        aggs.append(dsum(_cond(status), f"total_{stem}_spend", bounded=True))
         aggs.append(
             F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
             .cast("long")

@@ -34,15 +34,20 @@ PERIOD_MIN, PERIOD_MAX = 1000, 5000
 
 def profile_from_events(events: DataFrame) -> DataFrame:
     ev = events
+    # bounded=True (PERFORMANCE.md §decimal-accumulators): grouped by
+    # user_id with rows-per-user structurally constant across scale
+    # factors (measured 66.7 at sf0.001-0.1 — user count grows with the
+    # corpus, per-user event rate doesn't), so per-group quantized sums
+    # stay ~1e7 — int64-safe at any corpus size.
     prof = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("readings_count"),
         F.max("value").alias("max_value"),
         davg(F.when((ev.event_type == "click") & (ev.value > 0), ev.value),
-             "accel_score"),
+             "accel_score", bounded=True),
         davg(F.when(ev.event_type == "error", F.abs(ev.value)),
-             "brake_score"),
-        davg(F.abs(ev.value), "handling_score"),
-        davg("value", "avg_value"),
+             "brake_score", bounded=True),
+        davg(F.abs(ev.value), "handling_score", bounded=True),
+        davg("value", "avg_value", bounded=True),
         F.sum(
             F.when(ev.event_type == "purchase", 1)
             .when(ev.event_type == "error", -1)
