@@ -132,13 +132,23 @@ LOAD_WAIT_SEC = 600
 LATEST_LOAD_MAX = 1.0
 
 
-def record_path(repo_dir: str, load_1m: float) -> str:
+def record_path(repo_dir: str, load_1m: float, sf: str = "0.1") -> str:
     """Where this run's full record lands: the canonical latest file iff
-    the pre-sweep loadavg was under LATEST_LOAD_MAX, else a
-    contended-run side file named by the load reading."""
+    the run is at the canonical scale (sf0.1, the default dir) AND the
+    pre-sweep loadavg was under LATEST_LOAD_MAX.  Other scales get
+    their own named record (quiet) — cross-round comparison must never
+    find an sf1 sweep wearing the sf0.1 record's name — and contended
+    runs at any scale go to a load-stamped side file."""
+    tag = f"{load_1m:.2f}".replace(".", "p")
+    if str(sf) != "0.1":
+        name = (
+            f"BENCH_full_sf{sf}.json"
+            if load_1m < LATEST_LOAD_MAX
+            else f"BENCH_full_sf{sf}_contended_load{tag}.json"
+        )
+        return os.path.join(repo_dir, name)
     if load_1m < LATEST_LOAD_MAX:
         return os.path.join(repo_dir, "BENCH_full_latest.json")
-    tag = f"{load_1m:.2f}".replace(".", "p")
     return os.path.join(repo_dir, f"BENCH_full_contended_load{tag}.json")
 
 
@@ -342,7 +352,7 @@ def main() -> None:
     # diverted to a side file — BENCH_full_latest.json stays quiet-box
     # only.
     full_path = record_path(
-        os.path.dirname(os.path.abspath(__file__)), load_1m
+        os.path.dirname(os.path.abspath(__file__)), load_1m, str(sf)
     )
     try:
         with open(full_path, "w") as f:

@@ -135,3 +135,9 @@ def test_bench_latest_record_is_quiet_box_only():
         assert "contended" in p
     # distinct loads -> distinct side files (no silent clobber)
     assert bench.record_path("/r", 3.24) != bench.record_path("/r", 1.02)
+    # non-canonical scales never wear the latest name, quiet or not
+    assert bench.record_path("/r", 0.1, "1").endswith(
+        "BENCH_full_sf1.json"
+    )
+    p10 = bench.record_path("/r", 2.0, "10")
+    assert "latest" not in p10 and "sf10" in p10 and "contended" in p10
