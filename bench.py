@@ -178,6 +178,23 @@ def _wait_for_quiet() -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Big-scale sweeps need a big single-JVM heap: the r11 first sf10
+    # attempt ran on the 8g default and died 30 min in on a broadcast
+    # build OOM under the dedup family's cached shingle frames (the
+    # established sf10 protocol is SPARK_GRAFT_DRIVER_MEM=48g —
+    # PERFORMANCE.md r7/r10).  Warn loudly up front, not 30 min in.
+    sf_name = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        big = float(sf_name) >= 1.0
+    except ValueError:
+        big = False
+    if big and "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        print(
+            f"WARNING: sf{sf_name} sweep on the default 8g driver heap —"
+            " expect broadcast-build OOMs; set SPARK_GRAFT_DRIVER_MEM=48g"
+            " (the sf>=1 protocol, PERFORMANCE.md)",
+            file=sys.stderr,
+        )
     load_1m = _wait_for_quiet()
     import __spark_entry__ as e
     from ingestprocessstoreinnrt_spark.session import get_spark
