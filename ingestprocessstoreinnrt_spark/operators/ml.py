@@ -216,12 +216,44 @@ def _qvec():
     )
 
 
+# One-row artifact frames (centroid/codebook rows) memoized by
+# CONTENTS: spark.createDataFrame yields a fresh RDD-backed plan every
+# call, so two invocations of the same query build UNEQUAL plans and
+# Spark's cache manager never dedups anything downstream of the
+# artifact row — the r11 sf10 probe caught dedup_semantic's warm run
+# re-paying the whole n x k assignment fold (46 s) because its cached
+# assignment frame descended from a fresh _cdf_of row.  Returning the
+# SAME DataFrame object for the same contents makes downstream plans
+# structurally equal, so .cache() dedup works across invocations.
+# Keyed by (session id, contents); a handful of metadata-scale frames
+# per session.
+_ROW_FRAME_MEMO: dict = {}
+
+
+def memo_row_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    key = (id(spark), schema, _freeze(rows))
+    df = _ROW_FRAME_MEMO.get(key)
+    if df is None:
+        df = spark.createDataFrame(rows, schema)
+        _ROW_FRAME_MEMO[key] = df
+    return df
+
+
+def _freeze(x):
+    if isinstance(x, (list, tuple)):
+        return tuple(_freeze(v) for v in x)
+    return x
+
+
 def _cdf_of(spark: SparkSession, c: list) -> DataFrame:
     """Centroids as ONE broadcastable row holding an array of
     (cid, vector), not as literals: the iteration plan keeps the same
     generated code every pass (codegen cache hit; literal-embedded
-    centroids recompiled ~1.5 s/pass measured at sf0.1)."""
-    return spark.createDataFrame(
+    centroids recompiled ~1.5 s/pass measured at sf0.1).  Memoized by
+    contents (see _ROW_FRAME_MEMO) so repeat invocations of a consumer
+    query produce plan-identical frames and hit their caches."""
+    return memo_row_frame(
+        spark,
         [([(i, cv) for i, cv in c],)],
         "cents array<struct<cid:int, cv:array<bigint>>>",
     )

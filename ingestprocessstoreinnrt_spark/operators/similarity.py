@@ -939,7 +939,11 @@ def _pq_codebook_row(spark: SparkSession, sf_dir: str):
         qm.unpersist()
         all_cents.append(cents)
     q.unpersist()
-    cdf = spark.createDataFrame(
+    # memoized by contents (ml.memo_row_frame): repeat invocations
+    # must yield plan-identical codebook rows or no downstream cache
+    # ever dedups (ml._ROW_FRAME_MEMO rationale)
+    cdf = ml.memo_row_frame(
+        spark,
         [([(m, cid, cv) for m, cs in enumerate(all_cents)
            for cid, cv in cs],)],
         "cents array<struct<m:int, cid:int, cv:array<bigint>>>",
@@ -1503,7 +1507,8 @@ def _rpq_codebook_row(spark: SparkSession, sf_dir: str):
         )
         qm.unpersist()
         all_cents.append(cents)
-    rcdf = spark.createDataFrame(
+    rcdf = ml.memo_row_frame(
+        spark,
         [([(m, cid, cv) for m, cs in enumerate(all_cents)
            for cid, cv in cs],)],
         "cents array<struct<m:int, cid:int, cv:array<bigint>>>",

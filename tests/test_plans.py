@@ -423,6 +423,11 @@ def test_r6_ops_have_clean_plans(spark):
     without any cartesian; SemDeDup's only nested-loop join is the
     single-row broadcast centroid ride-in (metadata-scale, same shape
     as ann_ivf's), and its pair generation is the salted equi-join."""
+    # Plan-SHAPE assertions need uncached plans: since the r11
+    # artifact-row memo (ml.memo_row_frame) repeat plans are EQUAL, so
+    # frames cached by earlier test files dedup into these plans as
+    # InMemoryTableScan and hide the join nodes under inspection.
+    spark.catalog.clearCache()
     from ingestprocessstoreinnrt_spark.operators import curation, dedup
 
     from ingestprocessstoreinnrt_spark.operators import (
@@ -778,6 +783,8 @@ def test_r9_sim_ops_have_clean_plans(spark):
     nested-loop against the 8-row broadcast query panel only."""
     import re
 
+    # uncached plans required — see test_r6_ops_have_clean_plans
+    spark.catalog.clearCache()
     from ingestprocessstoreinnrt_spark.operators import similarity
 
     body = E.formatted_plan(
