@@ -196,6 +196,13 @@ def main() -> None:
             file=sys.stderr,
         )
     load_1m = _wait_for_quiet()
+    # Capture the 5-minute average PRE-sweep too (post-sweep it would
+    # only measure bench's own local[32] work): the canonical-record
+    # decision uses the WORSE of the two.  The r11 round-close refresh
+    # started on a momentary 1-min dip to 0.80 while the 5-min average
+    # was still 11 (box draining an sf10 sweep) and measured 1.43x the
+    # quiet baseline — a momentary dip is not a quiet box.
+    load_5m = round(os.getloadavg()[1], 2)
     import __spark_entry__ as e
     from ingestprocessstoreinnrt_spark.session import get_spark
 
@@ -357,6 +364,7 @@ def main() -> None:
         # box contention and cost a re-run to disprove — record the
         # conditions so contended numbers are self-identifying
         "load_1m": load_1m,
+        "load_5m": load_5m,
         "started_contended": started_contended,
         "contended_resweep": reran,
         "cpus": os.cpu_count(),
@@ -365,11 +373,13 @@ def main() -> None:
     # so cross-round comparison sees ~26 of 150+ queries.  Persist the
     # FULL record to a repo file so each round's judge can diff the
     # whole surface (committed as BENCH_full_r{N}.json at round end).
-    # Contended runs (load_1m >= LATEST_LOAD_MAX at sweep start) are
-    # diverted to a side file — BENCH_full_latest.json stays quiet-box
-    # only.
+    # Contended runs (worse of the pre-sweep 1m/5m loadavgs >=
+    # LATEST_LOAD_MAX) are diverted to a side file —
+    # BENCH_full_latest.json stays quiet-box only.
     full_path = record_path(
-        os.path.dirname(os.path.abspath(__file__)), load_1m, str(sf)
+        os.path.dirname(os.path.abspath(__file__)),
+        max(load_1m, load_5m),
+        str(sf),
     )
     try:
         with open(full_path, "w") as f:
