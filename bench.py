@@ -132,14 +132,19 @@ LOAD_WAIT_SEC = 600
 LATEST_LOAD_MAX = 1.0
 
 
-def record_path(repo_dir: str, load_1m: float, sf: str = "0.1") -> str:
+def record_path(
+    repo_dir: str, load_1m: float, sf: str = "0.1", uniq: str = ""
+) -> str:
     """Where this run's full record lands: the canonical latest file iff
     the run is at the canonical scale (sf0.1, the default dir) AND the
     pre-sweep loadavg was under LATEST_LOAD_MAX.  Other scales get
     their own named record (quiet) — cross-round comparison must never
     find an sf1 sweep wearing the sf0.1 record's name — and contended
-    runs at any scale go to a load-stamped side file."""
-    tag = f"{load_1m:.2f}".replace(".", "p")
+    runs at any scale go to a load-stamped side file.  `uniq` (ADVICE
+    r11: the pid, in practice) suffixes CONTENDED names only, so two
+    contended runs that round to the same load tag can't silently
+    clobber each other; canonical/quiet names stay stable."""
+    tag = f"{load_1m:.2f}".replace(".", "p") + (f"_{uniq}" if uniq else "")
     if str(sf) != "0.1":
         name = (
             f"BENCH_full_sf{sf}.json"
@@ -204,12 +209,25 @@ def main() -> None:
     # quiet baseline — a momentary dip is not a quiet box.
     load_5m = round(os.getloadavg()[1], 2)
     import __spark_entry__ as e
+    from ingestprocessstoreinnrt_spark.operators import artifacts as _artifacts
     from ingestprocessstoreinnrt_spark.session import get_spark
 
     spark = get_spark("bench")
     qs = e.queries()
     # warm the JVM + parquet footers once so timings measure the queries
     next(iter(qs.values()))(spark, sf_dir).count()
+
+    # pre-touch every source table once, untimed (VERDICT r11 item 6):
+    # a per-query cold time otherwise charges the OS-level first read
+    # of a shared table to whichever query happens to scan it first —
+    # bi_yoy_growth's 1.80 "cold exponent" was the 60M-row lineitem
+    # first-touch, not its own plan.  One full-column noop scan per
+    # table moves that cost out of every query's number.
+    for t in sorted(os.listdir(sf_dir)):
+        if t.endswith(".parquet"):
+            spark.read.parquet(os.path.join(sf_dir, t)).write.format(
+                "noop"
+            ).mode("overwrite").save()
 
     # CANONICAL order (VERDICT r6 item 2): queries()' dict order follows
     # the driver's correctness-window rotation and changes every round,
@@ -328,6 +346,7 @@ def main() -> None:
     started_contended = load_1m > LOAD_GATE
     both = sweep_all()
     reran = False
+    retry_load = None
     if started_contended:
         retry_load = _wait_for_quiet()
         if retry_load <= LOAD_GATE:
@@ -368,6 +387,13 @@ def main() -> None:
         "started_contended": started_contended,
         "contended_resweep": reran,
         "cpus": os.cpu_count(),
+        # source tables were full-scanned once, untimed, before the
+        # sweep — per-query colds exclude OS first-touch attribution
+        "pretouched_tables": True,
+        # persisted-index cache state (operators/artifacts.py): misses
+        # mean some cold numbers include a one-time index build+write;
+        # steady-state records should show miss == 0
+        "artifacts": dict(_artifacts.STATS),
     }
     # The driver's BENCH_r{N}.json keeps only the last 2 KB of stdout,
     # so cross-round comparison sees ~26 of 150+ queries.  Persist the
@@ -376,10 +402,20 @@ def main() -> None:
     # Contended runs (worse of the pre-sweep 1m/5m loadavgs >=
     # LATEST_LOAD_MAX) are diverted to a side file —
     # BENCH_full_latest.json stays quiet-box only.
+    # Record-path decision load: normally the WORSE of the pre-sweep
+    # 1m/5m loadavgs.  A contended_resweep run kept quiet per-query
+    # minimums (the second sweep re-gated on a quiet box), so its
+    # record is decided by the RETRY gate's load, not the dead
+    # pre-sweep stamp (ADVICE r11) — contention only ever slows a
+    # query, so min(contended, quiet-retry) is a quiet measurement.
+    decide_load = max(load_1m, load_5m)
+    if reran and retry_load is not None:
+        decide_load = retry_load
     full_path = record_path(
         os.path.dirname(os.path.abspath(__file__)),
-        max(load_1m, load_5m),
+        decide_load,
         str(sf),
+        uniq=str(os.getpid()),
     )
     try:
         with open(full_path, "w") as f:

@@ -225,13 +225,30 @@ def _qvec():
 # assignment frame descended from a fresh _cdf_of row.  Returning the
 # SAME DataFrame object for the same contents makes downstream plans
 # structurally equal, so .cache() dedup works across invocations.
-# Keyed by (session id, contents); a handful of metadata-scale frames
-# per session.
+# Keyed by (applicationId, session UUID, contents) — session-stable
+# tokens, not id(spark) (ADVICE r11: an id() key was collision-safe
+# only because the memo itself pinned the old session alive).  Entries
+# from stopped contexts are evicted on the next call: exactly one
+# SparkContext exists per Python process, so any entry whose
+# applicationId differs from the current one belongs to a dead context
+# and would otherwise pin its py4j refs for process lifetime.
 _ROW_FRAME_MEMO: dict = {}
 
 
+def _session_token(spark: SparkSession) -> tuple[str, str]:
+    app = spark.sparkContext.applicationId
+    try:
+        sess = str(spark._jsparkSession.sessionUUID())
+    except Exception:  # non-classic backends without the JVM handle
+        sess = f"pyid-{id(spark)}"
+    return app, sess
+
+
 def memo_row_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
-    key = (id(spark), schema, _freeze(rows))
+    app, sess = _session_token(spark)
+    for k in [k for k in _ROW_FRAME_MEMO if k[0] != app]:
+        del _ROW_FRAME_MEMO[k]  # dead context's frames
+    key = (app, sess, schema, _freeze(rows))
     df = _ROW_FRAME_MEMO.get(key)
     if df is None:
         df = spark.createDataFrame(rows, schema)

@@ -114,7 +114,10 @@ def recover_compaction_scratch(
     A compactor that CRASHED in that window also left the lock — but
     it held the table commit lock too, so writers are fenced with a
     TimeoutError pointing at reclaim_stale, which restores the bucket.
-    No committed row is readable-as-missing by a writer either way.
+    Readers are covered at table open: UpsertTable._open_recover polls
+    `stranded_locked_partitions` and raises toward reclaim_stale when a
+    locked bucket stays missing past the swap-window grace (ADVICE r11
+    — a reader takes no lock, so open is its only checkpoint).
 
     `break_locks=True` (reclaim_stale only — the operator has declared
     all writers dead) also removes per-bucket `._compact_lock` files so
@@ -145,6 +148,29 @@ def recover_compaction_scratch(
             except OSError:
                 pass
     return restored
+
+
+def stranded_locked_partitions(data_dir: str, scratch_dir: str) -> list[str]:
+    """Partitions whose backup AND per-bucket lock are both present in
+    the scratch dir while the partition itself is MISSING from
+    `data_dir` — the table state inside a compactor's swap window.  A
+    live compactor clears this state in milliseconds (two renames); if
+    it persists, the compactor died mid-swap and any reader of the
+    table is silently missing the whole bucket (ADVICE r11 medium).
+    Callers that cannot take the table commit lock poll this briefly
+    and raise toward reclaim_stale when the state does not clear."""
+    if not os.path.isdir(scratch_dir):
+        return []
+    out: list[str] = []
+    for entry in sorted(os.listdir(scratch_dir)):
+        if not entry.endswith(_OLD_SUFFIX):
+            continue
+        part = entry[: -len(_OLD_SUFFIX)]
+        if os.path.exists(
+            os.path.join(scratch_dir, part + _LOCK_SUFFIX)
+        ) and not os.path.exists(os.path.join(data_dir, part)):
+            out.append(part)
+    return out
 
 
 def compact_parquet_dir(

@@ -294,6 +294,12 @@ class LocalFSTxnLog:
         self.rollback_incomplete(data_dir)
 
 
+# How long table open waits for a live compactor to clear its swap
+# window (two renames — milliseconds) before declaring a locked-and-
+# missing bucket a crash and raising toward reclaim_stale.
+OPEN_RECOVERY_GRACE_SEC = 2.0
+
+
 class UpsertTable:
     def __init__(
         self,
@@ -301,6 +307,7 @@ class UpsertTable:
         path: str,
         key_cols: list[str],
         num_buckets: int = 16,
+        _open_grace_sec: float | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -310,24 +317,74 @@ class UpsertTable:
         # layout aliases (tests and external tooling inspect these)
         self._ledger = self.txn_log.ledger_dir
         self._pending = self.txn_log.pending_dir
-        # table-open recovery (ADVICE r9): restore any bucket a crashed
-        # compactor left stranded in _compact_scratch before a writer
-        # can mistake it for empty.  One isdir stat when no compaction
-        # ever ran.  skip_locked (ADVICE r10): a bucket whose
-        # ._compact_lock is present belongs to a compactor still (or
-        # last) inside its swap window — restoring here would race a
-        # live one's rename(tmp, path); a dead one left the table
-        # commit lock too, so writers stay fenced until reclaim_stale
-        # restores it under break_locks.
+        # table-open recovery (ADVICE r9/r10/r11): restore any bucket a
+        # crashed compactor left stranded in _compact_scratch before a
+        # writer can mistake it for empty — without racing a LIVE
+        # compactor's swap, and without letting READERS silently see
+        # the table minus a bucket a DEAD compactor stranded.  One
+        # isdir stat when no compaction ever ran.
+        self._open_recover(grace_sec=_open_grace_sec)
+
+    def _open_recover(self, grace_sec: float | None = None) -> None:
+        """Crash recovery at table open, safe against a live compactor.
+
+        Every documented compaction of this table swaps buckets INSIDE
+        the table commit lock (compact_upsert_table), so holding that
+        lock here proves no compactor is mid-swap:
+          * lock acquired -> restore everything recover_compaction_scratch
+            finds, including buckets whose per-bucket ._compact_lock is
+            present (their holder provably died: a live one would be
+            holding the commit lock we now hold).  break_locks clears
+            the dead holder's bucket locks so the next compaction isn't
+            wedged.
+          * lock busy -> restore only unlocked leftovers (skip_locked,
+            ADVICE r10 — never race a live swap), then verify no bucket
+            is left both locked and MISSING from data/.  That state is
+            a live compactor's millisecond swap window or a crash; poll
+            for `grace_sec`, and if it persists raise toward
+            reclaim_stale rather than let read-only consumers silently
+            serve a table minus a whole bucket (ADVICE r11 medium —
+            readers take no lock, so open is their only checkpoint).
+        """
         from ingestprocessstoreinnrt_spark.streaming.compact import (
             recover_compaction_scratch,
+            stranded_locked_partitions,
         )
 
-        recover_compaction_scratch(
-            self._data(),
-            os.path.join(path, "_compact_scratch"),
-            skip_locked=True,
-        )
+        if grace_sec is None:
+            grace_sec = OPEN_RECOVERY_GRACE_SEC
+        scratch = os.path.join(self.path, "_compact_scratch")
+        if not os.path.isdir(scratch):
+            # fresh table / never compacted: nothing to recover, and
+            # the table root may not even exist yet — taking the
+            # commit lock here would os.open into a missing directory
+            return
+        try:
+            with self.txn_log.table_lock("table-open-recovery", timeout=0.0):
+                recover_compaction_scratch(
+                    self._data(), scratch, break_locks=True
+                )
+            return
+        except TimeoutError:
+            pass  # commit lock held: live writer/compactor, or a crash
+        recover_compaction_scratch(self._data(), scratch, skip_locked=True)
+        deadline = time.monotonic() + grace_sec
+        while True:
+            stranded = stranded_locked_partitions(self._data(), scratch)
+            if not stranded:
+                return
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"table {self.path}: partition(s) {stranded} are "
+                    "missing from data/ with a compaction backup and "
+                    "bucket lock still in _compact_scratch, and the "
+                    "table commit lock is held (holder: "
+                    f"{self.txn_log._lock_holder()!r}).  A compactor "
+                    "crashed (or stalled) mid-swap; reading now would "
+                    "silently drop those buckets.  If the holder is "
+                    "dead, run txn_log.reclaim_stale() to restore."
+                )
+            time.sleep(0.05)
 
     # -- storage ------------------------------------------------------------
 

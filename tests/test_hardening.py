@@ -141,3 +141,15 @@ def test_bench_latest_record_is_quiet_box_only():
     )
     p10 = bench.record_path("/r", 2.0, "10")
     assert "latest" not in p10 and "sf10" in p10 and "contended" in p10
+    # ADVICE r11: same rounded load tag from two runs must not clobber —
+    # the pid uniquifier lands in CONTENDED names only; quiet/canonical
+    # names stay stable regardless of uniq
+    a = bench.record_path("/r", 3.24, uniq="111")
+    b = bench.record_path("/r", 3.24, uniq="222")
+    assert a != b and "contended" in a
+    assert bench.record_path("/r", 0.5, uniq="111").endswith(
+        "BENCH_full_latest.json"
+    )
+    assert bench.record_path("/r", 0.5, "1", uniq="111").endswith(
+        "BENCH_full_sf1.json"
+    )

@@ -344,14 +344,15 @@ def test_compactor_crash_mid_swap_recovered_at_table_open(spark, tmp_path):
     assert table.read().count() == 105
 
 
-def test_table_open_skips_locked_compaction_bucket(spark, tmp_path):
-    """ADVICE r10 (medium): table open must NOT restore a bucket whose
-    per-bucket ._compact_lock is present — a LIVE compactor holds that
-    lock for its whole swap window, and an open-time restore would make
-    its rename(tmp, path) fail and strand its rollback.  The locked
-    state is left byte-identical; a crashed holder also left the table
-    commit lock, so writers are fenced until reclaim_stale (which
-    restores under break_locks)."""
+def test_table_open_raises_on_crashed_midswap_compactor(spark, tmp_path):
+    """ADVICE r11 (medium): a compactor that died BETWEEN its two swap
+    renames leaves the bucket missing from data/ with backup + bucket
+    lock in scratch and the table commit lock held.  Readers take no
+    lock, so silently skipping the bucket at open (the r10 behavior)
+    served them a table minus a whole bucket.  Open must neither
+    restore (could race a live holder) nor proceed silently: after the
+    grace poll it raises toward reclaim_stale, leaving the crash state
+    byte-identical for recovery."""
     import os
 
     import pytest
@@ -363,8 +364,8 @@ def test_table_open_skips_locked_compaction_bucket(spark, tmp_path):
     table.init(spark.range(100).selectExpr("id AS k", "id * 2 AS payload"))
     before = {(r.k, r.payload) for r in table.read().collect()}
 
-    # compactor mid-swap: bucket renamed away, bucket lock + commit
-    # lock held
+    # compactor died mid-swap: bucket renamed away, bucket lock +
+    # commit lock left behind
     scratch = os.path.join(path, "_compact_scratch")
     os.makedirs(scratch, exist_ok=True)
     bucket = os.path.join(table._data(), "_bucket=0")
@@ -374,21 +375,69 @@ def test_table_open_skips_locked_compaction_bucket(spark, tmp_path):
     open(lock, "w").close()
     open(table.txn_log.lock_path, "w").close()
 
-    # fresh open: leaves the in-window state alone (no restore, no
-    # backup drop, lock intact)
-    reopened = UpsertTable(spark, path, ["k"], num_buckets=2)
+    # fresh open: refuses to serve partial data, leaves the state alone
+    with pytest.raises(RuntimeError, match="reclaim_stale"):
+        UpsertTable(spark, path, ["k"], num_buckets=2, _open_grace_sec=0.1)
     assert not os.path.exists(bucket)
     assert os.path.isdir(old)
     assert os.path.exists(lock)
 
-    # a writer cannot slip a batch-only rewrite in: the dead holder's
-    # commit lock fences it toward reclaim_stale
+    # a writer cannot slip a batch-only rewrite in either: the dead
+    # holder's commit lock fences it toward reclaim_stale
     with pytest.raises(TimeoutError, match="reclaim_stale"):
-        with reopened.txn_log.table_lock("w2", timeout=0.1):
+        with table.txn_log.table_lock("w2", timeout=0.1):
             pass
 
-    # the documented recovery path restores everything
-    reopened.txn_log.reclaim_stale(reopened._data(), max_age_sec=0.0)
+    # the documented recovery path restores everything, and open works
+    table.txn_log.reclaim_stale(table._data(), max_age_sec=0.0)
     assert os.path.isdir(bucket)
+    assert not os.path.exists(lock)
+    reopened = UpsertTable(spark, path, ["k"], num_buckets=2)
+    assert {(r.k, r.payload) for r in reopened.read().collect()} == before
+
+
+def test_table_open_waits_out_live_compactor_swap(spark, tmp_path):
+    """VERDICT r11 item 2: with a LIVE compactor holding the commit
+    lock mid-swap (simulated by a second thread that completes the
+    swap after a beat), table open must neither restore the bucket out
+    from under it nor strand anything — it polls the swap window
+    closed and opens clean."""
+    import os
+    import threading
+    import time as _t
+
+    from ingestprocessstoreinnrt_spark.streaming.upsert import UpsertTable
+
+    path = str(tmp_path / "t")
+    table = UpsertTable(spark, path, ["k"], num_buckets=2)
+    table.init(spark.range(100).selectExpr("id AS k", "id * 2 AS payload"))
+    before = {(r.k, r.payload) for r in table.read().collect()}
+
+    scratch = os.path.join(path, "_compact_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    bucket = os.path.join(table._data(), "_bucket=0")
+    old = os.path.join(scratch, "_bucket=0._compact_old")
+    lock = os.path.join(scratch, "_bucket=0._compact_lock")
+    # live compactor inside its swap window, holding both locks
+    os.rename(bucket, old)
+    open(lock, "w").close()
+    open(table.txn_log.lock_path, "w").close()
+
+    def finish_swap():
+        _t.sleep(0.3)
+        os.rename(old, bucket)  # the compactor's rename(tmp, path)
+        os.unlink(lock)
+        os.unlink(table.txn_log.lock_path)
+
+    t = threading.Thread(target=finish_swap)
+    t.start()
+    try:
+        reopened = UpsertTable(spark, path, ["k"], num_buckets=2)
+    finally:
+        t.join()
+    # open neither restored mid-window (the swap completed untouched)
+    # nor stranded anything
+    assert os.path.isdir(bucket)
+    assert not os.path.exists(old)
     assert not os.path.exists(lock)
     assert {(r.k, r.payload) for r in reopened.read().collect()} == before
