@@ -46,7 +46,17 @@ def test_jaccard_full_avoids_nested_loop_join(spark):
     scales past the sample gate."""
     from ingestprocessstoreinnrt_spark.operators import dedup
 
-    plan = E.formatted_plan(dedup.jaccard_pairs_full(spark, SF_ORACLE))
+    # inspect the BUILDER's plan, not jaccard_pairs_full's: since r12
+    # the public entrypoint reads the persisted pair artifact (a plain
+    # scan), which would make this assertion vacuously green even if
+    # the build regressed to a theta-join
+    from ingestprocessstoreinnrt_spark.catalog import fan_out, load_table
+
+    plan = E.formatted_plan(
+        dedup._ppjoin_pairs(
+            fan_out(load_table(spark, SF_ORACLE, "documents"))
+        )
+    )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     # (the empty-doc scan pushdown can't be asserted here: the cached
