@@ -157,28 +157,49 @@ def record_path(
     return os.path.join(repo_dir, f"BENCH_full_contended_load{tag}.json")
 
 
-def _wait_for_quiet() -> float:
+def _wait_for_quiet(sustain: bool = False) -> float:
     """Block until loadavg(1m) < LOAD_GATE or LOAD_WAIT_SEC elapses.
     Returns the final loadavg.  r6's closing bench shipped at load 7.17
     and its 1.33x headline was ~0 real regression — a gate, not a
-    warning, is what makes cross-round diffs measure code."""
+    warning, is what makes cross-round diffs measure code.
+
+    `sustain=True` (the contended-resweep retry gate, ADVICE r12):
+    require TWO consecutive sub-gate 1-minute readings ~60 s apart and
+    return the worse of the pair.  A momentary 1m dip (the r11
+    incident: 1m 0.80 while 5m was 11) must not open the retry gate —
+    that path decides whether min(contended, retry) wears the canonical
+    record's name, and a dip-triggered retry writes min(contended,
+    contended) labeled quiet."""
     deadline = time.monotonic() + LOAD_WAIT_SEC
-    load = os.getloadavg()[0]
-    while load > LOAD_GATE and time.monotonic() < deadline:
+    while True:
+        load = os.getloadavg()[0]
+        if load <= LOAD_GATE:
+            if not sustain:
+                return round(load, 2)
+            time.sleep(60)
+            load2 = os.getloadavg()[0]
+            if load2 <= LOAD_GATE:
+                return round(max(load, load2), 2)
+            print(
+                f"bench: quiet reading {load:.2f} did not sustain "
+                f"({load2:.2f} a minute later) — still waiting...",
+                file=sys.stderr,
+            )
+        if time.monotonic() >= deadline:
+            load = os.getloadavg()[0]
+            print(
+                f"WARNING: still loadavg {load:.2f} after "
+                f"{LOAD_WAIT_SEC}s — proceeding; contended families "
+                "will be re-swept",
+                file=sys.stderr,
+            )
+            return round(load, 2)
         print(
-            f"bench: loadavg {load:.2f} > {LOAD_GATE} — waiting for a "
-            "quiet box...",
+            f"bench: loadavg {os.getloadavg()[0]:.2f} > {LOAD_GATE} — "
+            "waiting for a quiet box...",
             file=sys.stderr,
         )
         time.sleep(30)
-        load = os.getloadavg()[0]
-    if load > LOAD_GATE:
-        print(
-            f"WARNING: still loadavg {load:.2f} after {LOAD_WAIT_SEC}s — "
-            "proceeding; contended families will be re-swept",
-            file=sys.stderr,
-        )
-    return round(load, 2)
 
 
 def main() -> None:
@@ -299,6 +320,24 @@ def main() -> None:
     for n in names:
         by_family.setdefault(family(n), []).append(n)
 
+    # SPARK_GRAFT_FAMILIES=dedup[,sim,...] sweeps only the named cache
+    # families — the miss-path protocol (VERDICT r12 item 3): clear
+    # .cache/artifacts, run the owning family alone, and the committed
+    # record prices a new corpus's first ingest (index builds included)
+    # without paying a full-surface sweep.  Partial records NEVER wear
+    # the canonical name (record_path below).
+    only = os.environ.get("SPARK_GRAFT_FAMILIES")
+    families_kept = None
+    if only:
+        keep = {f.strip() for f in only.split(",") if f.strip()}
+        unknown = keep - set(fam_order)
+        if unknown:
+            sys.exit(f"bench: unknown families {sorted(unknown)}; "
+                     f"known: {sorted(fam_order)}")
+        fam_order = [f for f in fam_order if f in keep]
+        by_family = {f: by_family[f] for f in fam_order}
+        families_kept = sorted(fam_order)
+
     def sweep_family(members: list[str]) -> dict[str, tuple[float, float]]:
         """Run one family cold (cache + family memos cleared first).
         Each query runs TWICE back-to-back: (cold, warm) — warm rides
@@ -348,7 +387,9 @@ def main() -> None:
     reran = False
     retry_load = None
     if started_contended:
-        retry_load = _wait_for_quiet()
+        # sustained gate (ADVICE r12): this reading decides whether the
+        # retried sweep's minimums may wear the canonical record name
+        retry_load = _wait_for_quiet(sustain=True)
         if retry_load <= LOAD_GATE:
             second = sweep_all()
             both = {
@@ -361,10 +402,25 @@ def main() -> None:
             reran = True
     timings = {n: cw[0] for n, cw in both.items()}
     warm = {n: cw[1] for n, cw in both.items()}
+    # Self-flagging warm rows (VERDICT r12 item 2 — three rounds of
+    # phantom scale flags traced to this): a warm rep that ran SLOWER
+    # than its own cold run did not measure the plan — it measured
+    # MemoryStore eviction churn under the family's accumulated cache
+    # pressure (the sf10 local[32] pathology PERFORMANCE.md documents).
+    # Stamp those rows so tools/scale_exponents.py skips them instead
+    # of a future round re-adjudicating the same phantom.  Threshold:
+    # >25% slower AND >1 s absolute — sub-second jitter is scheduler
+    # noise, not the pathology.
+    warm_invalid = sorted(
+        n for n, (c, w) in both.items() if w > c * 1.25 and w - c > 1.0
+    )
     spark.catalog.clearCache()
 
-    streaming = streaming_bench(spark)
-    streaming.update(windowed_stream_bench(spark, sf_dir))
+    if families_kept is None:
+        streaming = streaming_bench(spark)
+        streaming.update(windowed_stream_bench(spark, sf_dir))
+    else:
+        streaming = None  # partial sweeps price queries only
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     record = {
@@ -377,6 +433,9 @@ def main() -> None:
         # whose attribution shifts when the query set changes)
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 4),
+        # warm rows that ran under a hotter (eviction-churning) cache
+        # than their own cold run — exponent tools must skip these
+        "warm_invalid": warm_invalid,
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # machine-load stamp: r5's mid-round 15 s readings were pure
@@ -394,6 +453,8 @@ def main() -> None:
         # mean some cold numbers include a one-time index build+write;
         # steady-state records should show miss == 0
         "artifacts": dict(_artifacts.STATS),
+        # non-null iff SPARK_GRAFT_FAMILIES restricted the sweep
+        "families": families_kept,
     }
     # The driver's BENCH_r{N}.json keeps only the last 2 KB of stdout,
     # so cross-round comparison sees ~26 of 150+ queries.  Persist the
@@ -411,12 +472,23 @@ def main() -> None:
     decide_load = max(load_1m, load_5m)
     if reran and retry_load is not None:
         decide_load = retry_load
-    full_path = record_path(
-        os.path.dirname(os.path.abspath(__file__)),
-        decide_load,
-        str(sf),
-        uniq=str(os.getpid()),
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if families_kept is not None:
+        # partial sweeps get their own self-describing side name and
+        # can never clobber a full record (canonical or scale-named)
+        tag = "-".join(families_kept)
+        if _artifacts.STATS["miss"] > 0:
+            tag += "_missbuild"
+        full_path = os.path.join(
+            repo_dir, f"BENCH_full_sf{sf}_families_{tag}.json"
+        )
+    else:
+        full_path = record_path(
+            repo_dir,
+            decide_load,
+            str(sf),
+            uniq=str(os.getpid()),
+        )
     try:
         with open(full_path, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)

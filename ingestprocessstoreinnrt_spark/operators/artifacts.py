@@ -12,15 +12,27 @@ sweep's cold budget) re-tokenizing, re-signing, and re-joining a corpus
 that had not changed since the previous sweep (VERDICT r11 item 4).
 
 So: `corpus_artifact` persists a built DataFrame as parquet under
-`<repo>/.cache/artifacts/<name>/<fingerprint>`, where the fingerprint
-hashes the source table's file names + sizes + mtimes (the ml.py
-centroid-cache convention).  Every read re-validates the fingerprint —
-a changed corpus gets a fresh build — and a corrupt or missing artifact
-falls through to the builder, so correctness never depends on the
-cache.  Writes are atomic (write to a pid-suffixed tmp dir, rename into
-place), so concurrent sessions race safely; the loser's tmp dir is
-removed and the winner's artifact is read.  Stale fingerprints of the
-same artifact name are pruned after a successful write.
+`<repo>/.cache/artifacts/<name>/<corpus>/<fingerprint>`, where the
+fingerprint hashes BOTH the source table's file stats (names, sizes,
+`st_mtime_ns`, file count, total bytes) AND the builder's defining
+module source — so a changed corpus OR a changed builder gets a fresh
+build, never a stale read (VERDICT r12 item 1 + ADVICE r12: the
+earlier name/size/whole-second-mtime key was blind to a same-second
+same-size rewrite, and blind entirely to code edits).
+
+Every hit is validated (the artifact dir must still contain parquet
+data files, not just a surviving `_SUCCESS`); a corrupt, partial, or
+missing artifact falls through to the builder, so correctness never
+depends on the cache.  Writes are atomic (write to a pid-suffixed tmp
+dir, rename into place), so concurrent sessions race safely; the
+loser's tmp dir is removed and the winner's artifact is read.  Stale
+fingerprints of the same artifact name+corpus are pruned after a
+successful publish, but only once they have sat unused past
+`PRUNE_GRACE_SEC` — each hit touches the artifact's `_SUCCESS` marker,
+so a concurrent session still reading an old-fingerprint frame
+(corpus mutated mid-flight) keeps its parquet files for the grace
+window instead of having them deleted under its plan (VERDICT r12
+item 4).
 
 Determinism contract: a builder wired through this module MUST be a
 deterministic pure function of the source table (all dedup pair
@@ -34,6 +46,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +55,11 @@ from pyspark.sql import DataFrame, SparkSession
 # committed number is self-identifying about whether it measured the
 # steady-state (artifact read) or first-build path
 STATS = {"hit": 0, "miss": 0}
+
+# stale-fingerprint dirs younger than this (by publish OR last-hit
+# time) survive pruning: a reader that opened the old artifact before
+# the corpus mutated gets a grace window to finish its actions
+PRUNE_GRACE_SEC = 1800
 
 _ART_DIR = os.path.join(
     os.path.dirname(
@@ -64,25 +82,92 @@ def corpus_key(sf_dir: str, table: str = "documents") -> str:
 
 
 def table_fingerprint(sf_dir: str, table: str = "documents") -> str:
-    """md5 over the source table's file names/sizes/mtimes — the same
-    validation key ml.py's centroid cache uses: any rewrite of the
-    table produces a different fingerprint and therefore a rebuild,
-    never a stale read."""
+    """md5 over the source table's file names / sizes / `st_mtime_ns`
+    plus file count and total bytes: any rewrite of the table —
+    including a same-second rewrite that happens to preserve file
+    names and sizes — produces a different fingerprint and therefore a
+    rebuild, never a stale read.  (Whole-second `st_mtime` was the one
+    silent-stale-read path VERDICT r12 named; nanosecond mtimes close
+    it on every POSIX filesystem this runs on.)"""
     p = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
+    total = 0
     if os.path.isdir(p):
         for name in sorted(os.listdir(p)):
             st = os.stat(os.path.join(p, name))
-            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+            total += st.st_size
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(p):
         st = os.stat(p)
-        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
-    raw = "|".join(parts)
+        total += st.st_size
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    raw = f"n={len(parts)}|bytes={total}|" + "|".join(parts)
     return hashlib.md5(raw.encode()).hexdigest()
+
+
+# (path, size, mtime_ns) -> md5 of file contents; module sources are
+# stable within a session, so each is read at most once
+_CODE_FP_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def builder_fingerprint(build: Callable[[], DataFrame]) -> str:
+    """md5 of the builder's defining module source (plus this module's
+    own source): an edit to builder code — tokenization, hash
+    families, salting, verify logic — invalidates persisted artifacts
+    exactly like an edit to the data (ADVICE r12).  Coarse on purpose:
+    any edit to the defining module rebuilds that module's artifacts,
+    which costs one redundant build per edit and can never serve a
+    stale pair frame."""
+    paths = []
+    code = getattr(build, "__code__", None)
+    fname = getattr(code, "co_filename", None)
+    if fname and os.path.isfile(fname):
+        paths.append(fname)
+    paths.append(os.path.abspath(__file__))
+    digests = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            key = (p, st.st_size, st.st_mtime_ns)
+            h = _CODE_FP_CACHE.get(key)
+            if h is None:
+                with open(p, "rb") as f:
+                    h = hashlib.md5(f.read()).hexdigest()
+                _CODE_FP_CACHE[key] = h
+            digests.append(h)
+        except OSError:
+            digests.append("unreadable")
+    return hashlib.md5("|".join(digests).encode()).hexdigest()
 
 
 def _done_marker(path: str) -> str:
     return os.path.join(path, "_SUCCESS")
+
+
+def _has_parquet_data(path: str) -> bool:
+    """True iff the artifact dir still holds at least one Spark data
+    file — a surviving `_SUCCESS` over a gutted dir (files partially
+    deleted by an aggressive cleaner) must read as a miss, not raise
+    at action time (ADVICE r12)."""
+    try:
+        return any(
+            n.startswith("part-") and n.endswith(".parquet")
+            for n in os.listdir(path)
+        )
+    except OSError:
+        return False
+
+
+def _entry_age_sec(path: str) -> float:
+    """Seconds since this artifact dir was published or last hit
+    (whichever is more recent); hits touch the `_SUCCESS` marker."""
+    newest = 0.0
+    for p in (path, _done_marker(path)):
+        try:
+            newest = max(newest, os.stat(p).st_mtime)
+        except OSError:
+            pass
+    return time.time() - newest
 
 
 def corpus_artifact(
@@ -91,20 +176,40 @@ def corpus_artifact(
     name: str,
     build: Callable[[], DataFrame],
     table: str = "documents",
+    cleanup: Callable[[], None] | None = None,
 ) -> DataFrame:
     """Return `name` for this corpus, building + persisting on miss.
 
     Cache hit: one parquet read of the artifact (steady-state cost — a
     production index is read, not refit, by every consumer session).
     Cache miss: run `build()`, persist its FULL result, atomically
-    publish, prune stale fingerprints, and return a read of the
-    published copy — so hit and miss return plan-identical frames and
-    downstream .cache() dedup works across invocations either way."""
-    fp = table_fingerprint(sf_dir, table)
+    publish, prune stale fingerprints past their grace window, and
+    return a read of the published copy — so hit and miss return
+    plan-identical frames and downstream .cache() dedup works across
+    invocations either way.
+
+    `cleanup` (optional) runs ONLY after the build's result is fully
+    materialized to parquet — the hook for a builder to unpersist
+    scratch frames it cached for its own fan-out (the LSH signature
+    frame).  It is NOT run on the direct-serve fallback paths, where
+    the returned frame is still lazy and may depend on those caches."""
+    fp = hashlib.md5(
+        (
+            table_fingerprint(sf_dir, table)
+            + "|"
+            + builder_fingerprint(build)
+        ).encode()
+    ).hexdigest()
     base = os.path.join(_ART_DIR, name, corpus_key(sf_dir, table))
     final = os.path.join(base, fp)
-    if os.path.exists(_done_marker(final)):
+    if os.path.exists(_done_marker(final)) and _has_parquet_data(final):
         STATS["hit"] += 1
+        try:
+            # recency touch: keeps this fingerprint out of a concurrent
+            # publisher's prune for PRUNE_GRACE_SEC
+            os.utime(_done_marker(final))
+        except OSError:
+            pass
         return spark.read.parquet(final)
     STATS["miss"] += 1
     tmp = f"{final}.tmp-{os.getpid()}"
@@ -117,21 +222,42 @@ def corpus_artifact(
         # on the cache: serve the built frame directly; a genuinely
         # broken builder re-raises out of this second call.
         shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.exists(_done_marker(final)):
+        if os.path.exists(_done_marker(final)) and _has_parquet_data(final):
             return spark.read.parquet(final)  # concurrent winner
         return build()
+    if cleanup is not None:
+        try:
+            cleanup()
+        except Exception:
+            pass  # scratch-cache hygiene only; never fail a publish
     try:
         os.rename(tmp, final)
     except OSError:
-        # lost a concurrent-publish race: keep the winner's copy
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(_done_marker(final)) and _has_parquet_data(final):
+            # lost a concurrent-publish race to a VALID winner: keep it
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # `final` exists but is gutted (marker without data files):
+            # replace it with the fresh build
+            shutil.rmtree(final, ignore_errors=True)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
     # prune artifacts of dead corpora (fingerprint changed): they can
-    # never be read again and only cost disk.  Never touch tmp dirs —
-    # another session may be mid-publish on a fresher fingerprint.
+    # never be MISSED again and only cost disk — but give any session
+    # still holding a lazy read of one a grace window before deleting
+    # its files (hits refresh the window via the _SUCCESS touch).
+    # Never touch tmp dirs — another session may be mid-publish.
     try:
         for entry in os.listdir(base):
-            if entry != fp and ".tmp-" not in entry:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            if entry == fp or ".tmp-" in entry:
+                continue
+            epath = os.path.join(base, entry)
+            if _entry_age_sec(epath) > PRUNE_GRACE_SEC:
+                shutil.rmtree(epath, ignore_errors=True)
     except OSError:
         pass
-    return spark.read.parquet(final)
+    if os.path.exists(_done_marker(final)) and _has_parquet_data(final):
+        return spark.read.parquet(final)
+    return build()  # publish lost and no valid winner: serve direct

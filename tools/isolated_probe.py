@@ -41,8 +41,25 @@ def main() -> None:
     sf_dir, names = args[0], args[1:]
 
     import __spark_entry__ as e
+    from ingestprocessstoreinnrt_spark.operators import artifacts as _art
     from ingestprocessstoreinnrt_spark.operators import dedup as _dd
     from ingestprocessstoreinnrt_spark.session import get_spark
+
+    # provenance stamps (VERDICT r12 item 6): a probe line must be
+    # self-contained evidence — WHICH code it measured and whether the
+    # persisted-index cache served hits or the build path ran
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        sha = None
 
     spark = get_spark("isolated-probe")
     qs = e.queries()
@@ -62,13 +79,17 @@ def main() -> None:
 
     for name in names:
         family_cold()
-        rec = {"sf_dir": sf_dir, "query": name,
+        art0 = dict(_art.STATS)
+        rec = {"sf_dir": sf_dir, "query": name, "code_sha": sha,
                "load_1m": round(os.getloadavg()[0], 2)}
         if owner:
             rec["owner"] = owner
             rec["owner_sec"] = run(owner)
         rec["cold_sec"] = run(name)
         rec["warm_sec"] = run(name)
+        rec["artifacts"] = {
+            k: _art.STATS[k] - art0[k] for k in ("hit", "miss")
+        }
         print(json.dumps(rec), flush=True)
     spark.stop()
 

@@ -49,6 +49,16 @@ def main() -> None:
     ratio = math.log10(sf2 / sf1)
     common = sorted(set(q1) & set(q2))
     missing = sorted(set(q1) ^ set(q2))
+    # warm rows the records self-flagged as cache-eviction churn, not
+    # plan cost (bench.py stamps warm > 1.25x cold as warm_invalid) —
+    # an exponent over an invalid warm reading is a phantom flag
+    invalid = set()
+    if not use_cold:
+        invalid = set(r1.get("warm_invalid") or []) | set(
+            r2.get("warm_invalid") or []
+        )
+        skipped_invalid = sorted(set(common) & invalid)
+        common = [n for n in common if n not in invalid]
     rows = []
     for name in common:
         t1, t2 = q1[name], q2[name]
@@ -69,6 +79,11 @@ def main() -> None:
     )
     if missing:
         print(f"NOT in both records (skipped): {missing}")
+    if invalid:
+        print(
+            "warm_invalid in a record (cache-churn reading, skipped): "
+            f"{skipped_invalid} — use --cold or an isolated probe for these"
+        )
     print(f"\n## flagged: exponent > {FLAG} (and >= {MIN_SEC}s somewhere)")
     print(f"| query | sf{sf1:g} s | sf{sf2:g} s | exponent |")
     print("|---|---|---|---|")
