@@ -3343,44 +3343,61 @@ ORDER BY l_returnflag
 # the high-cardinality (flag, cents) key.
 
 
-def rank_value_map(
-    df: DataFrame, gcol: str, vcol: str, bucket_w: int
+def _bucket_offsets(
+    df: DataFrame, gcol: str, vcol: str, bucket_w: int, bcol: str, ocol: str
 ) -> DataFrame:
-    """(gcol, vcol, r2) with r2 = 2*avg_rank = 2*RANK + ties - 1 over
-    `vcol` ascending within `gcol` — the ml_auc two-level distributed
-    ranking: bucket offsets broadcast, fine prefix window partitioned
-    by (group, bucket).  Input may be row grain; output is distinct-
-    value grain."""
-    g = df.groupBy(gcol, vcol).agg(
-        F.count(F.lit(1)).cast("long").alias("n_g")
-    ).withColumn("b", F.floor(F.col(vcol) / F.lit(bucket_w)).cast("long"))
-    bt = g.groupBy(gcol, "b").agg(F.sum("n_g").alias("t"))
+    """(gcol, bcol, ocol): per coarse value-bucket, the count of rows in
+    all PRECEDING buckets of the group — the broadcast half of the
+    two-level ranking.  Bucket grain (#groups x #buckets rows) is
+    metadata-scale, so the prefix window over it is trivially cheap."""
+    bt = df.groupBy(
+        gcol,
+        F.floor(F.col(vcol) / F.lit(bucket_w)).cast("long").alias(bcol),
+    ).agg(F.count(F.lit(1)).alias("t"))
     wb = (
         Window.partitionBy(gcol)
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )  # bucket grain: #groups x #buckets rows, metadata-scale
-    off = bt.withColumn(
-        "o", F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
-    ).select(gcol, "b", "o")
-    wl = (
-        Window.partitionBy(gcol, "b")
-        .orderBy(vcol)
+        .orderBy(bcol)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    return bt.withColumn(
+        ocol, F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+    ).select(gcol, bcol, ocol)
+
+
+def _row_rank_col(
+    df: DataFrame,
+    gcol: str,
+    vcol: str,
+    bucket_w: int,
+    off: DataFrame,
+    bcol: str,
+    ocol: str,
+    out: str,
+) -> DataFrame:
+    """Attach per-row r2 = 2*avg_rank = 2*(before) + ties + 1 over
+    `vcol` ascending within `gcol`, where `before` = broadcast bucket
+    offset + (rank within the (group, bucket) fine window - 1) and
+    `ties` = rows sharing this exact value (RANGE CURRENT ROW frame on
+    the SAME window sort — no second exchange).  Row grain in, row
+    grain out: r12's distinct-value rank map + equi-join-back
+    re-derived the corpus at value grain (2 scans + a value-grain
+    shuffle + a row-grain sort-merge join PER AXIS); ranking the rows
+    in place costs exactly one exchange per axis (guide §2.4) and
+    produces bit-identical r2 (same integers, same decimal cast)."""
+    fine = Window.partitionBy(gcol, bcol).orderBy(vcol)
+    ties = fine.rangeBetween(Window.currentRow, Window.currentRow)
+    before = F.col(ocol) + F.rank().over(fine).cast("long") - 1
+    n_g = F.count(F.lit(1)).over(ties)
     return (
-        g.join(F.broadcast(off), [gcol, "b"])
+        df.withColumn(
+            bcol,
+            F.floor(F.col(vcol) / F.lit(bucket_w)).cast("long"),
+        )
+        .join(F.broadcast(off), [gcol, bcol])
         .withColumn(
-            "before",
-            F.col("o") + F.coalesce(F.sum("n_g").over(wl), F.lit(0)),
+            out, (2 * before + n_g + 1).cast("decimal(19,0)")
         )
-        .select(
-            gcol,
-            vcol,
-            (2 * F.col("before") + F.col("n_g") + 1)
-            .cast("decimal(19,0)")
-            .alias("r2"),
-        )
+        .drop(bcol, ocol)
     )
 
 
@@ -3398,17 +3415,18 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    rxm = rank_value_map(
-        li.select("l_returnflag", "x"), "l_returnflag", "x", SPEARMAN_XBUCKET
-    ).withColumnRenamed("r2", "rx")
-    rym = rank_value_map(
-        li.select("l_returnflag", "y"), "l_returnflag", "y", SPEARMAN_YBUCKET
-    ).withColumnRenamed("r2", "ry")
-    ranked = (
-        li.join(F.broadcast(rxm), ["l_returnflag", "x"])
-        .join(rym, ["l_returnflag", "y"])
-        .select("l_returnflag", "rx", "ry")
+    off_x = _bucket_offsets(
+        li, "l_returnflag", "x", SPEARMAN_XBUCKET, "_bx", "_ox"
     )
+    off_y = _bucket_offsets(
+        li, "l_returnflag", "y", SPEARMAN_YBUCKET, "_by", "_oy"
+    )
+    ranked = _row_rank_col(
+        _row_rank_col(
+            li, "l_returnflag", "x", SPEARMAN_XBUCKET, off_x, "_bx", "_ox", "rx"
+        ),
+        "l_returnflag", "y", SPEARMAN_YBUCKET, off_y, "_by", "_oy", "ry",
+    ).select("l_returnflag", "rx", "ry")
     g = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("rx").cast("decimal(38,0)").alias("sx"),

@@ -556,3 +556,26 @@ def test_dup_spans_exact_boundaries(spark, tmp_path):
     # the seam (w5..w11 w0.. etc) and are unique -> two runs of 5
     assert (3, 1, 5, 12) in got and (3, 13, 5, 12) in got
     assert len([g for g in got if g[0] == 3]) == 2
+
+
+def test_run_bpe_memo_hits_and_stays_correct(spark):
+    """The fitted-tokenizer memo (r13): a second _run_bpe call for the
+    same (app, corpus) returns the memoized fit without re-running the
+    merge loop, and the memoized merges are the ones bpe_train
+    declares; a different corpus key misses independently."""
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    curation._BPE_MEMO.clear()
+    m1, v1 = curation._run_bpe(spark, SF_ORACLE)
+    assert len(curation._BPE_MEMO) == 1
+    m2, v2 = curation._run_bpe(spark, SF_ORACLE)
+    assert m2 is m1 and v2 is v1  # memo hit, not a re-fit
+    got = [
+        (r.merge_idx, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in curation.bpe_train(spark, SF_ORACLE).collect()
+    ]
+    assert got == sorted(m1)  # the declared result IS the memoized fit
+    m3, _ = curation._run_bpe(spark, SF_SMOKE)
+    assert len(curation._BPE_MEMO) == 2  # distinct corpus, distinct key
+    assert m3 != m1 or m3 == m1  # smoke fit computed (no raise)
+    curation._BPE_MEMO.clear()

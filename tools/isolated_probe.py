@@ -66,9 +66,12 @@ def main() -> None:
     # untimed warmup: JVM + codegen + parquet footers
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    from ingestprocessstoreinnrt_spark.operators import curation as _cu
+
     def family_cold() -> None:
         spark.catalog.clearCache()
         _dd._LSH_PAIRS_MEMO.clear()
+        _cu._BPE_MEMO.clear()
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
