@@ -1314,7 +1314,14 @@ MK_CONT_CORR = 1  # continuity correction applied toward zero
 
 
 def _hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, h, vq) — integer centi-mean hourly grid."""
+    """(event_type, h, vq) — integer centi-mean hourly grid, cached.
+
+    Four ts queries (mann_kendall, theil_sen, sma_crossover,
+    bollinger_breakouts) build on this identical plan; the .cache()
+    dedups them to ONE events scan + aggregate per session instead of
+    one per consumer per rep (the _token_frame pattern — cache manager
+    matches on plan identity).  Grid grain is (type, hour): grows with
+    the timespan, never the corpus — kilobytes at any SF."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
@@ -1323,7 +1330,7 @@ def _hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type", "h").agg(
         F.expr("CAST(FLOOR(100.0 * sum(qv) / count(1) + 0.5) AS BIGINT)")
         .alias("vq")
-    )
+    ).cache()
 
 
 _GRID_SQL = f"""
@@ -1453,15 +1460,23 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(
         F.col("slope").asc(), F.col("h").asc(), F.col("h2").asc()
     )
+    # pair count per type is C(n_hours, 2) of the (cached, tiny) grid —
+    # computed there and broadcast instead of a second full-partition
+    # count window over every pair (r13: the count window buffered the
+    # whole 259k-row partition a second time for a number the grid
+    # already knows; one WindowExec pass removed, same integers)
+    mrow = g.groupBy("event_type").agg(
+        (
+            F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / F.lit(2)
+        )
+        .cast("long")
+        .alias("m")
+    )
     ranked = pairs.select(
         "event_type",
         "slope",
         F.row_number().over(w).cast("long").alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("event_type"))
-        .cast("long")
-        .alias("m"),
-    )
+    ).join(F.broadcast(mrow), "event_type")
     # odd m: both rank expressions pick the same middle row (avg of 1);
     # even m: ranks m/2 and m/2+1 — avg of the two middle slopes
     return (

@@ -667,7 +667,7 @@ CONSTANT_WINDOW_ALLOWANCE = {
     "ts_peaks": (1, "hour-grid"),
     "ts_sma_crossover": (2, "hour-grid"),
     "ts_stl_decompose": (1, "hour-grid"),
-    "ts_theil_sen": (2, "hour-grid"),  # pair grain = grid^2, corpus-free
+    "ts_theil_sen": (1, "hour-grid"),  # pair grain = grid^2, corpus-free
     "ts_rolling_corr": (1, "hour-grid"),
     "win_reach_curve": (1, "hour-grid"),  # day grain
     # --- limit-then-rank (<= K-row frames) ---
