@@ -29,52 +29,75 @@ LEFT_TYPE = "purchase"
 RIGHT_TYPE = "click"
 
 
-def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """purchases ASOF-LEFT-JOIN clicks on user_id, ts (<=)."""
+def _asof_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared tagged frame every as-of query sorts over:
+    (user_id, ts_us, tag, event_id, value, r_ts, r_val), clicks deduped
+    to one row per (user, ts) keeping the highest event_id, hash-
+    partitioned by user_id, cached (the _token_frame / _hour_grid
+    pattern — identical plan across consumers, one cache entry).
+
+    One scan + ONE exchange replaces the old per-query shape (two
+    scans through a union, an exchange on (user_id, ts_us) for the
+    click dedup, then a second exchange on user_id for the carry
+    window — r13):
+
+      * one scan: clicks and purchases come from a single pushed-down
+        `event_type IN (click, purchase)` scan; the tag is an
+        expression, not a union of two scans;
+      * one exchange: repartition("user_id") establishes the carry
+        window's partitioning FIRST, and the click-dedup row_number
+        runs as a window over (user_id, ts_us, tag) — clustered-
+        distribution-satisfied by the user_id hash partitioning, so it
+        inserts no exchange of its own (guide §2.4: operations keyed
+        the same way share one exchange).
+
+    Dedup equivalence: partitioning the rank by (user_id, ts_us, tag)
+    scopes it to clicks-at-equal-ts exactly as the old standalone
+    (user_id, ts_us) window did — purchases (tag 1) are all kept, and
+    the surviving click is the same highest-event_id row.  Clicks'
+    event_id is nulled AFTER the dedup so the carry window's
+    (ts_us, tag, event_id) order key sees exactly the old frame."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.unix_micros("ts")
     )
-
-    # right side: one click per (user, ts) — keep the highest event_id
-    wdedup = Window.partitionBy("user_id", "ts_us").orderBy(
+    is_p = F.col("event_type") == LEFT_TYPE
+    base = ev.filter(
+        F.col("event_type").isin(LEFT_TYPE, RIGHT_TYPE)
+    ).select(
+        "user_id",
+        "ts_us",
+        is_p.cast("int").alias("tag"),
+        "event_id",
+        "value",
+    )
+    wdedup = Window.partitionBy("user_id", "ts_us", "tag").orderBy(
         F.col("event_id").desc()
     )
-    clicks = (
-        ev.filter(F.col("event_type") == RIGHT_TYPE)
+    tag1 = F.col("tag") == 1
+    return (
+        base.repartition("user_id")
         .withColumn("_rn", F.row_number().over(wdedup))
-        .filter(F.col("_rn") == 1)
+        .filter(tag1 | (F.col("_rn") == 1))
         .select(
             "user_id",
             "ts_us",
-            F.col("ts_us").alias("r_ts"),
-            F.col("value").alias("r_val"),
+            "tag",
+            F.when(tag1, F.col("event_id")).alias("event_id"),
+            F.when(tag1, F.col("value")).alias("value"),
+            F.when(~tag1, F.col("ts_us")).alias("r_ts"),
+            F.when(~tag1, F.col("value")).alias("r_val"),
         )
-    )
-    purchases = ev.filter(F.col("event_type") == LEFT_TYPE).select(
-        "user_id", "ts_us", "event_id", "value"
+        .cache()
     )
 
-    # union with a side tag; at equal ts the right row sorts first
-    # (tag 0 < 1) so the join is inclusive (click.ts <= purchase.ts)
-    tagged = purchases.select(
-        "user_id",
-        "ts_us",
-        F.lit(1).alias("tag"),
-        "event_id",
-        "value",
-        F.lit(None).cast("long").alias("r_ts"),
-        F.lit(None).cast("double").alias("r_val"),
-    ).unionByName(
-        clicks.select(
-            "user_id",
-            "ts_us",
-            F.lit(0).alias("tag"),
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
-            "r_ts",
-            "r_val",
-        )
-    )
+
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purchases ASOF-LEFT-JOIN clicks on user_id, ts (<=).
+
+    Rides the family-shared tagged frame; at equal ts the click row
+    sorts first (tag 0 < 1) so the join is inclusive
+    (click.ts <= purchase.ts)."""
+    tagged = _asof_tagged(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "tag", "event_id")
@@ -300,44 +323,10 @@ FROM base
 def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase: the temporally nearest click of the same
     user — (event_id, user_id, purchase_ts_us, nearest_click_ts_us,
-    nearest_click_value, direction, gap_us)."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros("ts")
-    )
-    wdedup = Window.partitionBy("user_id", "ts_us").orderBy(
-        F.col("event_id").desc()
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == RIGHT_TYPE)
-        .withColumn("_rn", F.row_number().over(wdedup))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "user_id",
-            "ts_us",
-            F.col("ts_us").alias("r_ts"),
-            F.col("value").alias("r_val"),
-        )
-    )
-    purchases = ev.filter(F.col("event_type") == LEFT_TYPE).select(
-        "user_id", "ts_us", "event_id", "value"
-    )
-    tagged = purchases.select(
-        "user_id",
-        "ts_us",
-        F.lit(1).alias("tag"),
-        "event_id",
-        F.lit(None).cast("long").alias("r_ts"),
-        F.lit(None).cast("double").alias("r_val"),
-    ).unionByName(
-        clicks.select(
-            "user_id",
-            "ts_us",
-            F.lit(0).alias("tag"),
-            F.lit(None).cast("long").alias("event_id"),
-            "r_ts",
-            "r_val",
-        )
-    )
+    nearest_click_value, direction, gap_us).  Rides the family-shared
+    tagged frame (the purchase `value` column rides along unused —
+    identical output, one cache entry across the family)."""
+    tagged = _asof_tagged(spark, sf_dir)
     base = Window.partitionBy("user_id").orderBy(
         "ts_us", "tag", "event_id"
     )
