@@ -291,6 +291,11 @@ def main() -> None:
         "graph_triangles": "basket",
         "graph_degree_stats": "basket",
         "graph_jaccard_neighbors": "basket",
+        "graph_resource_allocation": "basket",
+        "graph_clustering_coeff": "basket",
+        "graph_pref_attachment": "basket",
+        "graph_assortativity": "basket",
+        "graph_rich_club": "basket",
         # dedup token/pair frames
         "pipeline_dedup_corpus": "dedup",
         # curation rides textops' cached token stats

@@ -1292,6 +1292,10 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
+    # NOTE r13: the two plan arms below (bt, ranked) repeat this
+    # subplan, but AQE's runtime stage reuse already shares the shuffle
+    # — an explicit .cache() here measured 3x SLOWER cold (4.3 s vs
+    # 1.3 s) by adding a materialization barrier.  Leave it to AQE.
     r = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
         "c_nationkey",
         "o_custkey",
@@ -1456,20 +1460,32 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum("cents").cast("long").alias("x")
-    ).withColumn(
-        "b", F.floor(F.col("x") / F.lit(ABC_BUCKET_W)).cast("long")
+    # two plan arms below (bt, ranked) repeat this aggregate; AQE's
+    # runtime stage reuse shares the shuffle (an explicit .cache()
+    # measured no better cold and worse under memory pressure — same
+    # finding as bi_gini_revenue)
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .withColumn(
+            "b", F.floor(F.col("x") / F.lit(ABC_BUCKET_W)).cast("long")
+        )
     )
-    tot = per_part.agg(F.sum("x").cast("long").alias("t"))
     bt = per_part.groupBy("b").agg(F.sum("x").alias("tb"))
     wb = (
         Window.orderBy(F.col("b").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )  # revenue-band grain (~100 rows) — metadata-scale global window
-    off = bt.withColumn(
-        "o", F.coalesce(F.sum("tb").over(wb), F.lit(0)).cast("long")
-    ).select("b", "o")
+    wt = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = bt.select(
+        "b",
+        F.coalesce(F.sum("tb").over(wb), F.lit(0)).cast("long").alias("o"),
+        # grand total Σx folded into the same metadata-scale sort: the
+        # exact long sum over every bucket equals the per-part total
+        F.sum("tb").over(wt).cast("long").alias("t"),
+    )
     wl = (
         Window.partitionBy("b")
         .orderBy(F.col("x").desc(), F.col("l_partkey").asc())
@@ -1478,7 +1494,6 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         per_part.join(F.broadcast(off), "b")
         .withColumn("cum", (F.col("o") + F.sum("x").over(wl)).cast("long"))
-        .crossJoin(F.broadcast(tot))
     )
     cls = (
         F.when(F.col("cum") * 100 <= F.col("t") * 80, F.lit("A"))

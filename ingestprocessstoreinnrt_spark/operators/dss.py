@@ -861,20 +861,22 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = li.groupBy("l_partkey", "l_suppkey").agg(
         davg("l_extendedprice", "avg_price")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("avg_price").asc(), F.col("l_suppkey").asc()
-    )
+    # cheapest supplier per part as min(struct(price, suppkey)) — struct
+    # ordering is lexicographic, so this is exactly the row_number(1) row
+    # of ORDER BY avg_price ASC, l_suppkey ASC, but partial-aggregable
+    # (no per-part sort, no window buffering)
     best = (
-        per.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_suppliers",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("l_partkey")
-            ).cast("long"),
+        per.groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("avg_price", "l_suppkey")).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         )
-        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("m.l_suppkey").alias("l_suppkey"),
+            F.col("m.avg_price").alias("avg_price"),
+            "n_suppliers",
+        )
     )
     return (
         best.join(
