@@ -1559,83 +1559,123 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words.alias("w"), F.size(words).alias("n")
     )
 
-    def gram_positions(n):
-        return base.filter(F.col("n") >= n).select(
-            "doc_id",
-            F.col("n"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n") - (n - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                " ",
-                                *[
-                                    F.element_at(F.col("w"), i + j)
-                                    for j in range(n)
-                                ],
-                            )
-                        ).alias("g"),
-                    ),
-                )
-            ).alias("e"),
-        ).select(
-            "doc_id", "n",
-            F.col("e.pos").alias("pos"), F.col("e.g").alias("g"),
+    # Every output column is a PER-DOCUMENT statistic, so the whole
+    # query is map-only (r13): the old shape exploded the corpus into
+    # five (doc_id, gram) pipelines — four groupBy shuffles plus a
+    # self-join — and stitched them back with four doc_id joins.  Run
+    # lengths in the per-doc sorted gram-hash array give the same
+    # multiplicities with zero exchanges (grouping by xxhash64 gram
+    # hash, exactly as before).
+
+    def gram_hash(n, i):
+        return F.xxhash64(
+            F.concat_ws(
+                " ",
+                *[F.element_at(F.col("w"), i + j) for j in range(n)],
+            )
         )
 
-    def top_share(n, alias):
-        counts = (
-            gram_positions(n)
-            .groupBy("doc_id", "n", "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        return counts.groupBy("doc_id").agg(
-            F.round(
-                (F.max("c") * n).cast("double")
-                / F.first("n").cast("double"),
-                6,
-            ).alias(alias)
+    def gram_arr(n):
+        # empty below n tokens (the old n >= gram-length filter; also
+        # keeps sequence() ascending)
+        return F.when(
+            F.col("n") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (n - 1)),
+                lambda i: gram_hash(n, i),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    def max_mult(arr):
+        # max multiplicity == longest equal-run in the sorted array
+        gs = F.array_sort(arr)
+        init = F.struct(
+            F.lit(0).cast("bigint").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
         )
 
-    g5 = gram_positions(DUP_GRAM_N)
-    c5 = g5.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    dup_pos = (
-        g5.join(c5.filter(F.col("c") > 1), ["doc_id", "g"])
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.col("pos"), F.col("pos") + (DUP_GRAM_N - 1)
-                )
-            ).alias("p"),
+        def step(acc, x):
+            run = F.when(
+                (acc["run"] > 0) & (x == acc["prev"]), acc["run"] + 1
+            ).otherwise(F.lit(1).cast("bigint"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(gs, init, step, lambda acc: acc["best"])
+
+    def top_share(n):
+        return F.round(
+            (max_mult(gram_arr(n)) * n).cast("double")
+            / F.col("n").cast("double"),
+            6,
         )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("covered"))
+
+    # dup5 coverage: positions covered by >= 2x 5-grams.  Sort (g, pos)
+    # pairs so a gram's occurrences are adjacent; a pair is repeated
+    # iff its neighbor shares the hash (F.get is 0-based and
+    # null-padding at the edges, and NULL == x is never true); the
+    # covered-position count is then an interval-union scan over the
+    # ascending start positions — identical to the old
+    # explode(sequence(pos, pos+4)).distinct().count().
+    k5 = DUP_GRAM_N
+    sp_expr = F.array_sort(
+        F.when(
+            F.col("n") >= k5,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (k5 - 1)),
+                lambda i: F.struct(
+                    gram_hash(k5, i).alias("g"), i.alias("pos")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<g:bigint,pos:int>>"))
     )
-    out = (
-        base.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
-        .join(top_share(2, "top2_share"), "doc_id", "left")
-        .join(top_share(3, "top3_share"), "doc_id", "left")
-        .join(top_share(4, "top4_share"), "doc_id", "left")
-        .join(dup_pos, "doc_id", "left")
+    # sp MUST be a materialized column before the neighbor lookups: a
+    # lambda capturing the raw expression re-evaluates the whole
+    # array_sort per element (measured O(len^2): 9.8 s vs 0.x s)
+    sp = F.col("sp")
+    dup_ps = F.array_sort(
+        F.transform(
+            F.filter(
+                sp,
+                lambda x, i: (x["g"] == F.get(sp, i - 1)["g"])
+                | (x["g"] == F.get(sp, i + 1)["g"]),
+            ),
+            lambda x: x["pos"],
+        )
+    )
+    cov_init = F.struct(
+        F.lit(0).cast("bigint").alias("last_end"),
+        F.lit(0).cast("bigint").alias("total"),
+    )
+
+    def cov_step(acc, p):
+        hi = (p + F.lit(k5 - 1)).cast("bigint")
+        start = F.greatest(p.cast("bigint"), acc["last_end"] + 1)
+        add = F.greatest(F.lit(0).cast("bigint"), hi - start + 1)
+        return F.struct(
+            F.greatest(acc["last_end"], hi).alias("last_end"),
+            (acc["total"] + add).alias("total"),
+        )
+
+    covered = F.aggregate(dup_ps, cov_init, cov_step, lambda a: a["total"])
+    return (
+        base.withColumn("sp", sp_expr)
         .select(
             "doc_id",
-            "n_tokens",
-            F.coalesce("top2_share", F.lit(0.0)).alias("top2_share"),
-            F.coalesce("top3_share", F.lit(0.0)).alias("top3_share"),
-            F.coalesce("top4_share", F.lit(0.0)).alias("top4_share"),
+            F.col("n").cast("long").alias("n_tokens"),
+            top_share(2).alias("top2_share"),
+            top_share(3).alias("top3_share"),
+            top_share(4).alias("top4_share"),
             F.round(
-                F.coalesce("covered", F.lit(0)).cast("double")
-                / F.col("n_tokens").cast("double"),
-                6,
+                covered.cast("double") / F.col("n").cast("double"), 6
             ).alias("dup5_coverage"),
         )
         .orderBy("doc_id")
     )
-    return out
 
 
 def _gopher_gram_cte(n, name):

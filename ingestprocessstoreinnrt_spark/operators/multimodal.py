@@ -243,7 +243,10 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    return media.mapInPandas(  # no pre-shuffle: scan partitions are
+        # already independent, size-bounded slices (r13 — the
+        # repartition moved every payload byte for no semantic gain)
+        
         _decode, schema=REAL_DECODED_SCHEMA
     )
 
@@ -281,8 +284,10 @@ def decode_media(
                 }
             )
 
-    # partition by media_id hash: each task decodes an independent slice
-    return media.repartition(F.col("media_id")).mapInPandas(
+    return media.mapInPandas(  # no pre-shuffle: scan partitions are
+        # already independent, size-bounded slices (r13 — the
+        # repartition moved every payload byte for no semantic gain)
+        
         _decode, schema=DECODED_SCHEMA
     )
 
@@ -408,7 +413,10 @@ def sample_frames(media: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    return media.mapInPandas(  # no pre-shuffle: scan partitions are
+        # already independent, size-bounded slices (r13 — the
+        # repartition moved every payload byte for no semantic gain)
+        
         _frames, schema=FRAME_SCHEMA
     )
 

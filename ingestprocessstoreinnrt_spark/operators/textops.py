@@ -862,20 +862,22 @@ def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     len_ok = F.col("n_tokens") >= CURATE_MIN_TOKENS
     lang_ok = F.col("detected_lang") == CURATE_LANG
-    stage = d.agg(
+    # ONE aggregation pass (r13): the old two-arm shape (plain agg +
+    # filtered fp-groupBy, crossJoined) evaluated the expensive per-doc
+    # features — lang_id scoring, md5 fingerprint — twice, once per
+    # arm.  count(DISTINCT when(gates, fp)) is the same post-gate
+    # representative count (when() yields NULL on failing rows and
+    # distinct-count ignores NULLs), computed in the same scan.
+    return d.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum(len_ok.cast("long")).cast("long").alias("n_len_ok"),
         F.sum((len_ok & lang_ok).cast("long"))
         .cast("long")
         .alias("n_lang_ok"),
-    )
-    reps = (
-        d.filter(len_ok & lang_ok)
-        .groupBy("fp")
-        .agg(F.lit(1).alias("_one"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_after_dedup"))
-    )
-    return stage.crossJoin(reps).select(
+        F.countDistinct(F.when(len_ok & lang_ok, F.col("fp")))
+        .cast("long")
+        .alias("n_after_dedup"),
+    ).select(
         "n_total",
         "n_len_ok",
         "n_lang_ok",
@@ -1533,25 +1535,27 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("phrase"),
     )
-    best = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(
-            F.col("score_q").desc(), F.col("island").asc()
-        )
+    # winner per doc as min(struct(-score, island, ...)): identical to
+    # row_number(1) over (score DESC, island ASC) — score_q > 0 so the
+    # negation is safe in a long — but partial-aggregable: no per-doc
+    # sort, no second count window, one exchange of partial rows (r13)
+    agg = phrases.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_q")).cast("long").alias("negs"),
+                F.col("island").alias("island"),
+                F.col("score_q").alias("score_q"),
+                F.col("phrase").alias("phrase"),
+            )
+        ).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_phrases"),
     )
     return (
-        phrases.withColumn("rn", best)
-        .withColumn(
-            "n_phrases",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("doc_id"))
-            .cast("long"),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
+        agg.select(
             "doc_id",
-            F.col("phrase").alias("top_phrase"),
+            F.col("m.phrase").alias("top_phrase"),
             F.round(
-                F.col("score_q").cast("double") / F.lit(1000000.0), 6
+                F.col("m.score_q").cast("double") / F.lit(1000000.0), 6
             ).alias("phrase_score"),
             "n_phrases",
         )
