@@ -406,6 +406,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sg"),
     ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.gram").alias("gram"))
+    # covered positions reduce to ONE int array per doc (collect_set
+    # dedups, so the old global (doc_id, p) distinct is folded into the
+    # same exchange); reassembly then runs at DOC grain with array
+    # expressions.  The old tail posexploded EVERY train token, left
+    # joined it against the covered set, and collect_list+sorted it
+    # back per doc — three corpus-token-scale exchanges carrying word
+    # strings, replaced by one covered-position-scale one (r13).
     covered = (
         starts.join(eval_grams, "gram")
         .select(
@@ -414,37 +421,23 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("s"), F.col("s") + (CONTAM_N - 1))
             ).alias("p"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cps"))
     )
-    toks = train.select(
-        "doc_id", F.posexplode("w").alias("p0", "word")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
-    kept = F.when(
-        F.col("cp").isNull(), F.struct(F.col("p"), F.col("word"))
-    )
+    cps = F.coalesce(F.col("cps"), F.array().cast("array<int>"))
+    # array_except keeps the (ascending) order of its first argument,
+    # so this is exactly the old sort-by-position reassembly
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("w")), cps)
     clean = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(kept)), lambda x: x["word"]
-        ),
-        " ",
+        F.transform(kept_pos, lambda p: F.element_at(F.col("w"), p)), " "
     )
     return (
-        toks.join(
-            covered.withColumn("cp", F.lit(1)),
-            ["doc_id", "p"],
-            "left",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.count("cp").cast("long").alias("n_removed"),
-            clean.alias("ct"),
-        )
+        train.join(covered, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            "n_removed",
-            F.md5(F.col("ct")).alias("clean_md5"),
+            F.size("w").cast("long").alias("n_tokens"),
+            F.size(cps).cast("long").alias("n_removed"),
+            F.md5(clean).alias("clean_md5"),
         )
         .orderBy("doc_id")
     )

@@ -57,6 +57,11 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
+        # cache: the exact ground truth is re-derived by every recall
+        # audit (sim_topk_cosine, sim_recall_eval, sim_ivfpq_recall);
+        # the frame is N_QUERIES x TOP_K rows — metadata-scale — while
+        # its plan is the full query x corpus scoring pass
+        .cache()
     )
 
 
@@ -1278,7 +1283,12 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
     )
     cdf = ml._cdf_of(spark, cents)
-    index = ivfpq_index_rows(emb, cdf, pq_cdf)
+    # cache: the PQ encode fold is the family's most expensive
+    # projection and this identical plan is built by BOTH
+    # sim_ivfpq_search and sim_ivfpq_recall (which re-serves the
+    # composed path for its recall audit) — plan-identity dedup hands
+    # them one entry (~|corpus| narrow code rows)
+    index = ivfpq_index_rows(emb, cdf, pq_cdf).cache()
 
     # query side: probed cells (vs the coarse-centroid row) + the PQ
     # distance tables (vs the codebook row) — two broadcast joins on a
@@ -1516,14 +1526,25 @@ def _rpq_codebook_row(spark: SparkSession, sf_dir: str):
     return resid, rcdf
 
 
+def _residual_codes(spark: SparkSession, sf_dir: str):
+    """(codes, rcdf): UNORDERED residual-PQ code rows (vec_id, cid,
+    code0.., qerr), cached — the residual encode fold is shared by the
+    oracled encode verb (sim_ivfpq_residual, which sorts it) and the
+    IVFADC serve (sim_ivfpq_residual_search, which drops qerr), so the
+    expensive per-row fold runs once per session, not once per verb."""
+    resid, rcdf = _rpq_codebook_row(spark, sf_dir)
+    codes = _pq_encode(
+        resid, rcdf, keep=("cid",), vec_col=F.col("rv")
+    ).cache()
+    return codes, rcdf
+
+
 def ivfpq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, code0..code{M-1}, qerr) — the residual-encoded
     IVF-PQ index rows plus each vector's exact residual reconstruction
     error in quantized (x1e4) squared-L2 units."""
-    resid, rcdf = _rpq_codebook_row(spark, sf_dir)
-    return _pq_encode(
-        resid, rcdf, ordered=True, keep=("cid",), vec_col=F.col("rv")
-    )
+    codes, _rcdf = _residual_codes(spark, sf_dir)
+    return codes.orderBy("vec_id")
 
 
 def _ivfpq_residual_sql() -> str:
@@ -1647,17 +1668,14 @@ def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-identical cross-engine."""
     from . import ml
 
-    resid, rcdf = _rpq_codebook_row(spark, sf_dir)
+    codes, rcdf = _residual_codes(spark, sf_dir)
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qv = emb.select("vec_id", ml._qvec().alias("qv")).cache()
     cents = ml.fit_centroids(
         spark, qv, ml.K_CLUSTERS, ml.KMEANS_ITERS, memo_key=sf_dir
     )
     cdf = ml._cdf_of(spark, cents)
-    index = _pq_encode(
-        resid, rcdf, keep=("cid",), vec_col=F.col("rv")
-    ).drop("qerr")
-    return ivfadc_serve(emb, index, cdf, rcdf)
+    return ivfadc_serve(emb, codes.drop("qerr"), cdf, rcdf)
 
 
 def _ivfpq_residual_search_sql() -> str:

@@ -369,9 +369,10 @@ def test_r4_ops_have_clean_plans(spark):
 def test_r5_ops_have_clean_plans(spark):
     """New r5 operators: no cartesian products; the only nested-loop
     join is km_survival's single-row global-max anchor (whitelisted,
-    metadata-scale by construction); the multimodal frame sampler
-    plans exactly one exchange (the media_id hash repartition feeding
-    mapInPandas) and the resize plan adds no exchange beyond it."""
+    metadata-scale by construction); the multimodal frame sampler is
+    map-only — zero exchanges (r13 removed the media_id pre-shuffle:
+    scan partitions are already independent slices) and the resize
+    plan adds no exchange either."""
     import re
 
     import __spark_entry__ as e
@@ -407,7 +408,7 @@ def test_r5_ops_have_clean_plans(spark):
     frames = E.formatted_plan(
         qs["multimodal_frame_sample"](spark, SF_ORACLE)
     ).split("== Physical Plan ==")[-1]
-    assert len(re.findall(r"\(\d+\) Exchange", frames)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", frames)) == 0
 
 
 def test_q6_filters_reach_the_scan(spark):
