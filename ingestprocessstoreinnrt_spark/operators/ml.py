@@ -1427,17 +1427,24 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(f"{f}_cnt"), F.lit(0)) + F.lit(1),
             F.col("n_c") + F.col(f"{f}_card"),
         )
-    ranked = scored.withColumn("score_q", score).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("event_id").orderBy(
-                F.col("score_q").desc(), F.col("cls").asc()
-            )
-        ),
+    # per-event argmax as min(struct(-score, cls)): identical winner to
+    # row_number(1) over (score DESC, cls ASC) but partial-aggregable —
+    # no per-event sort of the |rows| x |classes| frame (r13; the same
+    # transformation as bi_cheapest_supplier / text_rake_keywords)
+    best = (
+        scored.withColumn("score_q", score)
+        .groupBy("event_id", "actual")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_q")).cast("long").alias("negs"),
+                    F.col("cls").alias("cls"),
+                )
+            ).alias("m")
+        )
     )
     return (
-        ranked.filter(F.col("rn") == 1)
-        .groupBy("actual", F.col("cls").alias("predicted"))
+        best.groupBy("actual", F.col("m.cls").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
 
