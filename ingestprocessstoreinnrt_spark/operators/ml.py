@@ -3422,18 +3422,42 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    off_x = _bucket_offsets(
-        li, "l_returnflag", "x", SPEARMAN_XBUCKET, "_bx", "_ox"
-    )
     off_y = _bucket_offsets(
         li, "l_returnflag", "y", SPEARMAN_YBUCKET, "_by", "_oy"
     )
-    ranked = _row_rank_col(
+    # x axis (r13, guide §2.4): quantity's domain is bounded (~50
+    # values/flag — module comment above), so its ENTIRE rank map is a
+    # broadcastable value-grain frame and the in-place rank's row-grain
+    # exchange + sort (the r12 shape, still right for the unbounded
+    # price axis) is pure waste here.  rx = 2*RANK + ties - 1 where
+    # RANK = rows-before + 1, so from value-grain counts:
+    # rx = 2*before + c + 1 — the identical integer the fine window
+    # produced, now attached by a broadcast hash join with no exchange.
+    wx = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xmap = (
+        li.groupBy("l_returnflag", "x")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "rx",
+            (
+                2 * F.coalesce(F.sum("_c").over(wx), F.lit(0))
+                + F.col("_c")
+                + 1
+            ).cast("decimal(19,0)"),
+        )
+        .select("l_returnflag", "x", "rx")
+    )
+    ranked = (
         _row_rank_col(
-            li, "l_returnflag", "x", SPEARMAN_XBUCKET, off_x, "_bx", "_ox", "rx"
-        ),
-        "l_returnflag", "y", SPEARMAN_YBUCKET, off_y, "_by", "_oy", "ry",
-    ).select("l_returnflag", "rx", "ry")
+            li, "l_returnflag", "y", SPEARMAN_YBUCKET, off_y, "_by", "_oy", "ry"
+        )
+        .join(F.broadcast(xmap), ["l_returnflag", "x"])
+        .select("l_returnflag", "rx", "ry")
+    )
     g = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("rx").cast("decimal(38,0)").alias("sx"),
