@@ -84,6 +84,17 @@ def builder(app_name: str = APP_NAME, shuffle_partitions: int | None = None):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Always use the serialized sort shuffle writer (one data file +
+        # index per map task) instead of the bypass writer, which opens
+        # one scratch file per reduce partition per map task and then
+        # merges — 32 DiskBlockObjectWriter setups per task dominate
+        # kilobyte-scale exchanges (r13 task metrics: 75-145 ms median
+        # shuffle write per task even on tmpfs).  Interleaved A/B
+        # microbench: tiny exchange 0.36 -> 0.30 s median, 5M-row
+        # shuffle 1.61/0.96 -> 1.12/0.78 s — the sort path wins at both
+        # ends here, and clusters with shuffle.partitions > 200 never
+        # used the bypass writer anyway.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
     if scratch:
         b = b.config("spark.local.dir", scratch)
