@@ -124,14 +124,22 @@ def _ordered(merged: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Pure-plan-builder entries are wrapped in a session-scoped plan
+    memo (ingestprocessstoreinnrt_spark.planmemo): repeat invocations
+    get the identical lazy frame instead of re-assembling it through
+    thousands of py4j calls.  Lazy plans only — every action still
+    computes from the parquet inputs."""
+    from ingestprocessstoreinnrt_spark import planmemo
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (bi, entity, profile, dedup, similarity, textops,
                 multimodal, ml, windows, skew, asof, sketch, cdc, graph,
                 timeseries, layout, quality, funnel, curation, incremental,
                 basket, jsonops, dss, bloom):
         out.update(mod.QUERIES)
-    return _ordered(out)
+    return planmemo.memoize_pure(_ordered(out))
 
 
 def oracle_sql_plain() -> dict[str, str]:

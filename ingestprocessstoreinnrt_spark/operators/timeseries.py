@@ -1446,20 +1446,24 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("h2"),
         F.col("vq").alias("vq2"),
     )
+    # pair rows carry ONLY (type, slope): the (h, h2) tie-break columns
+    # the r12 shape sorted alongside cannot change the RESULT — the two
+    # middle ranks' slope VALUES are invariant to tie order (the sorted
+    # slope multiset is unique), and h/h2 are discarded after the
+    # filter — so dropping them narrows the window sort's buffered rows
+    # by half (guide §2.3: shuffle/sort fewer bytes).  The DuckDB twin
+    # keeps its fully-deterministic (slope, h, h2) rank order; equal
+    # output is guaranteed because only slope survives the filter.
     pairs = g.join(
         g2, (F.col("event_type") == F.col("et2")) & (F.col("h") < F.col("h2"))
     ).select(
         "event_type",
-        "h",
-        "h2",
         (
             (F.col("vq2") - F.col("vq")).cast("double")
             / (F.col("h2") - F.col("h")).cast("double")
         ).alias("slope"),
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("slope").asc(), F.col("h").asc(), F.col("h2").asc()
-    )
+    w = Window.partitionBy("event_type").orderBy(F.col("slope").asc())
     # pair count per type is C(n_hours, 2) of the (cached, tiny) grid —
     # computed there and broadcast instead of a second full-partition
     # count window over every pair (r13: the count window buffered the

@@ -1,0 +1,82 @@
+"""Pin the plan-memo invariants (ingestprocessstoreinnrt_spark.planmemo).
+
+1. Every memoized (non-PLAN_IMPURE) query is a PURE plan builder:
+   repeat construction triggers zero Spark jobs.  A query that starts
+   running fits/collects during construction must move to PLAN_IMPURE,
+   or its warm bench reps would silently stop re-measuring the
+   recompute.
+2. The memo hands repeat invocations the SAME frame object, and a
+   memoized frame still computes (lazy plan only — no result capture).
+3. clear() forgets plans, so a family-cold rebuild re-registers its
+   .cache() marks.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ingestprocessstoreinnrt_spark import planmemo  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ingestprocessstoreinnrt_spark.session import get_spark
+
+    s = get_spark("test-planmemo")
+    yield s
+
+
+def test_memoized_queries_are_pure_plan_builders(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sc = spark.sparkContext
+    # first pass builds everything (fit memos populate, artifact reads
+    # run) — job activity here is expected and uncounted
+    for fn in qs.values():
+        fn(spark, SF)
+    impure_hits = []
+    for name, fn in qs.items():
+        if name in planmemo.PLAN_IMPURE:
+            continue
+        # repeat construction must be a memo hit: same object, no jobs
+        sc.setJobGroup(f"pm-{name}", name)
+        df1 = fn(spark, SF)
+        df2 = fn(spark, SF)
+        sc.setJobGroup(None, None)
+        assert df1 is df2, f"{name}: memo did not hand back the frame"
+        if sc.statusTracker().getJobIdsForGroup(f"pm-{name}"):
+            impure_hits.append(name)
+    assert not impure_hits, (
+        "queries ran Spark jobs during memoized construction — move "
+        f"them to PLAN_IMPURE: {impure_hits}"
+    )
+
+
+def test_impure_queries_are_not_memoized(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in sorted(planmemo.PLAN_IMPURE):
+        assert not getattr(qs[name], "__wrapped__", None), name
+
+
+def test_memoized_frame_still_computes_and_clear_forgets(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    name = next(n for n in qs if n not in planmemo.PLAN_IMPURE)
+    df1 = qs[name](spark, SF)
+    n1 = df1.count()
+    assert n1 == qs[name](spark, SF).count()
+    planmemo.clear()
+    df2 = qs[name](spark, SF)
+    assert df2 is not df1, "clear() must force a rebuild"
+    assert df2.count() == n1

@@ -69,9 +69,12 @@ def main() -> None:
     from ingestprocessstoreinnrt_spark.operators import curation as _cu
 
     def family_cold() -> None:
+        from ingestprocessstoreinnrt_spark import planmemo as _pm
+
         spark.catalog.clearCache()
         _dd._LSH_PAIRS_MEMO.clear()
         _cu._BPE_MEMO.clear()
+        _pm.clear()
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
