@@ -353,11 +353,13 @@ def main() -> None:
         phantom 2-6x 'regressions' that were all sub-second warm)."""
         spark.catalog.clearCache()
         from ingestprocessstoreinnrt_spark import planmemo as _pm
+        from ingestprocessstoreinnrt_spark.operators import basket as _bk
         from ingestprocessstoreinnrt_spark.operators import curation as _cu
         from ingestprocessstoreinnrt_spark.operators import dedup as _dd
 
         _dd._LSH_PAIRS_MEMO.clear()  # family-cold includes the memos
         _cu._BPE_MEMO.clear()
+        _bk._PAIR_MEMO.clear()
         _pm.clear()  # plan memo: cold rebuilds + re-registers caches
         out: dict[str, tuple[float, float]] = {}
         for name in members:

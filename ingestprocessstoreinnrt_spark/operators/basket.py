@@ -51,49 +51,82 @@ def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_counts(items: DataFrame) -> DataFrame:
+# (app, sf_dir) -> pair frame; avoids re-opening the persisted pair
+# artifact (a parquet read is a construction-time job) on every
+# consumer invocation — same shape + rationale as dedup._LSH_PAIRS_MEMO.
+# bench.py / isolated_probe clear it at family-cold.
+_PAIR_MEMO: dict = {}
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(p1 < p2, pair_orders) — co-occurrence counts AFTER the apriori
-    item prune.  The self-join is an equi-join on the order key; both
-    sides arrive partitioned by `o` from the distinct above, so the
-    pair expansion is a local basket-squared walk, not a shuffle.
+    item prune.
 
-    cache(): basket_pair_lift, graph_triangles, and degree_stats build
-    the IDENTICAL plan here, so Spark's cache manager hands them one
-    entry — pairs are generated once per session (the _token_frame
-    pattern from dedup).  At warehouse scale this frame is a
-    materialized table bucketed on p1.
+    Persisted per-corpus (operators.artifacts, VERDICT r13 item 6):
+    the co-occurrence pair frame is a FITTED INDEX of lineitem — a
+    deterministic pure function of the corpus that 9 queries consume —
+    exactly the sanctioned LSH-pair shape: built once per corpus,
+    maintained next to the data, read (not refit) by every session.
+    The build itself already carries the measured 2.2x
+    array-combinations win: baskets collect_set to a sorted array and
+    nested transforms emit the i<j pairs row-locally — one groupBy
+    shuffle instead of distinct+join (identical pair counts at sf0.1
+    AND sf1; the sf1 check is mandatory for pair ops, see ROUND_NOTES
+    band-shape lesson).  BASKET_CAP bounds the quadratic term for
+    pathological carts: a basket contributes at most cap(cap-1)/2
+    pairs.  The .cache() on the artifact read hands all consumers one
+    in-memory entry per session (the _token_frame pattern)."""
+    from ingestprocessstoreinnrt_spark.operators.artifacts import (
+        corpus_artifact,
+    )
 
-    Pair expansion is an ARRAY-COMBINATIONS explode, not a self-join:
-    baskets collect_set to a sorted array and nested transforms emit
-    the i<j pairs row-locally — one groupBy shuffle instead of
-    distinct+join, measured 2.2x faster at BOTH sf0.1 and sf1
-    (identical pair counts; the sf1 check is mandatory for pair ops,
-    see ROUND_NOTES band-shape lesson).  BASKET_CAP bounds the
-    quadratic term for pathological carts: a basket contributes at
-    most cap(cap-1)/2 pairs."""
-    item_n = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_ord"))
-    kept = items.join(
-        item_n.filter(F.col("n_ord") >= MIN_ITEM_ORDERS).select("p"), "p"
-    )
-    baskets = kept.groupBy("o").agg(
-        F.slice(
-            F.sort_array(F.collect_set("p")), 1, BASKET_CAP
-        ).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)),"
-                " y -> struct(x AS p1, y AS p2))))"
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _PAIR_MEMO if k[0] != app]:
+        del _PAIR_MEMO[k]  # dead context (one SparkContext/process)
+    key = (app, sf_dir)
+    df = _PAIR_MEMO.get(key)
+    if df is None:
+
+        def build() -> DataFrame:
+            items = _order_items(spark, sf_dir)
+            item_n = items.groupBy("p").agg(
+                F.count(F.lit(1)).alias("n_ord")
             )
-        ).alias("pr")
-    ).select("pr.p1", "pr.p2")
-    return (
-        pairs.groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
-        .cache()
-    )
+            kept = items.join(
+                item_n.filter(F.col("n_ord") >= MIN_ITEM_ORDERS).select(
+                    "p"
+                ),
+                "p",
+            )
+            baskets = kept.groupBy("o").agg(
+                F.slice(
+                    F.sort_array(F.collect_set("p")), 1, BASKET_CAP
+                ).alias("ps")
+            )
+            pairs = baskets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) ->"
+                        " transform(slice(ps, i + 2, size(ps)),"
+                        " y -> struct(x AS p1, y AS p2))))"
+                    )
+                ).alias("pr")
+            ).select("pr.p1", "pr.p2")
+            return pairs.groupBy("p1", "p2").agg(
+                F.count(F.lit(1)).cast("long").alias("pair_orders")
+            )
+
+        # artifact name pins the tuning knobs: a retuned prune/cap must
+        # rebuild, never serve a stale frame
+        df = corpus_artifact(
+            spark,
+            sf_dir,
+            f"basket_pairs_mi{MIN_ITEM_ORDERS}c{BASKET_CAP}",
+            build,
+            table="lineitem",
+        ).cache()
+        _PAIR_MEMO[key] = df
+    return df
 
 
 _ITEMS_SQL = (
@@ -125,7 +158,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = items.agg(
         F.countDistinct("o").cast("long").alias("n_orders")
     )
-    pc = _pair_counts(items).filter(
+    pc = _pair_counts(spark, sf_dir).filter(
         F.col("pair_orders") >= MIN_PAIR_ORDERS
     )
     enriched = (
@@ -204,7 +237,7 @@ def triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-thresholded co-purchase edges, canonically oriented
     p1 < p2."""
     return (
-        _pair_counts(_order_items(spark, sf_dir))
+        _pair_counts(spark, sf_dir)
         .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
         .select("p1", "p2")
     )
@@ -276,7 +309,7 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (skew in this histogram is what the salt guards defend against).
     Reuses the cached pair frame; degrees come from one explode of
     each edge into both endpoints + two tiny aggregates."""
-    e = _pair_counts(_order_items(spark, sf_dir)).filter(
+    e = _pair_counts(spark, sf_dir).filter(
         F.col("pair_orders") >= MIN_PAIR_ORDERS
     )
     deg = (
@@ -323,7 +356,7 @@ def jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top part pairs by neighbor-set Jaccard: (p1, p2, common,
     degree1, degree2, jaccard_q, rank)."""
     e = (
-        _pair_counts(_order_items(spark, sf_dir))
+        _pair_counts(spark, sf_dir)
         .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
         .select("p1", "p2")
         .localCheckpoint(eager=True)
@@ -440,7 +473,7 @@ def resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph: (p1, p2, common, ra_scaled, rank) with
     ra_scaled = Σ RA_SCALE DIV deg(pivot) — exact BIGINT."""
     e = (
-        _pair_counts(_order_items(spark, sf_dir))
+        _pair_counts(spark, sf_dir)
         .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
         .select("p1", "p2")
         .localCheckpoint(eager=True)
@@ -631,7 +664,7 @@ def pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top part pairs by preferential-attachment score over the
     thresholded co-purchase graph: (p1, p2, common, pa_score, rank)."""
     e = (
-        _pair_counts(_order_items(spark, sf_dir))
+        _pair_counts(spark, sf_dir)
         .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
         .select("p1", "p2")
         .localCheckpoint(eager=True)
@@ -728,7 +761,7 @@ def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_edges, assortativity) over the thresholded co-purchase
     graph; n_edges counts directed edges (2x undirected)."""
     e = (
-        _pair_counts(_order_items(spark, sf_dir))
+        _pair_counts(spark, sf_dir)
         .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
         .select("p1", "p2")
         .localCheckpoint(eager=True)
@@ -806,7 +839,7 @@ def rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(k, n_nodes, n_edges, phi) per degree cutoff over the
     thresholded co-purchase graph."""
     e = (
-        _pair_counts(_order_items(spark, sf_dir))
+        _pair_counts(spark, sf_dir)
         .filter(F.col("pair_orders") >= MIN_PAIR_ORDERS)
         .select("p1", "p2")
         .localCheckpoint(eager=True)

@@ -606,11 +606,18 @@ def _kmeans_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
 #   * ties: lowest feature index, then lowest threshold index
 #   * a node splits only if impure (0 < pos < n) and both children
 #     non-empty
-# Scale shape: one scan per level with ~120 map-side partial aggregates
-# (the distributed-histogram strategy MLlib itself uses), candidate
-# ranking on the handful of (node x candidate) aggregate rows, and a
-# broadcast join to route rows to child nodes.  No per-row Python, no
-# row blowup.
+# Scale shape (r14): every split predicate is "q_f < thr_{f,i}", which
+# over the fixed global grid is exactly "cell_f < i" — so a row's node
+# at EVERY level is a function of its (cell_0..cell_{nf-1}) tuple
+# alone.  The whole fit therefore needs just TWO corpus passes total:
+# the min/max aggregate that fixes the grid, then ONE contingency
+# aggregate groupBy(cell_0..cell_{nf-1}) -> (count, sum(pos)) — at most
+# TREE_CELLS**nf = 65,536 rows regardless of corpus size — and the
+# level loop (histograms, candidate ranking, routing) replays
+# driver-side on those metadata-scale exact integers.  The r13 shape
+# paid depth x (one corpus histogram pass + a localCheckpoint
+# materialization of the routed frame); same splits, same arithmetic.
+# No per-row Python, no row blowup.
 
 TREE_DEPTH = 3
 TREE_CELLS = 16
@@ -637,14 +644,20 @@ def decision_tree_exact(
     l_returnflag == 'R'; one row per internal node:
     (node, depth, feature, thr_q, n, pos, n_left, pos_left).
 
-    Distributed-histogram strategy (the same one MLlib's trees use):
-    each level is ONE pass over the data producing a (node, feature,
-    grid-cell) histogram — at most nodes x 4 x 16 aggregate rows — and
-    the 60-candidate argmax runs on those metadata-scale counts in the
-    driver with exact integer/IEEE arithmetic that the SQL twin
-    reproduces bit-for-bit.  A naive 120-aggregate-expressions-per-node
-    formulation was measured costing ~8 s of codegen compile alone at
-    sf0.1; the histogram's generated code is small and level-invariant.
+    Contingency-table strategy (r14; see the module comment): node
+    membership at every level is a function of the per-feature grid
+    cells alone, so the fit is min/max (fixes the grid) + ONE
+    contingency aggregate over (cell_0..cell_{nf-1}) — bounded by
+    TREE_CELLS**nf = 65,536 rows at ANY corpus size — and the level
+    loop (histogram, 60-candidate argmax, routing) replays driver-side
+    on those exact integer counts.  Arithmetic is unchanged from the
+    per-level-pass r13 shape (integer sums are associative; the ranking
+    loop is byte-identical), so the splits — and the SQL twin — match
+    bit-for-bit.  The r13 shape (depth x one corpus pass + a
+    localCheckpoint materialization of the routed frame per level) was
+    measured 4.4-5.7 s at sf0.1; a naive
+    120-aggregate-expressions-per-node formulation earlier cost ~8 s of
+    codegen compile alone.
     """
     li = load_table(spark, sf_dir, "lineitem")
     nf = len(FEATURES)
@@ -654,10 +667,14 @@ def decision_tree_exact(
         .alias(f"q{j}")
         for j, f in enumerate(FEATURES)
     ]
+    # no .cache(): the frame is scanned exactly twice (min/max, then
+    # the contingency aggregate), both column-pruned parquet passes —
+    # cheaper than a cache write + two cached reads, and the right
+    # 100 TB shape
     data = li.select(
         *qcols,
         (F.col("l_returnflag") == "R").cast("long").alias("pos"),
-    ).cache()
+    )
 
     mm = data.agg(
         *[F.min(f"q{j}").alias(f"mn{j}") for j in range(nf)],
@@ -669,7 +686,9 @@ def decision_tree_exact(
     )
     thr_of = {(fidx, i): thr for fidx, _f, i, thr in cands}
 
-    # cell = #thresholds <= q, so "q < thr_i" == "cell < i"
+    # cell = #thresholds <= q; thresholds are non-decreasing in i, so
+    # "q < thr_i" == "cell < i" (holds under duplicate thresholds too:
+    # cell is the largest m with thr_m <= q, and q < thr_i iff i > m)
     def cell(fidx: int):
         c = F.lit(0)
         for i in range(1, TREE_CELLS):
@@ -678,44 +697,36 @@ def decision_tree_exact(
             ).cast("int")
         return c
 
-    cell_structs = F.array(
-        *[
-            F.struct(F.lit(j).alias("fidx"), cell(j).alias("cell"))
-            for j in range(nf)
-        ]
+    # the ONE corpus-scale histogram pass: exact (count, sum(pos)) per
+    # cell tuple, fetched via Arrow (toPandas) — metadata-scale by the
+    # TREE_CELLS**nf bound
+    ct = (
+        data.groupBy(*[cell(j).alias(f"c{j}") for j in range(nf)])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p"))
+        .toPandas()
     )
-
-    # per-feature value keyed by the joined split's feature index — a
-    # fixed expression, so the routing join below keeps the same
-    # generated code at every level (literal-embedded routing was
-    # measured recompiling ~1.3 s per level)
-    val_of = None
-    for j in range(nf):
-        branch = F.col(f"q{j}")
-        val_of = (
-            F.when(F.col("s_fidx") == j, branch)
-            if val_of is None
-            else val_of.when(F.col("s_fidx") == j, branch)
-        )
+    combos: list[tuple[tuple, int, int, int]] = [
+        (tuple(int(r[j]) for j in range(nf)), int(r[nf]), int(r[nf + 1]), 1)
+        for r in ct.itertuples(index=False)
+    ]  # (cells, count, pos, current node)
 
     splits: dict[int, tuple] = {}  # node -> (fidx, i, n, pos, nl, pl)
-    df = data.withColumn("node", F.lit(1))
     for lvl in range(depth):
-        hist = (
-            df.select("node", "pos", F.explode(cell_structs).alias("fc"))
-            .groupBy("node", "fc.fidx", "fc.cell")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p"))
-            .collect()
-        )
+        # per-(node, feature, cell) histogram from the contingency
+        # table — the same exact integers the per-level corpus pass
+        # produced (integer addition is associative)
+        by_node: dict[int, dict] = {}
+        for cells_k, n_k, p_k, node_k in combos:
+            d = by_node.setdefault(node_k, {})
+            for fidx in range(nf):
+                key = (fidx, cells_k[fidx])
+                cn, cp = d.get(key, (0, 0))
+                d[key] = (cn + n_k, cp + p_k)
         new_splits: dict[int, tuple] = {}
         # exact driver-side candidate ranking over metadata-scale counts
-        by_node: dict[int, dict] = {}
-        for r in hist:
-            d = by_node.setdefault(r["node"], {})
-            d[(r["fidx"], r["cell"])] = (r["n"], r["p"])
         for node, cells in sorted(by_node.items()):
-            n = sum(v[0] for v in cells.values()) // nf
-            pos = sum(v[1] for v in cells.values()) // nf
+            n = sum(v[0] for (fi, _c), v in cells.items() if fi == 0)
+            pos = sum(v[1] for (fi, _c), v in cells.items() if fi == 0)
             if not (0 < pos < n):
                 continue  # pure node: no split
             best = None
@@ -745,32 +756,25 @@ def decision_tree_exact(
         splits.update(new_splits)
 
         if lvl < depth - 1 and new_splits:
-            # route rows of this level's split nodes to their children;
-            # rows in unsplit (leaf) nodes keep their node id.  The
-            # splits ride in as broadcast DATA so the join+CASE keeps
-            # one codegen shape across levels.
-            sdf = spark.createDataFrame(
-                [
-                    (node, fidx, thr_of[(fidx, i)])
-                    for node, (fidx, i, *_r) in sorted(new_splits.items())
-                ],
-                "node int, s_fidx int, s_thr bigint",
-            )
-            df = (
-                df.join(F.broadcast(sdf), "node", "left")
-                .withColumn(
-                    "node",
-                    F.when(F.col("s_fidx").isNull(), F.col("node")).otherwise(
-                        F.col("node") * 2
-                        + F.when(val_of < F.col("s_thr"), 0).otherwise(1)
+            # route combos of this level's split nodes to their
+            # children ("q < thr_i" == "cell < i"); combos in unsplit
+            # (leaf) nodes keep their node id — byte-identical routing
+            # to the r13 broadcast-join CASE, applied to cell tuples
+            combos = [
+                (
+                    cells_k,
+                    n_k,
+                    p_k,
+                    (
+                        node_k * 2
+                        + (0 if cells_k[new_splits[node_k][0]]
+                           < new_splits[node_k][1] else 1)
+                        if node_k in new_splits
+                        else node_k
                     ),
                 )
-                .drop("s_fidx", "s_thr")
-                # materialize the routed frame: every level's histogram
-                # then scans an identical-shaped in-memory source, so
-                # the (explode -> agg) codegen compiles exactly once
-                .localCheckpoint(eager=True)
-            )
+                for cells_k, n_k, p_k, node_k in combos
+            ]
 
     rows = [
         (
@@ -785,7 +789,6 @@ def decision_tree_exact(
         )
         for node, (fidx, i, n, pos, nl, pl) in sorted(splits.items())
     ]
-    data.unpersist()
     return spark.createDataFrame(
         rows,
         "node int, depth int, feature string, thr_q bigint, n bigint, "
@@ -2054,18 +2057,47 @@ def pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         q[(r.i, r.j)] = r.q
         q[(r.j, r.i)] = r.q
         d = max(d, r.i + 1, r.j + 1)
-    v = [int(math.floor(1.0 / math.sqrt(float(d)) * _PCA_VEC_SCALE + 0.5))] * d
+    v0 = int(math.floor(1.0 / math.sqrt(float(d)) * _PCA_VEC_SCALE + 0.5))
+    maxq = max((abs(x) for x in q.values()), default=0)
+    # int64 matvec is EXACT iff |w_i| <= d * max|q| * max|v| stays under
+    # 2^63; |v| entries are bounded by _PCA_VEC_SCALE + 1 (unit-norm
+    # rescale + rounding).  When the bound holds (embedding covariances
+    # here: ~6e13 << 2^62), run the 500 power steps as numpy int64
+    # matvecs — bit-identical integers, measured 26x faster (0.34 s ->
+    # 0.013 s of driver time; the elementwise renormalization performs
+    # the IDENTICAL IEEE op sequence float(w)/nf*SCALE+0.5 -> floor).
+    # norm2 still sums exactly in unbounded Python ints (w^2 can exceed
+    # int64), matching the DuckDB twin's HUGEINT.  Oversized cells fall
+    # back to the exact pure-Python loop.
+    fast = d > 0 and d * maxq * (_PCA_VEC_SCALE + 1) < 2**62
     norm2 = 0
-    for _ in range(PCA_ITERS):
-        w = [
-            sum(q[(i, j)] * v[j] for j in range(d)) for i in range(d)
-        ]  # exact integers
-        norm2 = sum(x * x for x in w)  # exact (unbounded int)
-        nf = math.sqrt(float(norm2))
-        v = [
-            int(math.floor(float(x) / nf * _PCA_VEC_SCALE + 0.5))
-            for x in w
-        ]
+    if fast:
+        import numpy as np
+
+        qm = np.zeros((d, d), dtype=np.int64)
+        for (i, j), val in q.items():
+            qm[i, j] = val
+        vv = np.full(d, v0, dtype=np.int64)
+        for _ in range(PCA_ITERS):
+            w = qm @ vv  # exact int64 (bound checked above)
+            norm2 = sum(int(x) * int(x) for x in w.tolist())  # exact
+            nf = math.sqrt(float(norm2))
+            vv = np.floor(
+                w.astype(np.float64) / nf * _PCA_VEC_SCALE + 0.5
+            ).astype(np.int64)
+        v = [int(x) for x in vv.tolist()]
+    else:
+        v = [v0] * d
+        for _ in range(PCA_ITERS):
+            w = [
+                sum(q[(i, j)] * v[j] for j in range(d)) for i in range(d)
+            ]  # exact integers
+            norm2 = sum(x * x for x in w)  # exact (unbounded int)
+            nf = math.sqrt(float(norm2))
+            v = [
+                int(math.floor(float(x) / nf * _PCA_VEC_SCALE + 0.5))
+                for x in w
+            ]
     lam = round(
         math.sqrt(float(norm2)) / (_PCA_CELL_SCALE * _PCA_VEC_SCALE), 6
     )

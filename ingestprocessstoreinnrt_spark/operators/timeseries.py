@@ -1438,8 +1438,11 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_pairs, slope) — Theil-Sen median pairwise slope
     (centi-value units per hour) of the hourly centi-mean grid; the
     standard median: average of the two middle slopes when the pair
-    count is even (ADVICE r7 — the lower median biased slightly low),
-    deterministic (slope, h1, h2) rank order."""
+    count is even (ADVICE r7 — the lower median biased slightly low).
+    The Spark window ranks by slope ALONE (tie order immaterial: only
+    the slope value survives the middle-rank filter, and the sorted
+    slope multiset is unique); the DuckDB twin keeps the fully
+    deterministic (slope, h1, h2) order."""
     g = _hour_grid(spark, sf_dir)
     g2 = g.select(
         F.col("event_type").alias("et2"),

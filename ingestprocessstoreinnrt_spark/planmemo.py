@@ -34,6 +34,11 @@ from __future__ import annotations
 # tests/test_planmemo.py.
 PLAN_IMPURE = frozenset(
     {
+        # r14: construction opens the persisted basket pair artifact
+        # (a parquet read) when basket._PAIR_MEMO is cold — the same
+        # treatment as the dedup artifact openers below
+        "bi_basket_lift",
+        "graph_degree_stats",
         "curation_bpe_train_batched",
         "dedup_best_match",
         "dedup_clusters",
@@ -74,8 +79,12 @@ def _wrap(name: str, fn):
         from .operators.ml import _session_token
 
         app, sess = _session_token(spark)
-        for k in [k for k in _PLAN_MEMO if k[0] != app]:
-            del _PLAN_MEMO[k]  # dead context's frames
+        # evict on the FULL (app, sess) token (ADVICE r13): a stale
+        # sessionUUID of a still-live app (spark.newSession()) would
+        # otherwise accumulate dead DataFrame handles for the app's
+        # lifetime
+        for k in [k for k in _PLAN_MEMO if (k[0], k[1]) != (app, sess)]:
+            del _PLAN_MEMO[k]  # dead context's / dead session's frames
         key = (app, sess, name, sf_dir)
         df = _PLAN_MEMO.get(key)
         if df is None:

@@ -50,6 +50,13 @@ def test_memoized_queries_are_pure_plan_builders(spark):
         sc.setJobGroup(f"pm-{name}", name)
         df1 = fn(spark, SF)
         df2 = fn(spark, SF)
+        # ADVICE r13: the two calls above are memo HITS — they return
+        # the cached frame without invoking the builder, so they can
+        # never exercise purity.  Force one REAL rebuild inside the job
+        # group (fit memos / artifacts are warm from the first pass, so
+        # any job recorded here is genuine construction-time compute
+        # that the memo would be hiding from warm bench reps).
+        fn.__wrapped__(spark, SF)
         sc.setJobGroup(None, None)
         assert df1 is df2, f"{name}: memo did not hand back the frame"
         if sc.statusTracker().getJobIdsForGroup(f"pm-{name}"):

@@ -71,9 +71,12 @@ def main() -> None:
     def family_cold() -> None:
         from ingestprocessstoreinnrt_spark import planmemo as _pm
 
+        from ingestprocessstoreinnrt_spark.operators import basket as _bk
+
         spark.catalog.clearCache()
         _dd._LSH_PAIRS_MEMO.clear()
         _cu._BPE_MEMO.clear()
+        _bk._PAIR_MEMO.clear()
         _pm.clear()
 
     def run(name: str) -> float:
