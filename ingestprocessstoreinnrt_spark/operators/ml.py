@@ -688,14 +688,37 @@ def decision_tree_exact(
 
     # cell = #thresholds <= q; thresholds are non-decreasing in i, so
     # "q < thr_i" == "cell < i" (holds under duplicate thresholds too:
-    # cell is the largest m with thr_m <= q, and q < thr_i iff i > m)
+    # cell is the largest m with thr_m <= q, and q < thr_i iff i > m).
+    #
+    # Computed in CLOSED FORM, not as a 15-comparison chain: thr_i =
+    # lo + floor(d*i/C) with d = hi-lo (exact — C is a power of two, so
+    # the float division in _tree_thresholds never rounds), and
+    #   thr_i <= q  <=>  floor(d*i/C) <= q-lo  <=>  d*i/C < q-lo+1
+    #               <=>  i <= ceil(C*(q-lo+1)/d) - 1,
+    # so cell = clamp((C*(q-lo+1) + d-1) DIV d - 1, 0, C-1); d = 0
+    # degenerates to cell = C-1 (every thr_i = lo <= q).  Equivalence
+    # brute-forced over 400k random + exhaustive small (lo, hi, q)
+    # configs.  WHY: four 15-comparison chains as aggregate grouping
+    # keys pushed the generated update method past the JIT's huge-
+    # method limit and the whole stage ran INTERPRETED — the
+    # contingency aggregate measured 6-8 s at sf1 vs 1.5 s for
+    # arithmetic keys of the same cardinality (guide §1.2 step 2).
+    # No intermediate exceeds C*(d+1)+d — far inside BIGINT.
     def cell(fidx: int):
-        c = F.lit(0)
-        for i in range(1, TREE_CELLS):
-            c = c + (
-                F.col(f"q{fidx}") >= F.lit(thr_of[(fidx, i)])
-            ).cast("int")
-        return c
+        qmn = mm[f"mn{fidx}"]
+        d = mm[f"mx{fidx}"] - qmn
+        if d == 0:
+            return F.lit(TREE_CELLS - 1)
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(TREE_CELLS - 1),
+                F.expr(
+                    f"({TREE_CELLS} * (q{fidx} - {qmn} + 1) + {d - 1}) "
+                    f"DIV {d} - 1"
+                ),
+            ),
+        ).cast("int")
 
     # the ONE corpus-scale histogram pass: exact (count, sum(pos)) per
     # cell tuple, fetched via Arrow (toPandas) — metadata-scale by the

@@ -1135,13 +1135,26 @@ def _pq_query_dt_col():
 def _pq_adc_col():
     """ADC distance of the current row's codes (`code0..`) against the
     query's distance-table column `dt`: PQ_M table lookups summed —
-    exact BIGINT, never touches the raw corpus vector."""
+    exact BIGINT, never touches the raw corpus vector.
+
+    Lookups are POSITIONAL (r14, guide §1.2 per-task work): dt is
+    ordered m-major / cid-minor with cid == position by construction —
+    ml.fit_centroids returns cid = list index 0..k-1 (empty clusters
+    keep their slot), the codebook row enumerates subspaces in order,
+    and _pq_query_dt_col's filter/transform/concat all preserve array
+    order — so entry (m, code_m) sits at index m*S + code_m, S =
+    size(dt)/PQ_M (every subspace fits the same row count, so S is
+    uniform; S < PQ_K only on undersized smoke tables).  One O(1)
+    element_at replaces an O(PQ_M*PQ_K) filter scan PER LOOKUP — at
+    100 TB this is the per-candidate inner loop of the ADC scan.  Any
+    order violation would flip the oracled top-k, so the cell-exact
+    twins pin the invariant."""
+    stride = (F.size(F.col("dt")) / F.lit(PQ_M)).cast("int")
 
     def _lookup(m: int):
-        def pred(e):
-            return (e["m"] == F.lit(m)) & (e["cid"] == F.col(f"code{m}"))
-
-        return F.element_at(F.filter(F.col("dt"), pred), 1)["d"]
+        return F.element_at(
+            F.col("dt"), F.lit(m) * stride + F.col(f"code{m}") + 1
+        )["d"]
 
     return sum(_lookup(m) for m in range(PQ_M))
 
